@@ -1,0 +1,140 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exactly-once-ack progress accounting (SURVEY §2 O15; reference
+  * transport/progress/ledger.go + progress_tracker.go).
+  *
+  * The contract: a transaction may be acknowledged (its COMMIT LSN
+  * reported back to the source) only when every one of its messages has
+  * been durably written AND every *earlier* transaction is in the same
+  * state — i.e. the ack frontier is the last element of the longest
+  * fully-written prefix in transaction arrival order.
+  *
+  * Two implementations:
+  *
+  *  - [[ProgressLedger.contiguousAck]]: distributed, for batch parity
+  *    checks and large reconciliation jobs. No global sort and no
+  *    driver-side state: a key-partitioned join + one scalar aggregate
+  *    (`min` over incomplete positions) + one filtered `max`.
+  *  - [[InMemoryLedger]]: the faithful insertion-ordered ledger used
+  *    driver-side by the streaming ack loop, including the reference's
+  *    re-delivery supersession rules (a transaction re-delivered under
+  *    a newer timeBasedKey deletes the stale entry).
+  */
+object ProgressLedger {
+
+  /** Distributed contiguous-ack: returns a single-row DataFrame
+    * `(ackLsn: long)` — the COMMIT LSN of the last transaction in the
+    * longest complete prefix, or NULL when the first transaction is
+    * still incomplete.
+    *
+    * @param seen    one row per txn: (ord, timeBasedKey, totalMsgs,
+    *                commitWalStart) where `ord` is the arrival order
+    *                (in CDC order this is the commit LSN itself)
+    * @param written zero+ rows per txn: (timeBasedKey, count)
+    */
+  def contiguousAck(seen: DataFrame, written: DataFrame): DataFrame = {
+    val writtenAgg = written.groupBy("timeBasedKey")
+      .agg(sum("count").as("writtenCount"))
+    val status = seen.join(writtenAgg, Seq("timeBasedKey"), "left")
+      .withColumn("complete",
+        col("commitWalStart") =!= 0L &&
+          coalesce(col("writtenCount"), lit(0L)) === col("totalMsgs"))
+    val firstIncomplete = status.agg(
+      min(when(!col("complete"), col("ord"))).as("firstIncompleteOrd"))
+    status.crossJoin(firstIncomplete)
+      .where(col("complete") &&
+        (col("firstIncompleteOrd").isNull || col("ord") < col("firstIncompleteOrd")))
+      .agg(max("commitWalStart").as("ackLsn"))
+  }
+}
+
+/** Seen/Written events (reference progress_tracker.go:54-65). */
+final case class Seen(transaction: String, timeBasedKey: String, totalMsgs: Int, commitWalStart: Long)
+final case class Written(transaction: String, timeBasedKey: String, count: Int)
+
+/** Insertion-ordered ledger, faithful to reference ledger.go semantics:
+  *
+  *  - entries keyed by timeBasedKey, kept in first-touch order;
+  *  - a seen/written arriving for a known transaction under a *different*
+  *    timeBasedKey supersedes (deletes) the stale instance — this is how
+  *    re-delivered transactions after a source reconnect are handled;
+  *  - written counts may arrive before the seen (batch written before
+  *    the txn's COMMIT was observed): a written-only entry is created;
+  *  - `emitProgress` walks entries in order collecting the prefix with
+  *    `count == totalMsgs && commitWalStart != 0`, returns the last
+  *    such LSN, and removes the prefix.
+  *
+  * Driver-side only (the streaming ack loop); size is O(in-flight
+  * transactions), not O(records).
+  */
+final class InMemoryLedger {
+
+  final case class Entry(
+      transaction: String,
+      timeBasedKey: String,
+      var commitWalStart: Long,
+      var count: Int,
+      var totalMsgs: Int)
+
+  private val items = mutable.LinkedHashMap.empty[String, Entry]
+  private val txnToTimeBasedKey = mutable.HashMap.empty[String, String]
+
+  def size: Int = items.size
+  def entries: Seq[Entry] = items.values.toSeq
+
+  private def dropStaleInstance(transaction: String, timeBasedKey: String): Unit =
+    txnToTimeBasedKey.get(transaction).foreach { existing =>
+      if (existing != timeBasedKey) {
+        items.remove(existing)
+        txnToTimeBasedKey.remove(transaction)
+      }
+    }
+
+  def updateSeen(s: Seen): Either[String, Unit] = {
+    dropStaleInstance(s.transaction, s.timeBasedKey)
+    items.get(s.timeBasedKey) match {
+      case None =>
+        items.put(s.timeBasedKey,
+          Entry(s.transaction, s.timeBasedKey, s.commitWalStart, 0, s.totalMsgs))
+        txnToTimeBasedKey.put(s.transaction, s.timeBasedKey)
+        Right(())
+      case Some(e) if e.commitWalStart != 0L =>
+        Left(s"transaction ${s.timeBasedKey} seen twice (CommitWalStart already set)")
+      case Some(e) =>
+        e.totalMsgs = s.totalMsgs
+        e.commitWalStart = s.commitWalStart
+        Right(())
+    }
+  }
+
+  def updateWritten(w: Written): Unit = {
+    dropStaleInstance(w.transaction, w.timeBasedKey)
+    items.get(w.timeBasedKey) match {
+      case None =>
+        items.put(w.timeBasedKey, Entry(w.transaction, w.timeBasedKey, 0L, w.count, 0))
+        txnToTimeBasedKey.put(w.transaction, w.timeBasedKey)
+      case Some(e) =>
+        e.count += w.count
+    }
+  }
+
+  /** Longest-complete-prefix ack; removes acked entries. */
+  def emitProgress(): Option[Long] = {
+    val prefix = items.values.iterator
+      .takeWhile(e => e.commitWalStart != 0L && e.count == e.totalMsgs)
+      .toSeq
+    if (prefix.isEmpty) None
+    else {
+      prefix.foreach { e =>
+        items.remove(e.timeBasedKey)
+        txnToTimeBasedKey.remove(e.transaction)
+      }
+      Some(prefix.last.commitWalStart)
+    }
+  }
+}
