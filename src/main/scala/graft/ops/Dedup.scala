@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+import graft.functions.{MinHashSignature, SimHash64}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash-partitioned aggregation — the canonical
+  *    form is `groupBy(fingerprint)`, which AQE handles at any size;
+  *  - MinHash/SimHash signatures are computed per-row with native
+  *    expressions (no shuffle); only the *candidate generation* join
+  *    shuffles, on short band keys whose cardinality (≈ rows × bands)
+  *    is controlled, and band buckets are capped to bound worst-case
+  *    skew (a degenerate bucket of B identical docs would otherwise
+  *    produce B² pairs);
+  *  - verification joins fetch only candidate pairs — never a full
+  *    cross product.
+  */
+object Dedup {
+
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  def charShingles(text: Column, k: Int): Column = {
+    val norm = TextAnalysis.normalize(text)
+    when(length(norm) <= k, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - k + 1),
+        i => norm.substr(i, lit(k))))
+  }
+
+  def minhash_signature(tokens: Column, numHashes: Int = 64, seed: Int = 42): Column =
+    column(MinHashSignature(expression(tokens), numHashes, seed))
+
+  def simhash64(tokens: Column, seed: Int = 42): Column =
+    column(SimHash64(expression(tokens), seed))
+
+  /** Exact-duplicate groups keyed by normalized-text fingerprint:
+    * one row per distinct content with the canonical (minimum) id and
+    * the duplicate count. Single hash aggregation.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Drop exact duplicates, keeping the minimum id per content group.
+    * Window-based: one shuffle on the fingerprint, no join back.
+    */
+  def exactDrop(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TestAnalysisFingerprint(textCol))
+    df.withColumn("__keep", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+  private def TestAnalysisFingerprint(textCol: String): Column =
+    TextAnalysis.fingerprint(col(textCol))
+
+  /** MinHash-LSH candidate duplicate pairs.
+    *
+    * shingle → signature (native expression, no shuffle) → split the
+    * signature into `bands` bands → explode to (bandIdx, bandKey) →
+    * self-join on the band key → distinct (a,b) pairs with a < b,
+    * annotated with exact shingle-set Jaccard for thresholding.
+    *
+    * `maxBucketSize` caps pathological buckets (boilerplate that hashes
+    * thousands of docs into one band) to bound the pair blow-up.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Int = 42,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val withSig = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles"), numHashes, seed))
+
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandKey")
+
+    // Cap bucket size to bound the quadratic pair expansion per bucket.
+    val wBucket = Window.partitionBy("band", "bandKey").orderBy("id")
+    val capped = banded
+      .withColumn("__rn", row_number().over(wBucket))
+      .where(col("__rn") <= maxBucketSize)
+      .drop("__rn")
+
+    val a = capped.select(col("band"), col("bandKey"),
+      col("id").as("id_a"), col("shingles").as("shingles_a"))
+    val b = capped.select(col("band"), col("bandKey"),
+      col("id").as("id_b"), col("shingles").as("shingles_b"))
+
+    a.join(b, Seq("band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "shingles_a", "shingles_b")
+      .distinct()
+      .withColumn("jaccard", round(jaccardExpr(
+        col("shingles_a"), col("shingles_b")), 6))
+      .drop("shingles_a", "shingles_b")
+  }
+
+  /** Exact Jaccard over the distinct shingle sets. */
+  def jaccardExpr(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(array_union(da, db)).cast("double")
+    when(union === 0, 0.0d).otherwise(inter / union)
+  }
+
+  /** MinHash duplicate pairs above a Jaccard threshold. */
+  def minhashDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Int = 42): DataFrame =
+    minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, seed)
+      .where(col("jaccard") >= threshold)
+
+  /** SimHash near-duplicate pairs: block on 16-bit bands of the 64-bit
+    * fingerprint (any pair within Hamming distance 3 shares at least
+    * one of the 4 bands), then verify the true Hamming distance.
+    */
+  def simhashDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, seed: Int = 42): DataFrame = {
+    val withHash = df.select(
+      col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))), seed).as("simhash"))
+
+    val bandExprs = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = withHash.select(col("id"), col("simhash"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
+
+    val a = banded.select(col("band"), col("bandKey"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("bandKey"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+
+    a.join(b, Seq("band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .drop("h_a", "h_b")
+  }
+
+  /** N-gram-Jaccard duplicate pairs with inverted-index blocking:
+    * explode distinct shingles, join docs sharing a shingle (rare
+    * shingles only — frequent shingles are stopword-like and explode
+    * the candidate set), verify exact Jaccard.
+    */
+  def ngramJaccardDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
+    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val rare = inv.groupBy("shingle").count().where(col("count") <= maxShingleFreq)
+    val blocked = inv.join(rare.select("shingle"), Seq("shingle"))
+    val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jaccardExpr(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

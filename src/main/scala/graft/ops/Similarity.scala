@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is
+  *    broadcast (queries ≪ corpus), so the corpus is scanned once with
+  *    no shuffle of the corpus itself; per-query ranking shuffles only
+  *    (queries × corpus) similarity rows — at large scale pre-reduce
+  *    with a per-partition top-k before the final window if k ≪ rows.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket by sign bits of
+  *    projections onto `nBits` fixed random directions, probe the
+  *    query's bucket (plus neighboring buckets by flipping bits up to
+  *    `probeHamming`), rank only within candidates. The scale path:
+  *    candidate count is corpus/2^nBits per probe on average.
+  *
+  * Ranking ties are broken by id and similarity is ranked on a
+  * 6-decimal rounding, making results reproducible across engines and
+  * partitionings.
+  */
+object Similarity {
+
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_r")
+  }
+
+  /** Exact cosine top-k of `queries` against `corpus`; both must have
+    * (`idCol`, `vecCol`). Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
+    rankedTopK(scored, k)
+  }
+
+  /** Deterministic pseudo-random unit-ish directions for hyperplane LSH. */
+  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH-bucketed approximate top-k. `dim` must match the embedding
+    * length. Probing flips up to `probeHamming` sign bits of the query
+    * signature (1 + nBits buckets for probeHamming=1).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nBits: Int = 8, probeHamming: Int = 1, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits <= 30, "bucket key packs into an int")
+    val ps = planes(dim, nBits, seed)
+
+    def signature(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val vd = vec.cast("array<double>")
+      val bits = ps.zipWithIndex.map { case (p, b) =>
+        val dot = aggregate(
+          zip_with(vd, lit(p), (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << b)).otherwise(0L)
+      }
+      bits.reduce(_ + _).cast("int")
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", signature(col("c_vec")))
+
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("sig", signature(col("q_vec")))
+    // probe buckets: the signature itself plus single-bit flips
+    val flips = 0 until (if (probeHamming >= 1) nBits else 0)
+    val probes = array((lit(0) +: flips.map(b => lit(1 << b))): _*)
+    val q = broadcast(qBase
+      .withColumn("bucket", explode(transform(probes, m => col("sig").bitwiseXOR(m))))
+      .drop("sig"))
+
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "sim_r").distinct()
+    rankedTopK(scored, k)
+  }
+}

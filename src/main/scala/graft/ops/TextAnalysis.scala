@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language id, fingerprinting. All pure Catalyst
+  * column expressions (codegen'd; no UDFs), so they pipeline with scans
+  * and filters at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → empty array (Spark's
+    * `split("")` would yield `[""]`).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus intra-word splits on
+    * case/digit/punctuation boundaries — a cheap, deterministic proxy
+    * for tokenizer budget accounting when no vocab is available.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text),
+        "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])|(?=[^\\sA-Za-z0-9])")))
+
+  /** Canonical text normalization shared by fingerprint + exact dedup:
+    * lowercase, trim, collapse runs of whitespace.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Stable document fingerprint = md5 of the normalized text.
+    * Reproducible in any SQL engine (the oracle uses the same two
+    * functions), unlike rolling/content-defined hashes.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(total === 0, 0.0d).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  private val enStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * fluency signal: natural prose has a stable stopword rate, keyword
+    * spam and boilerplate do not.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val toks = tokens(lower(text))
+    val hits = aggregate(toks, lit(0),
+      (acc, t) => acc + when(t.isin(stopwords: _*), 1).otherwise(0))
+    when(size(toks) === 0, 0.0d)
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) === 0, 0.0d)
+      .otherwise(totalLen.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality heuristic in [0,1]: length sweet-spot, sane
+    * punctuation, non-degenerate word shape. Deliberately simple and
+    * fully SQL-expressible; thresholds follow common web-text filters
+    * (Gopher-style length/punct rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 5000, 1.0d)
+      .when(nTok > 0, 0.5d).otherwise(0.0d)
+    val punctOk = when(punctRatio(text) <= 0.2d, 1.0d).otherwise(0.3d)
+    val wordOk = when(meanTokenLen(text).between(2.0d, 12.0d), 1.0d).otherwise(0.4d)
+    round((lenOk * 0.4d + punctOk * 0.3d + wordOk * 0.3d), 4)
+  }
+
+  private val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "con", "sono"))
+
+  /** N-gram-free language-id heuristic: score each language by its
+    * stopword hit-rate over the token stream and take the argmax
+    * (`und` — undetermined — when nothing matches). A real model (e.g.
+    * fastText) would slot in behind the same column contract.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwordProfiles.toSeq.map { case (lang, words) =>
+      val hits = aggregate(toks, lit(0),
+        (acc, t) => acc + when(t.isin(words: _*), 1).otherwise(0))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Convenience transform attaching the full analysis column set. */
+  def analyze(textCol: String = "text"): DataFrame => DataFrame = df => {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCountEstimate(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("mean_token_len", round(meanTokenLen(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("text analysis: tokens, fingerprint, quality, language id") {
+    val df = Seq(
+      (1L, "The cat sat on the mat and it was happy."),
+      (2L, ""),
+      (3L, "el perro y el gato que en la casa un dia"),
+      (4L, "!!! ??? ***")).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze("text")(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Int]("n_tokens") == 10)
+    assert(out(2L).getAs[Int]("n_tokens") == 0)
+    assert(out(1L).getAs[String]("lang_pred") == "en")
+    assert(out(3L).getAs[String]("lang_pred") == "es")
+    assert(out(2L).getAs[String]("lang_pred") == "und")
+    assert(out(1L).getAs[Double]("quality") > out(4L).getAs[Double]("quality"))
+
+    // fingerprint = md5 of normalized text, stable
+    val fp = df.where($"doc_id" === 1).select(TextAnalysis.fingerprint($"text")).as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat on the mat and it was happy.".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp == expected)
+  }
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and optimizers"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "Unrelated text with nothing in common whatsoever here at all friends")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups and drop") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.count() == 4)
+    val g = groups.where($"dup_count" === 2).select("keep_id").as[Long].collect()
+    assert(g.toSeq == Seq(1L))
+    val kept = Dedup.exactDrop(docs, "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds near-dup pair and rejects dissimilar") {
+    val dups = Dedup.minhashDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L)))
+    assert(dups.contains((1L, 4L)))
+    assert(!dups.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
+  }
+
+  test("simhash finds exact and near duplicates by hamming distance") {
+    val pairs = Dedup.simhashDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(exact.isDefined && exact.get.getInt(2) == 0)
+  }
+
+  test("ngram jaccard dedup with inverted-index blocking") {
+    val pairs = Dedup.ngramJaccardDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(pairs.size == 3)
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(1.0f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(5L, 2L)) // 5 is closer to e1 than 2
+  }
+
+  test("LSH top-k finds the exact-direction neighbor") {
+    val top = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1), k = 2, dim = 3, nBits = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top.nonEmpty && top.head == 5L)
+  }
+
+  test("multimodal: synthetic media, stub features, frame sampling") {
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, "hello world document"), (2L, "xyz")).toDF("doc_id", "text"))
+    assert(media.select("kind").distinct().count() >= 2)
+
+    val feats = Multimodal.extractFeatures(media.as[MediaRecord]).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 20L)
+    assert(feats(1L).histogram.sum > 0.99 && feats(1L).histogram.sum < 1.01)
+    assert(feats(1L).byte_entropy > 0)
+
+    val frames = Multimodal.frameSample(media, n = 4, frameBytes = 5)
+    assert(frames.where($"media_id" === 1).count() == 4)
+    val f0 = frames.where($"media_id" === 1 && $"frame_idx" === 0)
+      .select("frame_bytes").as[Array[Byte]].head()
+    assert(new String(f0, "UTF-8") == "hello")
+  }
+}
