@@ -1,0 +1,573 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.CdcFixture
+import graft.fixtures.CdcFixture.Col
+import graft.functions.GraftFunctions
+import graft.operators._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
+  * training-data operators), each expressed through the engine's
+  * operator layer over the driver's testdata tables, with an ANSI-SQL
+  * oracle where the semantics are SQL-expressible.
+  *
+  * CDC operators are driven through real `test_decoding` wire lines
+  * rendered from the tables (so the parser is on the hot path of every
+  * CDC query), and the oracle recomputes the expected result from the
+  * original columns.
+  */
+object EntryQueries {
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS): under nanosAsLong it arrives as a
+    // long — normalize to a microsecond timestamp either way.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def esc(c: Column): Column = regexp_replace(c.cast("string"), "'", "''")
+
+  // ---------------------------------------------------------------- CDC
+
+  /** events rendered as INSERT wire lines; relation = public.<event_type>. */
+  private def eventLines(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events")
+    val line = CdcFixture.insertLine(
+      concat(lit("public."), col("event_type")),
+      Seq(
+        Col("event_id", "bigint", col("event_id"), quoted = false),
+        Col("user_id", "bigint", col("user_id"), quoted = false),
+        Col("event_type", "text", col("event_type")),
+        Col("value", "double precision", format_string("%.2f", col("value"))),
+        Col("props", "jsonb", col("props"))))
+    ev.select(col("event_id"), col("user_id"), line.as("line"))
+  }
+
+  private def parsedEvents(spark: SparkSession, dir: String): DataFrame =
+    eventLines(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        GraftFunctions.parse_test_decoding(col("line")).as("p"))
+      .select(col("event_id"), col("user_id"), col("p.*"))
+
+  def qParseRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    parsedEvents(spark, dir).select(
+      col("event_id"),
+      col("relation"),
+      col("operation"),
+      element_at(col("columns"), "event_id").getField("v").as("event_id_v"),
+      element_at(col("columns"), "event_type").getField("v").as("event_type_v"),
+      element_at(col("columns"), "value").getField("v").as("value_v"),
+      element_at(col("columns"), "props").getField("v").as("props_v"),
+      element_at(col("columns"), "props").getField("q").as("props_q"))
+
+  val qParseRoundtripSql: String =
+    """SELECT event_id, 'public.' || event_type AS relation, 'INSERT' AS operation,
+      | CAST(event_id AS VARCHAR) AS event_id_v, event_type AS event_type_v,
+      | printf('%.2f', value) AS value_v, props AS props_v, true AS props_q
+      |FROM events""".stripMargin
+
+  def qFilterWhitelist(spark: SparkSession, dir: String): DataFrame =
+    TableFilter(Seq("public.purchase", "public.view"))(parsedEvents(spark, dir))
+      .select("event_id", "relation")
+
+  val qFilterWhitelistSql: String =
+    """SELECT event_id, 'public.' || event_type AS relation FROM events
+      |WHERE event_type IN ('purchase', 'view')""".stripMargin
+
+  def qFilterRegexBlacklist(spark: SparkSession, dir: String): DataFrame =
+    TableFilter(Seq("^public\\.(click|error)$"), whitelist = false, regex = true)(
+      parsedEvents(spark, dir))
+      .select("event_id", "relation")
+
+  val qFilterRegexBlacklistSql: String =
+    """SELECT event_id, 'public.' || event_type AS relation FROM events
+      |WHERE NOT regexp_matches('public.' || event_type, '^public\.(click|error)$')""".stripMargin
+
+  def qPartitionKeys(spark: SparkSession, dir: String): DataFrame = {
+    val base = parsedEvents(spark, dir)
+      .withColumn("txn", col("user_id").cast("string"))
+    base.select(
+      col("event_id"),
+      Partitioner.keyExpr(Partitioner.NoKey, col("relation"), col("txn")).as("pk_none"),
+      Partitioner.keyExpr(Partitioner.TableName, col("relation"), col("txn")).as("pk_tablename"),
+      Partitioner.keyExpr(Partitioner.Transaction, col("relation"), col("txn")).as("pk_txn"))
+  }
+
+  val qPartitionKeysSql: String =
+    """SELECT event_id, '' AS pk_none, 'public.' || event_type AS pk_tablename,
+      | CAST(user_id AS VARCHAR) AS pk_txn FROM events""".stripMargin
+
+  def qPartitionBucketMd5(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "events").select(
+      col("event_id"),
+      Partitioner.keyExpr(
+        Partitioner.TransactionBucket(8, Partitioner.Md5),
+        lit(""), col("user_id").cast("string")).as("bucket"))
+
+  val qPartitionBucketMd5Sql: String =
+    """SELECT event_id,
+      | CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) % 8 AS VARCHAR) AS bucket
+      |FROM events""".stripMargin
+
+  /** Reference-faithful crc32 bucketing (no SQL oracle: DuckDB lacks
+    * crc32; correctness is pinned by the unit test against
+    * java.util.zip.CRC32).
+    */
+  def qPartitionBucketCrc32(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "events").select(
+      col("event_id"),
+      Partitioner.keyExpr(
+        Partitioner.TransactionBucket(8),
+        lit(""), col("user_id").cast("string")).as("bucket"))
+
+  /** UPDATE lines from customer exercising the full merge matrix:
+    * unchanged cols, changed col (acctbal+100), TOAST sentinel on
+    * every third row, NULL→value injection (new-only c_flag) on every
+    * fifth row.
+    */
+  def qMarshalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val c = T(spark, dir, "customer")
+    val oldBal = format_string("%.2f", col("c_acctbal"))
+    val newBal = format_string("%.2f", col("c_acctbal") + 100.0d)
+    val oldPart = concat(
+      lit("c_custkey[bigint]:"), col("c_custkey"),
+      lit(" c_name[text]:'"), esc(col("c_name")), lit("'"),
+      lit(" c_acctbal[numeric]:'"), oldBal, lit("'"),
+      lit(" c_mktsegment[text]:'"), esc(col("c_mktsegment")), lit("'"))
+    val segNew = when(pmod(col("c_custkey"), lit(3)) === 0,
+      lit("c_mktsegment[text]:unchanged-toast-datum"))
+      .otherwise(concat(lit("c_mktsegment[text]:'"), esc(col("c_mktsegment")), lit("'")))
+    val flagNew = when(pmod(col("c_custkey"), lit(5)) === 0, lit(" c_flag[integer]:1"))
+      .otherwise(lit(""))
+    val newPart = concat(
+      lit("c_custkey[bigint]:"), col("c_custkey"),
+      lit(" c_name[text]:'"), esc(col("c_name")), lit("'"),
+      lit(" c_acctbal[numeric]:'"), newBal, lit("'"),
+      lit(" "), segNew, flagNew)
+    val line = concat(lit("table public.customer: UPDATE: old-key: "),
+      oldPart, lit(" new-tuple: "), newPart)
+
+    val parsed = c.select(col("c_custkey"),
+      GraftFunctions.parse_test_decoding(line).as("p"))
+    parsed.select(col("c_custkey"),
+      explode(Marshaller.mergedColumns(
+        col("p.operation"), col("p.columns"), col("p.oldColumns"),
+        noMarshalOldValue = false)).as(Seq("colname", "pair")))
+      .select(
+        col("c_custkey"), col("colname"),
+        col("pair.new.v").as("new_v"), col("pair.new.q").as("new_q"),
+        col("pair.old.v").as("old_v"), col("pair.old.q").as("old_q"))
+  }
+
+  val qMarshalUpdateSql: String =
+    """SELECT c_custkey, 'c_custkey' AS colname, CAST(c_custkey AS VARCHAR) AS new_v,
+      |  'false' AS new_q, CAST(NULL AS VARCHAR) AS old_v, CAST(NULL AS VARCHAR) AS old_q FROM customer
+      |UNION ALL SELECT c_custkey, 'c_name', c_name, 'true', NULL, NULL FROM customer
+      |UNION ALL SELECT c_custkey, 'c_acctbal', printf('%.2f', c_acctbal + 100.0), 'true',
+      |  printf('%.2f', c_acctbal), 'true' FROM customer
+      |UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment, 'true',
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 'true' END FROM customer
+      |UNION ALL SELECT c_custkey, 'c_flag', '1', 'false', 'null', 'false'
+      |  FROM customer WHERE c_custkey % 5 = 0""".stripMargin
+
+  def qMarshalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val s = T(spark, dir, "supplier")
+    val line = CdcFixture.deleteLine(lit("public.supplier"), Seq(
+      Col("s_suppkey", "bigint", col("s_suppkey"), quoted = false),
+      Col("s_name", "text", col("s_name"))))
+    s.select(col("s_suppkey"), GraftFunctions.parse_test_decoding(line).as("p"))
+      .select(col("s_suppkey"),
+        explode(Marshaller.mergedColumns(
+          col("p.operation"), col("p.columns"), col("p.oldColumns"),
+          noMarshalOldValue = false)).as(Seq("colname", "pair")))
+      .select(col("s_suppkey"), col("colname"),
+        col("pair.new.v").as("new_v"),
+        col("pair.old.v").as("old_v"), col("pair.old.q").as("old_q"))
+  }
+
+  val qMarshalDeleteSql: String =
+    """SELECT s_suppkey, 's_suppkey' AS colname, CAST(NULL AS VARCHAR) AS new_v,
+      |  CAST(s_suppkey AS VARCHAR) AS old_v, 'false' AS old_q FROM supplier
+      |UNION ALL SELECT s_suppkey, 's_name', NULL, s_name, 'true' FROM supplier""".stripMargin
+
+  /** Per-transaction Seen accounting over a synthetic txn stream:
+    * txn = l_orderkey, one INSERT per lineitem, one COMMIT per order
+    * at LSN = orderkey.
+    */
+  def qTxnCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    val data = li.select(
+      col("l_orderkey").cast("string").as("txn"),
+      concat(col("l_orderkey"), lit("-0")).as("timeBasedKey"),
+      lit("INSERT").as("operation"),
+      col("l_orderkey").as("walStart"))
+    val commits = li.select(col("l_orderkey")).distinct().select(
+      col("l_orderkey").cast("string").as("txn"),
+      concat(col("l_orderkey"), lit("-0")).as("timeBasedKey"),
+      lit("COMMIT").as("operation"),
+      col("l_orderkey").as("walStart"))
+    Batcher.seenCounts(data.unionAll(commits))
+      .select("txn", "totalMsgs", "commitWalStart")
+  }
+
+  val qTxnCountsSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) AS txn, count(*) AS totalMsgs,
+      | l_orderkey AS commitWalStart
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** Contiguous-ack frontier: "written" = lineitems with quantity <= 25;
+    * the ack LSN is the last orderkey of the longest fully-written
+    * prefix in orderkey order.
+    */
+  def qContiguousAck(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+    val seen = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("totalMsgs"))
+      .select(
+        col("l_orderkey").as("ord"),
+        concat(col("l_orderkey"), lit("-0")).as("timeBasedKey"),
+        col("totalMsgs"),
+        col("l_orderkey").as("commitWalStart"))
+    val written = li.where(col("l_quantity") <= 25)
+      .select(concat(col("l_orderkey"), lit("-0")).as("timeBasedKey"), lit(1L).as("count"))
+    ProgressLedger.contiguousAck(seen, written)
+  }
+
+  val qContiguousAckSql: String =
+    """WITH c AS (
+      |  SELECT l_orderkey, count(*) AS total,
+      |         sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS written
+      |  FROM lineitem GROUP BY l_orderkey),
+      |m AS (SELECT min(l_orderkey) AS first_bad FROM c WHERE written <> total)
+      |SELECT max(CASE WHEN c.written = c.total AND (m.first_bad IS NULL OR c.l_orderkey < m.first_bad)
+      |  THEN c.l_orderkey END) AS ackLsn
+      |FROM c, m""".stripMargin
+
+  /** 60-second tumbling stats windows over the events stream. */
+  def qStatsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stats = T(spark, dir, "events").select(
+      lit("events").as("component"),
+      lit("count").as("statType"),
+      col("event_type").as("statName"),
+      lit("n").as("unit"),
+      round(col("value") * 100, 0).cast("long").as("value"),
+      col("ts"))
+    StatsAggregator.aggregate(stats)
+      .select(
+        col("windowStart"), col("statName"),
+        col("total"), col("samples"), col("min").as("vmin"), col("max").as("vmax"))
+      .withColumn("vavg", round(col("total").cast("double") / col("samples"), 6))
+  }
+
+  val qStatsWindowSql: String =
+    """SELECT CAST(time_bucket(INTERVAL '60 seconds', ts) AS TIMESTAMP) AS windowStart,
+      | event_type AS statName,
+      | sum(CAST(round(value * 100, 0) AS BIGINT)) AS total,
+      | count(*) AS samples,
+      | min(CAST(round(value * 100, 0) AS BIGINT)) AS vmin,
+      | max(CAST(round(value * 100, 0) AS BIGINT)) AS vmax,
+      | round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / count(*), 6) AS vavg
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Worker routing placement counts (md5 hash variant for the oracle;
+    * crc32 is the runtime default, pinned by unit test).
+    */
+  def qRouteWorkers(spark: SparkSession, dir: String): DataFrame = {
+    val df = T(spark, dir, "events").withColumn("partitionKey", col("event_type"))
+    Router.route(df, 4, Router.Partition(Partitioner.Md5))
+      .groupBy("partitionKey", "workerId")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qRouteWorkersSql: String =
+    """SELECT event_type AS partitionKey,
+      | CAST(CAST('0x' || substr(md5(event_type), 1, 8) AS UBIGINT) % 4 AS INTEGER) AS workerId,
+      | count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Count-capped chunk assignment (Kinesis 500-record cap shape). */
+  def qChunkSizes(spark: SparkSession, dir: String): DataFrame =
+    Batcher.withChunkIds(
+      T(spark, dir, "events"), col("event_type"), col("event_id"), 500)
+      .groupBy(col("event_type").as("partitionKey"), col("chunkId"))
+      .agg(count(lit(1)).as("n"))
+
+  val qChunkSizesSql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    (row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 500 AS chunkId
+      |  FROM events)
+      |SELECT event_type AS partitionKey, chunkId, count(*) AS n FROM r GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- training-data ops
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(T(spark, dir, "documents"), "text", "doc_id")
+
+  val qDedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      | min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    T(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+      round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+      round(TextAnalysis.meanTokenLen(t), 6).as("mean_token_len"))
+  }
+
+  val qTokenStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      | CAST(len(t) AS BIGINT) AS n_tokens,
+      | round(CASE WHEN length(text) = 0 THEN 0.0
+      |   ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+      | round(CASE WHEN len(t) = 0 THEN 0.0
+      |   ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END, 6) AS mean_token_len
+      |FROM toks""".stripMargin
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents").select(
+      col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val qTextQualitySql: String =
+    """WITH x AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |  FROM documents)
+      |SELECT doc_id, CAST(round(
+      |  CAST((CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+      |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+      |  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3 AS DOUBLE), 4) AS DOUBLE) AS quality
+      |FROM x""".stripMargin
+
+  /** Language-id heuristic — no SQL oracle (argmax over stopword
+    * profiles; pinned by unit tests), rows-only check.
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents").select(
+      col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDuplicates(
+      T(spark, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, threshold = 0.2, maxShingleFreq = 50)
+
+  val qDedupNgramSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) END AS s
+      |  FROM toks),
+      |shd AS (SELECT doc_id, list_distinct(s) AS shingles FROM sh),
+      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shd),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
+      |binv AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
+      |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |          FROM binv x JOIN binv y USING (shingle) WHERE x.doc_id < y.doc_id),
+      |j AS (SELECT p.id_a, p.id_b,
+      |        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |              / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+      |      FROM pairs p JOIN shd a ON a.doc_id = p.id_a JOIN shd b ON b.doc_id = p.id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
+
+  /** MinHash-LSH near-dup pairs — rows-only (candidate set depends on
+    * Murmur3 signatures not reproducible in SQL; estimator quality is
+    * pinned by unit tests).
+    */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
+      threshold = 0.2)
+
+  /** SimHash near-dup pairs — rows-only for the same reason. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
+      maxHamming = 8)
+
+  def qSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  val qSimilarityTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+      |      FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim_r,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_r FROM r WHERE rank <= 5""".stripMargin
+
+  /** LSH ANN — rows-only (approximate by construction). */
+  def qSimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, dim = 64)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(T(spark, dir, "documents"))
+    Multimodal.frameSample(media, n = 4, frameBytes = 16)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        decode(col("frame_bytes"), "UTF-8").as("frame_text"))
+  }
+
+  val qFrameSampleSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text,
+      |             greatest(length(text) // 4, 1) AS step FROM documents),
+      |f AS (SELECT media_id, i AS frame_idx, substring(text, CAST(i * step + 1 AS INTEGER), 16) AS frame_text
+      |      FROM m, generate_series(0, 3) AS g(i))
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_text
+      |FROM f WHERE frame_text <> ''""".stripMargin
+
+  // ------------------------------------------------------ analytics
+
+  def qAggPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = T(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1996-12-01 00:00:00")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+  }
+
+  val qAggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      | count(*) AS count_order,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1996-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def qJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = T(spark, dir, "orders")
+    val c = T(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val qJoinRevenueSql: String =
+    """SELECT c_mktsegment,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val qTopkOrdersSql: String =
+    """SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin
+
+  /** Full CDC pipeline (parse → filter → partition → marshal) over the
+    * events wire lines — the flagship/bench path; JSON output is
+    * checked by golden unit tests, rows-only here.
+    */
+  def qCdcPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = parsedEvents(spark, dir)
+      .withColumn("txn", col("user_id").cast("string"))
+      .withColumn("timeBasedKey", concat(col("txn"), lit("-0")))
+      .withColumn("ord", col("event_id"))
+    val withMeta = CdcFixture.withSourceMeta(parsed)
+    val filtered = TableFilter(Seq("^public\\.error$"), whitelist = false, regex = true)(withMeta)
+    val keyed = Partitioner(Partitioner.TableName)(filtered)
+    Marshaller(noMarshalOldValue = false)(keyed)
+      .select("walStart", "operation", "relation", "partitionKey", "json")
+  }
+
+  // ------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parse_roundtrip" -> qParseRoundtrip _,
+    "q_filter_whitelist" -> qFilterWhitelist _,
+    "q_filter_regex_blacklist" -> qFilterRegexBlacklist _,
+    "q_partition_keys" -> qPartitionKeys _,
+    "q_partition_bucket_md5" -> qPartitionBucketMd5 _,
+    "q_partition_bucket_crc32" -> qPartitionBucketCrc32 _,
+    "q_marshal_update" -> qMarshalUpdate _,
+    "q_marshal_delete" -> qMarshalDelete _,
+    "q_txn_counts" -> qTxnCounts _,
+    "q_contiguous_ack" -> qContiguousAck _,
+    "q_stats_window" -> qStatsWindow _,
+    "q_route_workers" -> qRouteWorkers _,
+    "q_chunk_sizes" -> qChunkSizes _,
+    "q_dedup_exact" -> qDedupExact _,
+    "q_token_stats" -> qTokenStats _,
+    "q_text_quality" -> qTextQuality _,
+    "q_lang_id" -> qLangId _,
+    "q_dedup_ngram" -> qDedupNgram _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+    "q_similarity_topk" -> qSimilarityTopk _,
+    "q_similarity_lsh" -> qSimilarityLsh _,
+    "q_frame_sample" -> qFrameSample _,
+    "q_agg_pricing" -> qAggPricing _,
+    "q_join_revenue" -> qJoinRevenue _,
+    "q_topk_orders" -> qTopkOrders _,
+    "q_cdc_pipeline" -> qCdcPipeline _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_parse_roundtrip" -> qParseRoundtripSql,
+    "q_filter_whitelist" -> qFilterWhitelistSql,
+    "q_filter_regex_blacklist" -> qFilterRegexBlacklistSql,
+    "q_partition_keys" -> qPartitionKeysSql,
+    "q_partition_bucket_md5" -> qPartitionBucketMd5Sql,
+    "q_marshal_update" -> qMarshalUpdateSql,
+    "q_marshal_delete" -> qMarshalDeleteSql,
+    "q_txn_counts" -> qTxnCountsSql,
+    "q_contiguous_ack" -> qContiguousAckSql,
+    "q_stats_window" -> qStatsWindowSql,
+    "q_route_workers" -> qRouteWorkersSql,
+    "q_chunk_sizes" -> qChunkSizesSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_token_stats" -> qTokenStatsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_dedup_ngram" -> qDedupNgramSql,
+    "q_similarity_topk" -> qSimilarityTopkSql,
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_agg_pricing" -> qAggPricingSql,
+    "q_join_revenue" -> qJoinRevenueSql,
+    "q_topk_orders" -> qTopkOrdersSql)
+}
