@@ -1,0 +1,219 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+
+/** One record headed for a sink. */
+final case class SinkRecord(partitionKey: String, timeBasedKey: String,
+                            walStart: Long, payload: Array[Byte])
+
+/** Per-sink batch caps (reference values):
+  *  - Kinesis: 500 records / 5 MiB batch / 1 MiB record
+  *    (kinesis/batch/batch.go:32-37)
+  *  - Kafka: 5000 records / 1 MB record (kafka/config.go:43-64)
+  *  - RabbitMQ: 5000 records (rabbitmq/config.go:47-50)
+  *  - S3: 50 000 records/object (s3/config.go:53-56)
+  */
+final case class BatchCaps(maxRecords: Int, maxBatchBytes: Long, maxRecordBytes: Long)
+object BatchCaps {
+  val kinesis: BatchCaps = BatchCaps(500, 5L * 1024 * 1024, 1L * 1024 * 1024)
+  val kafka: BatchCaps = BatchCaps(5000, Long.MaxValue, 1000000L)
+  val rabbitmq: BatchCaps = BatchCaps(5000, Long.MaxValue, Long.MaxValue)
+  val s3: BatchCaps = BatchCaps(50000, Long.MaxValue, Long.MaxValue)
+}
+
+/** One packed chunk plus the records dropped for exceeding the
+  * per-record cap. Oversized records are dropped-but-counted so the
+  * ack ledger does not stall on them — exactly the reference's
+  * behavior (kinesis/batch/batch.go:63-67).
+  */
+final case class Chunk(records: Vector[SinkRecord], droppedOversize: Vector[SinkRecord]) {
+  def writtenCountsByTxn: Map[String, Int] =
+    (records ++ droppedOversize).groupBy(_.timeBasedKey).view.mapValues(_.size).toMap
+}
+
+object Chunker {
+
+  /** Greedy sequential packing under the caps — the same loop the
+    * reference runs per batch; sequential per partition by design
+    * (byte-capped packing cannot be expressed as a window without
+    * changing semantics), so it lives at the sink edge where the data
+    * is already per-partition.
+    */
+  def greedyChunks(records: Iterator[SinkRecord], caps: BatchCaps): Iterator[Chunk] =
+    new Iterator[Chunk] {
+      private var pending: Option[SinkRecord] = None
+      override def hasNext: Boolean = pending.isDefined || records.hasNext
+      override def next(): Chunk = {
+        val recs = Vector.newBuilder[SinkRecord]
+        val dropped = Vector.newBuilder[SinkRecord]
+        var n = 0
+        var bytes = 0L
+        var full = false
+        while (!full && (pending.isDefined || records.hasNext)) {
+          val r = pending.getOrElse(records.next())
+          pending = None
+          val size = r.payload.length.toLong
+          if (size > caps.maxRecordBytes) {
+            dropped += r
+          } else if (n + 1 > caps.maxRecords || bytes + size > caps.maxBatchBytes) {
+            pending = Some(r) // start next chunk with it
+            full = true
+          } else {
+            recs += r; n += 1; bytes += size
+          }
+        }
+        Chunk(recs.result(), dropped.result())
+      }
+    }
+}
+
+/** Exponential backoff, reference policy: 1.5 s initial, ×1.5 growth,
+  * 5 s cap, give up after 5 min elapsed (kinesis/factory.go:111-117).
+  * `sleeper` is injectable so tests don't wait.
+  */
+final class Backoff(
+    initialMillis: Long = 1500L,
+    multiplier: Double = 1.5d,
+    capMillis: Long = 5000L,
+    maxElapsedMillis: Long = 5 * 60 * 1000L,
+    sleeper: Long => Unit = Thread.sleep) {
+
+  /** Run `attempt` until it returns true (success) or the retry budget
+    * is exhausted; returns whether it eventually succeeded.
+    */
+  def retry(attempt: () => Boolean): Boolean = {
+    var delay = initialMillis
+    var elapsed = 0L
+    var ok = attempt()
+    while (!ok && elapsed < maxElapsedMillis) {
+      sleeper(delay)
+      elapsed += delay
+      delay = math.min((delay * multiplier).toLong, capMillis)
+      ok = attempt()
+    }
+    ok
+  }
+}
+
+/** Result of one transport send: indices (into the chunk) that failed
+  * and should be retried — the Kinesis partial-failure model
+  * (kinesis/transporter/transporter.go:145-216).
+  */
+final case class SendResult(failedIndices: Seq[Int]) {
+  def ok: Boolean = failedIndices.isEmpty
+}
+
+/** The RPC edge of a sink. Implementations: AWS Kinesis PutRecords,
+  * RabbitMQ basic.publish with confirms, stdout… Network clients are
+  * not available in this environment; [[InMemoryTransport]] stands in
+  * for tests, and the chunk/retry/ack logic here is the part the
+  * reference implements per sink.
+  */
+trait RecordTransport extends Serializable {
+  def send(records: Seq[SinkRecord]): SendResult
+}
+
+/** Collects sends in memory; can fail the first `failFirst` attempts
+  * and fail arbitrary indices once, to exercise the retry paths.
+  */
+final class InMemoryTransport(failFirst: Int = 0, partialFailOnce: Seq[Int] = Nil)
+  extends RecordTransport {
+  val sent = new ArrayBuffer[Seq[SinkRecord]]()
+  private var attempts = 0
+  private var partialDone = false
+  override def send(records: Seq[SinkRecord]): SendResult = synchronized {
+    attempts += 1
+    if (attempts <= failFirst) SendResult(records.indices)
+    else if (!partialDone && partialFailOnce.nonEmpty) {
+      partialDone = true
+      sent += records.zipWithIndex.collect {
+        case (r, i) if !partialFailOnce.contains(i) => r
+      }
+      SendResult(partialFailOnce.filter(_ < records.size))
+    } else {
+      sent += records
+      SendResult(Nil)
+    }
+  }
+  def totalRecords: Int = sent.map(_.size).sum
+}
+
+/** Sink writer with the reference's delivery semantics: greedy chunking
+  * under caps, partial-failure retry under exponential backoff, and
+  * per-txn written counts reported to the ledger callback on close.
+  *
+  * Use with `df.writeStream.foreach(...)` (streaming) or
+  * `df.foreachPartition` via [[ChunkedSink.writePartition]] (batch).
+  */
+object ChunkedSink {
+
+  /** Drain one partition's rows through chunking + retry. Returns the
+    * per-txn written counts (for `Written` ledger updates).
+    */
+  def writePartition(
+      rows: Iterator[SinkRecord],
+      caps: BatchCaps,
+      transport: RecordTransport,
+      backoff: () => Backoff): Map[String, Int] = {
+    var written = Map.empty[String, Int]
+    Chunker.greedyChunks(rows, caps).foreach { chunk =>
+      var remaining = chunk.records
+      val sentOk = backoff().retry { () =>
+        if (remaining.isEmpty) true
+        else {
+          val res = transport.send(remaining)
+          remaining = res.failedIndices.toVector.sorted.map(remaining)
+          remaining.isEmpty
+        }
+      }
+      if (!sentOk)
+        throw new RuntimeException(
+          s"sink delivery failed after retry budget; ${remaining.size} records undelivered")
+      chunk.writtenCountsByTxn.foreach { case (k, v) =>
+        written = written.updated(k, written.getOrElse(k, 0) + v)
+      }
+    }
+    written
+  }
+
+  /** RabbitMQ routing key: `<table>.<operation>`
+    * (rabbitmq/transporter/transporter.go:310-316).
+    */
+  def rabbitRoutingKey(table: String, operation: String): String =
+    s"$table.$operation"
+
+  /** Kinesis per-record partition key: the record's WalStart, or the
+    * batch partition key when key-affinity routing is on
+    * (kinesis/batch/batch.go:75-89).
+    */
+  def kinesisPartitionKey(r: SinkRecord, keyed: Boolean): String =
+    if (keyed && r.partitionKey.nonEmpty) r.partitionKey else r.walStart.toString
+
+  /** ForeachWriter adapter for streaming queries. */
+  def foreachWriter(
+      caps: BatchCaps,
+      transportFactory: () => RecordTransport): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      @transient private var buf: ArrayBuffer[SinkRecord] = _
+      @transient private var transport: RecordTransport = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        buf = new ArrayBuffer[SinkRecord]()
+        transport = transportFactory()
+        true
+      }
+      override def process(row: Row): Unit = {
+        val json = row.getAs[String]("json")
+        if (json != null)
+          buf += SinkRecord(
+            Option(row.getAs[String]("partitionKey")).getOrElse(""),
+            row.getAs[String]("timeBasedKey"),
+            row.getAs[Long]("walStart"),
+            json.getBytes("UTF-8"))
+      }
+      override def close(errorOrNull: Throwable): Unit =
+        if (errorOrNull == null && buf != null)
+          writePartition(buf.iterator, caps, transport, () => new Backoff())
+    }
+}
