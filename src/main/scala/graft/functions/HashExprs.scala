@@ -49,16 +49,29 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
 }
 
 object MinHashSignature {
+
+  /** splitmix64 finalizer — turns one base hash into `numHashes`
+    * independent-enough hash functions with two multiply-xor rounds,
+    * instead of re-hashing the token string per function (64× fewer
+    * string traversals; this is the per-row hot loop of LSH dedup).
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def compute(tokens: ArrayData, numHashes: Int, seed: Int): ArrayData = {
     val n = tokens.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val tok = tokens.getUTF8String(i).toString
+        val base = StringHash64.hash(tokens.getUTF8String(i).toString, seed)
         var j = 0
         while (j < numHashes) {
-          val h = StringHash64.hash(tok, seed + j)
+          val h = mix(base ^ (j * 0xd6e8feb86659fd93L))
           if (h < sig(j)) sig(j) = h
           j += 1
         }

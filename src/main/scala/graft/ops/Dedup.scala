@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{JaccardLong, MinHashFromHashes, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -42,6 +42,19 @@ object Dedup {
 
   def simhash64(tokens: Column, seed: Int = 42): Column =
     column(SimHash64(expression(tokens), seed))
+
+  /** Distinct 64-bit hashes of the word k-shingles of the normalized
+    * text — single native pass (see [[graft.functions.ShingleHashes]]).
+    */
+  def shingle_hashes(text: Column, k: Int, seed: Int = 42): Column =
+    column(ShingleHashes(expression(text), k, seed))
+
+  def minhash_from_hashes(hashes: Column, numHashes: Int = 64): Column =
+    column(MinHashFromHashes(expression(hashes), numHashes))
+
+  /** Exact Jaccard of two distinct bigint-array sets, natively. */
+  def jaccard_long(a: Column, b: Column): Column =
+    column(JaccardLong(expression(a), expression(b)))
 
   /** Exact-duplicate groups keyed by normalized-text fingerprint:
     * one row per distinct content with the canonical (minimum) id and
@@ -87,11 +100,14 @@ object Dedup {
 
     val withSig = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", minhash_signature(col("shingles"), numHashes, seed))
+      shingle_hashes(col(textCol), shingleSize, seed).as("hs"))
+      .withColumn("sig", minhash_from_hashes(col("hs"), numHashes))
 
+    // Band rows carry only (id, band, bandKey) — never the shingle
+    // arrays, which would otherwise ride through the self-join and the
+    // distinct (the dominant cost at scale).
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
@@ -104,18 +120,21 @@ object Dedup {
       .where(col("__rn") <= maxBucketSize)
       .drop("__rn")
 
-    val a = capped.select(col("band"), col("bandKey"),
-      col("id").as("id_a"), col("shingles").as("shingles_a"))
-    val b = capped.select(col("band"), col("bandKey"),
-      col("id").as("id_b"), col("shingles").as("shingles_b"))
-
-    a.join(b, Seq("band", "bandKey"))
+    val a = capped.select(col("band"), col("bandKey"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bandKey"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bandKey"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "shingles_a", "shingles_b")
+      .select("id_a", "id_b")
       .distinct()
-      .withColumn("jaccard", round(jaccardExpr(
-        col("shingles_a"), col("shingles_b")), 6))
-      .drop("shingles_a", "shingles_b")
+
+    // Verify on 64-bit shingle hashes: set operations over longs, not
+    // strings (same jaccard modulo ~2^-64 collision probability).
+    val sets = withSig.select(col("id"), col("hs"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard_long(col("hs_a"), col("hs_b")), 6))
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact Jaccard over the distinct shingle sets. */
@@ -174,18 +193,22 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Int = 100): DataFrame = {
+    // Work on 64-bit shingle hashes end-to-end: one native pass per doc
+    // builds the distinct hash set, the inverted index shuffles longs
+    // instead of ~20-char strings, and the verification intersects long
+    // arrays (identical jaccard modulo ~2^-64 hash collisions).
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
-    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      shingle_hashes(col(textCol), shingleSize).as("hs"))
+    val inv = sh.select(col("id"), explode(col("hs")).as("shingle"))
     val rare = inv.groupBy("shingle").count().where(col("count") <= maxShingleFreq)
     val blocked = inv.join(rare.select("shingle"), Seq("shingle"))
     val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jaccardExpr(col("sh_a"), col("sh_b")), 6))
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard_long(col("hs_a"), col("hs_b")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

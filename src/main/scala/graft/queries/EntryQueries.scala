@@ -371,7 +371,7 @@ object EntryQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardDuplicates(
       T(spark, dir, "documents"), "text", "doc_id",
-      shingleSize = 3, threshold = 0.2, maxShingleFreq = 50)
+      shingleSize = 3, threshold = 0.2, maxShingleFreq = 10)
 
   val qDedupNgramSql: String =
     """WITH toks AS (
@@ -383,7 +383,7 @@ object EntryQueries {
       |  FROM toks),
       |shd AS (SELECT doc_id, list_distinct(s) AS shingles FROM sh),
       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shd),
-      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 50),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 10),
       |binv AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |          FROM binv x JOIN binv y USING (shingle) WHERE x.doc_id < y.doc_id),
