@@ -23,9 +23,13 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 object EntryQueries {
 
   private def T(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS), which Spark 4 refuses to read
+    // unless nanosAsLong is on — set it defensively (runtime conf) so
+    // the queries work under any caller's session, then normalize the
+    // long back to a microsecond timestamp.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): under nanosAsLong it arrives as a
-    // long — normalize to a microsecond timestamp either way.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

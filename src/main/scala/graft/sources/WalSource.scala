@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 streaming CDC source (`format("graft-wal")`) — the Spark-native
+  * shape of the reference's replication client (SURVEY §2 O1/O4/O16).
+  *
+  * Architecture: offsets ARE LSNs. Each micro-batch covers an LSN range;
+  * admission control caps the range per trigger (`maxLinesPerTrigger`,
+  * the analog of the reference's bounded client buffer, U2); offsets are
+  * committed only after the sink write, and `commit(offset)` fires the
+  * ack hook — where a Postgres-backed provider sends
+  * StandbyStatusUpdate, closing the exactly-once loop without any
+  * driver-side ledger (checkpointing provides the contiguity guarantee).
+  *
+  * Transaction stamping (O4) happens in the source, ordered per
+  * connection exactly like the reference's single replication reader:
+  * the current BEGIN's txn id + a time-based re-delivery discriminator
+  * ride in the offset, so stamping survives micro-batch boundaries and
+  * restarts.
+  *
+  * The WAL byte stream itself comes from a segment directory (one text
+  * file per segment, lexicographic order = WAL order) — the test/replay
+  * provider. A live `org.postgresql` replication-protocol provider
+  * plugs in behind the same offset/stamping contract; it cannot be
+  * exercised in this environment (no Postgres), the segment provider
+  * is behavior-equivalent for everything downstream.
+  *
+  * Output schema: line, walStart, serverWalEnd, serverTimeMs, txn,
+  * timeBasedKey — feed straight into
+  * [[graft.streaming.CdcPipeline.transform]].
+  */
+class WalSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wal"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WalTable(properties.get("path"),
+      Option(properties.get("maxLinesPerTrigger")).map(_.toInt),
+      Option(properties.get("epochNanos")).map(_.toLong).getOrElse(0L))
+}
+
+object WalSource {
+  val schema: StructType = StructType(Seq(
+    StructField("line", StringType),
+    StructField("walStart", LongType),
+    StructField("serverWalEnd", LongType),
+    StructField("serverTimeMs", LongType),
+    StructField("txn", StringType),
+    StructField("timeBasedKey", StringType)))
+
+  /** Ack hooks keyed by source path — a test/driver registers a
+    * callback to observe committed LSNs (the StandbyStatus edge).
+    */
+  val ackHooks: ConcurrentHashMap[String, Long => Unit] = new ConcurrentHashMap()
+
+  def segmentFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).map(_.filter(_.isFile).sortBy(_.getName).toSeq)
+      .getOrElse(Nil)
+  }
+
+  def readLines(path: String, from: Long, until: Long): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var idx = 0L
+    segmentFiles(path).foreach { f =>
+      if (idx < until) {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach { l =>
+          if (idx >= from && idx < until) out += l
+          idx += 1
+        } finally src.close()
+      }
+    }
+    out.toSeq
+  }
+
+  def countLines(path: String): Long = {
+    var n = 0L
+    segmentFiles(path).foreach { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try n += src.getLines().size finally src.close()
+    }
+    n
+  }
+}
+
+/** Offset = (lines consumed, current txn, current timeBasedKey): the
+  * stamping state rides with the LSN so it survives restarts.
+  */
+case class WalOffset(lsn: Long, txn: String, timeBasedKey: String) extends Offset {
+  override def json(): String =
+    s"""{"lsn":$lsn,"txn":"$txn","timeBasedKey":"$timeBasedKey"}"""
+}
+object WalOffset {
+  private val R = """\{"lsn":(\d+),"txn":"([^"]*)","timeBasedKey":"([^"]*)"\}""".r
+  def fromJson(s: String): WalOffset = s match {
+    case R(l, t, k) => WalOffset(l.toLong, t, k)
+    case _ => throw new IllegalArgumentException(s"bad WalOffset: $s")
+  }
+}
+
+class WalTable(path: String, maxLinesPerTrigger: Option[Int], epochNanos: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-wal(`$path`)"
+  override def schema(): StructType = WalSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WalScan(path, maxLinesPerTrigger, epochNanos)
+}
+
+class WalScan(path: String, maxLinesPerTrigger: Option[Int], epochNanos: Long) extends Scan {
+  override def readSchema(): StructType = WalSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalMicroBatchStream(path, maxLinesPerTrigger, epochNanos)
+}
+
+class WalMicroBatchStream(path: String, maxLinesPerTrigger: Option[Int], epochNanos: Long)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = WalOffset(0L, "", "")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** Admission control: advance at most `maxRows` lines past `start`,
+    * and roll the stamping state forward over the admitted range
+    * (driver-side scan of just that slice — the live protocol provider
+    * tracks this state for free as it consumes the socket).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[WalOffset]
+    val total = WalSource.countLines(path)
+    val end = limit match {
+      case rl: streaming.ReadMaxRows => math.min(total, s.lsn + rl.maxRows())
+      case _ => total
+    }
+    if (end == s.lsn) s
+    else {
+      var txn = s.txn
+      var tbk = s.timeBasedKey
+      WalSource.readLines(path, s.lsn, end).foreach { l =>
+        if (l.startsWith("BEGIN ")) {
+          txn = l.substring(6).trim
+          tbk = s"$txn-$epochNanos"
+        }
+      }
+      WalOffset(end, txn, tbk)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WalOffset]
+    val e = end.asInstanceOf[WalOffset]
+    // ONE ordered partition per batch: WAL is a totally ordered stream
+    // read from a single connection (reference semantics). Parallelism
+    // comes after the source (filter/marshal fan out per partition key).
+    Array(WalInputPartition(path, s.lsn, e.lsn, s.txn, s.timeBasedKey, epochNanos))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory
+
+  override def deserializeOffset(json: String): Offset = WalOffset.fromJson(json)
+
+  /** Offsets are committed only after the micro-batch's writes are
+    * durable → this is the contiguous-prefix ack (O15/O16 without a
+    * ledger). A live provider sends StandbyStatusUpdate(lsn) here.
+    */
+  override def commit(end: Offset): Unit = {
+    val lsn = end.asInstanceOf[WalOffset].lsn
+    Option(WalSource.ackHooks.get(path)).foreach(_(lsn))
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class WalInputPartition(path: String, from: Long, until: Long,
+                             startTxn: String, startTbk: String,
+                             epochNanos: Long) extends InputPartition
+
+class WalReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WalInputPartition]
+    new PartitionReader[InternalRow] {
+      private val lines = WalSource.readLines(p.path, p.from, p.until).iterator
+      private var lsn = p.from
+      private var txn = p.startTxn
+      private var tbk = p.startTbk
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val l = lines.next()
+        lsn += 1
+        if (l.startsWith("BEGIN ")) {
+          txn = l.substring(6).trim
+          tbk = s"$txn-${p.epochNanos}"
+        }
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(l), lsn, lsn, 0L,
+          UTF8String.fromString(txn), UTF8String.fromString(tbk)))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

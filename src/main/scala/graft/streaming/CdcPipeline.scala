@@ -75,6 +75,20 @@ object CdcPipeline {
     spark.readStream.option("maxFilesPerTrigger", 16).text(path)
       .withColumnRenamed("value", "line")
 
+  /** The DSv2 CDC source ([[graft.sources.WalSourceProvider]]): LSN
+    * offsets, source-side txn stamping, per-trigger admission control,
+    * commit→ack. Rows feed [[transform]] directly.
+    */
+  def fromWalSource(spark: SparkSession, path: String,
+                    maxLinesPerTrigger: Option[Int] = None,
+                    epochNanos: Long = 0L): DataFrame = {
+    val r = spark.readStream.format("graft-wal")
+      .option("path", path)
+      .option("epochNanos", epochNanos.toString)
+    maxLinesPerTrigger.foreach(n => r.option("maxLinesPerTrigger", n.toString))
+    r.load()
+  }
+
   /** Console sink (reference stdout transporter O10). */
   def toConsole(df: DataFrame, cfg: CdcConfig): DataStreamWriter[Row] =
     df.writeStream
