@@ -1,0 +1,97 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Partitioner
+
+/** End-to-end parity with the reference's base integration test
+  * (itests/tests/base/test_basic): replay the `test_decoding` lines
+  * Postgres emits for its input SQL through the FULL pipeline
+  * (source-shaped metadata → parse → filter → key → marshal) and diff
+  * against the golden JSONL under the itest comparison rule —
+  * key-order-insensitive, `lsn/time/time_ms/txn` stripped
+  * (reference itests/common.bash:216-255).
+  *
+  * The golden file is read from the read-only reference checkout when
+  * present; the expected records are also inlined so the test is
+  * self-contained if the reference is absent.
+  */
+class GoldenParitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  /** The wire lines for test_basic/input/001.sql under REPLICA
+    * IDENTITY default (customers) and FULL (products).
+    */
+  private val walLines = Seq(
+    "BEGIN 500",
+    "table public.customers: INSERT: id[integer]:1 first_name[text]:'Hello' last_name[text]:'World'",
+    "COMMIT 500",
+    "BEGIN 501",
+    "table public.customers: INSERT: id[integer]:2 first_name[text]:'Goodbye' last_name[text]:'World'",
+    "COMMIT 501",
+    "BEGIN 502",
+    "table public.customers: UPDATE: id[integer]:1 first_name[text]:'Hello' last_name[text]:'Friends'",
+    "COMMIT 502",
+    "BEGIN 503",
+    "table public.customers: DELETE: id[integer]:2",
+    "COMMIT 503",
+    "BEGIN 504",
+    "table public.products: INSERT: id[integer]:1 name[text]:'widget 1' sku[integer]:null",
+    "COMMIT 504",
+    "BEGIN 505",
+    "table public.products: UPDATE: old-key: id[integer]:1 name[text]:'widget 1' sku[integer]:null new-tuple: id[integer]:1 name[text]:'widget 1' sku[integer]:42",
+    "COMMIT 505",
+    "BEGIN 506",
+    "table public.products: UPDATE: old-key: id[integer]:1 name[text]:'widget 1' sku[integer]:42 new-tuple: id[integer]:1 name[text]:'widget 1' sku[integer]:null",
+    "COMMIT 506")
+
+  private val inlineGolden = Seq(
+    """{"table":"public.customers","operation":"INSERT","columns":{"first_name":{"new":{"q":"true","t":"text","v":"Hello"}},"id":{"new":{"q":"false","t":"integer","v":"1"}},"last_name":{"new":{"q":"true","t":"text","v":"World"}}}}""",
+    """{"table":"public.customers","operation":"INSERT","columns":{"first_name":{"new":{"q":"true","t":"text","v":"Goodbye"}},"id":{"new":{"q":"false","t":"integer","v":"2"}},"last_name":{"new":{"q":"true","t":"text","v":"World"}}}}""",
+    """{"table":"public.customers","operation":"UPDATE","columns":{"first_name":{"new":{"q":"true","t":"text","v":"Hello"},"old":{"q":"false","t":"text","v":"null"}},"id":{"new":{"q":"false","t":"integer","v":"1"},"old":{"q":"false","t":"integer","v":"null"}},"last_name":{"new":{"q":"true","t":"text","v":"Friends"},"old":{"q":"false","t":"text","v":"null"}}}}""",
+    """{"table":"public.customers","operation":"DELETE","columns":{"id":{"old":{"q":"false","t":"integer","v":"2"}}}}""",
+    """{"table":"public.products","operation":"INSERT","columns":{"id":{"new":{"q":"false","t":"integer","v":"1"}},"name":{"new":{"q":"true","t":"text","v":"widget 1"}},"sku":{"new":{"q":"false","t":"integer","v":"null"}}}}""",
+    """{"table":"public.products","operation":"UPDATE","columns":{"id":{"new":{"q":"false","t":"integer","v":"1"}},"name":{"new":{"q":"true","t":"text","v":"widget 1"}},"sku":{"new":{"q":"false","t":"integer","v":"42"},"old":{"q":"false","t":"integer","v":"null"}}}}""",
+    """{"table":"public.products","operation":"UPDATE","columns":{"id":{"new":{"q":"false","t":"integer","v":"1"}},"name":{"new":{"q":"true","t":"text","v":"widget 1"}},"sku":{"new":{"q":"false","t":"integer","v":"null"},"old":{"q":"false","t":"integer","v":"42"}}}}""")
+
+  private def canon(json: String): com.fasterxml.jackson.databind.JsonNode = {
+    val n = mapper.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.remove("lsn"); n.remove("time"); n.remove("time_ms"); n.remove("txn")
+    n
+  }
+
+  test("full pipeline reproduces the reference test_basic golden output") {
+    val goldenFile = new java.io.File("/root/reference/itests/tests/base/test_basic/golden/test.0")
+    val golden =
+      if (goldenFile.canRead)
+        scala.io.Source.fromFile(goldenFile, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+      else inlineGolden
+    // the inline copy must itself match the reference golden when present
+    assert(golden.map(canon) == inlineGolden.map(canon))
+
+    // replay through the WAL source + full transform, like E2E streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "000.wal"),
+      walLines.mkString("\n").getBytes("UTF-8"))
+    val src = CdcPipeline.fromWalSource(spark, dir, maxLinesPerTrigger = Some(5))
+    val out = CdcPipeline.transform(src, CdcConfig(partitionMethod = Partitioner.TableName))
+    val q = out.writeStream.format("memory").queryName("golden_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val produced = spark.table("golden_parity")
+        .where($"json".isNotNull)
+        .orderBy("walStart")
+        .select("json").as[String].collect().toSeq
+      assert(produced.length == golden.length)
+      produced.zip(golden).foreach { case (got, want) =>
+        assert(canon(got) == canon(want), s"\n got: $got\nwant: $want")
+      }
+    } finally q.stop()
+  }
+}
