@@ -184,6 +184,20 @@ object Dedup {
       .drop("h_a", "h_b")
   }
 
+  /** Streaming exact dedup: drop later re-arrivals of the same
+    * normalized content within the watermark horizon — Structured
+    * Streaming's state-backed `dropDuplicatesWithinWatermark` keyed by
+    * the content fingerprint, so state is bounded by the horizon
+    * (SURVEY §7 step 8).
+    */
+  def streamingExactDedup(
+      df: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** N-gram-Jaccard duplicate pairs with inverted-index blocking:
     * explode distinct shingles, join docs sharing a shingle (rare
     * shingles only — frequent shingles are stopword-like and explode

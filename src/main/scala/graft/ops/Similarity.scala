@@ -96,4 +96,105 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim_r").distinct()
     rankedTopK(scored, k)
   }
+
+  /** IVF (inverted-file) approximate top-k: k-means the corpus into
+    * `nlist` cells, search only the `nprobe` cells whose centroids are
+    * closest to the query. The standard billion-scale ANN layout —
+    * at 100 TB the corpus is *stored* partitioned by cell (partition
+    * pruning skips the rest), so a query touches nprobe/nlist of the
+    * data. Centroids are fit on a bounded sample (driver-side KMeans
+    * over ≤ `fitSampleSize` rows) and broadcast as plain arrays; cell
+    * assignment is a codegen'd argmin over the broadcast, no MLlib
+    * runtime on the hot path.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      fitSampleSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // ---- fit centroids on a bounded sample (simple Lloyd's, driver-side)
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(fitSampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toSeq).take(math.min(nlist, sample.length)).toArray
+    val iters = 10
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
+      }.toArray
+      it += 1
+    }
+
+    // ---- codegen'd cell assignment against the broadcast centroid array
+    def cellExpr(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val vd = vec.cast("array<double>")
+      // argmin over squared distance == argmax over (2·dot − ‖c‖²)
+      val scores = centroids.map { cvec =>
+        val dot = aggregate(zip_with(vd, lit(cvec), (x, w) => x * w),
+          lit(0.0d), (acc, x) => acc + x)
+        dot * 2.0d - lit(cvec.map(x => x * x).sum)
+      }
+      // argmax via greatest over (score, idx) structs
+      val packed = scores.zipWithIndex.map { case (s, i) =>
+        struct(s.as("s"), lit(i).as("i"))
+      }
+      greatest(packed: _*).getField("i")
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", cellExpr(col("c_vec")))
+
+    // queries probe their nprobe nearest cells
+    def probeCells(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val vd = vec.cast("array<double>")
+      val packed = centroids.zipWithIndex.map { case (cvec, i) =>
+        val dot = aggregate(zip_with(vd, lit(cvec), (x, w) => x * w),
+          lit(0.0d), (acc, x) => acc + x)
+        struct((dot * 2.0d - lit(cvec.map(x => x * x).sum)).as("s"), lit(i).as("i"))
+      }
+      slice(transform(array_sort(array(packed: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)),
+        p => p.getField("i")), 1, nprobe)
+    }
+
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec")))))
+
+    val scored = c.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(scored, k)
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 }

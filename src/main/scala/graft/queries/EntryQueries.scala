@@ -427,6 +427,16 @@ object EntryQueries {
       |      FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_r FROM r WHERE rank <= 5""".stripMargin
 
+  /** IVF ANN with exhaustive probing (nprobe = nlist): the IVF
+    * plumbing (centroid fit, cell assignment, probe-join) in its exact
+    * mode, so the brute-force oracle applies verbatim.
+    */
+  def qSimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** LSH ANN — rows-only (approximate by construction). */
   def qSimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
@@ -545,6 +555,7 @@ object EntryQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
+    "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_frame_sample" -> qFrameSample _,
     "q_agg_pricing" -> qAggPricing _,
@@ -570,6 +581,7 @@ object EntryQueries {
     "q_text_quality" -> qTextQualitySql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
+    "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_agg_pricing" -> qAggPricingSql,
     "q_join_revenue" -> qJoinRevenueSql,
