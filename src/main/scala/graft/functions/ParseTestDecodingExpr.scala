@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.collection.immutable.VectorMap
+import scala.collection.mutable.ArrayBuffer
 
-import graft.model.{ChangeRecord, ColumnValue}
+import graft.model.ChangeRecord
 import graft.parser.TestDecodingParser
 
 /** Catalyst expression `parse_test_decoding(line)` → struct<txn, relation,
@@ -46,31 +46,34 @@ case class ParseTestDecoding(child: Expression) extends UnaryExpression {
 
 object ParseTestDecoding {
 
+  /** Array-backed sink: columns land directly as UTF8String rows, no
+    * intermediate immutable maps (this is the per-record hot path).
+    */
+  private final class RowSink extends TestDecodingParser.ColumnSink {
+    val newKeys = new ArrayBuffer[Any](8)
+    val newVals = new ArrayBuffer[Any](8)
+    val oldKeys = new ArrayBuffer[Any](8)
+    val oldVals = new ArrayBuffer[Any](8)
+    def add(oldSection: Boolean, name: String, v: String, t: String, q: Boolean): Unit = {
+      val row = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(v), UTF8String.fromString(t), q))
+      if (oldSection) { oldKeys += UTF8String.fromString(name); oldVals += row }
+      else { newKeys += UTF8String.fromString(name); newVals += row }
+    }
+  }
+
   /** Static entry shared by interpreted eval and generated code. */
   def parseToRow(line: UTF8String): InternalRow = {
     if (line == null) return null
-    val parsed = TestDecodingParser.parseOrNull(line.toString)
-    if (parsed == null) return null
+    val sink = new RowSink
+    val o = TestDecodingParser.parseInto(line.toString, sink)
+    if (o == null) return null
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(parsed.txn),
-      UTF8String.fromString(parsed.relation),
-      UTF8String.fromString(parsed.operation),
-      parsed.noTupleData,
-      toMapData(parsed.columns),
-      toMapData(parsed.oldColumns)))
-  }
-
-  private def toMapData(m: VectorMap[String, ColumnValue]): ArrayBasedMapData = {
-    val n = m.size
-    val keys = new Array[Any](n)
-    val values = new Array[Any](n)
-    var i = 0
-    m.foreach { case (k, cv) =>
-      keys(i) = UTF8String.fromString(k)
-      values(i) = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(cv.v), UTF8String.fromString(cv.t), cv.q))
-      i += 1
-    }
-    ArrayBasedMapData(keys, values)
+      UTF8String.fromString(o.txn),
+      UTF8String.fromString(o.relation),
+      UTF8String.fromString(o.operation),
+      o.noTupleData,
+      ArrayBasedMapData(sink.newKeys.toArray, sink.newVals.toArray),
+      ArrayBasedMapData(sink.oldKeys.toArray, sink.oldVals.toArray)))
   }
 }

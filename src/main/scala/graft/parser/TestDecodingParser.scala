@@ -63,28 +63,59 @@ object TestDecodingParser {
 
   private val emptyCols = VectorMap.empty[String, ColumnValue]
 
+  /** Receives parsed columns as they are recognized. The hot path
+    * (the Catalyst expression) supplies an array-backed sink so no
+    * intermediate immutable maps are built per row.
+    */
+  trait ColumnSink {
+    def add(oldSection: Boolean, name: String, v: String, t: String, q: Boolean): Unit
+  }
+
+  /** Metadata outcome of a parse (columns go to the sink). */
+  final case class Outcome(txn: String, relation: String, operation: String, noTupleData: Boolean)
+
+  private final class MapSink extends ColumnSink {
+    val newCols = VectorMap.newBuilder[String, ColumnValue]
+    val oldCols = VectorMap.newBuilder[String, ColumnValue]
+    def add(oldSection: Boolean, name: String, v: String, t: String, q: Boolean): Unit = {
+      val cv = ColumnValue(v, t, q)
+      if (oldSection) oldCols += (name -> cv) else newCols += (name -> cv)
+    }
+  }
+
   /** Parse a full line. Returns Left(error) on malformed input. */
-  def parse(line: String): Either[String, ParsedChange] =
-    parseImpl(line, preludeOnly = false)
+  def parse(line: String): Either[String, ParsedChange] = {
+    val sink = new MapSink
+    parseImpl(line, preludeOnly = false, sink).map(o =>
+      ParsedChange(o.txn, o.relation, o.operation, o.noTupleData,
+        sink.newCols.result(), sink.oldCols.result()))
+  }
 
   /** Parse only relation + operation (the reference's ParsePrelude):
     * enough for table filtering without paying column parsing.
     */
-  def parsePrelude(line: String): Either[String, ParsedChange] =
-    parseImpl(line, preludeOnly = true)
+  def parsePrelude(line: String): Either[String, ParsedChange] = {
+    val sink = new MapSink
+    parseImpl(line, preludeOnly = true, sink).map(o =>
+      ParsedChange(o.txn, o.relation, o.operation, o.noTupleData, emptyCols, emptyCols))
+  }
 
   /** Null-on-error variant for use in the Catalyst expression hot path. */
   def parseOrNull(line: String): ParsedChange =
-    parseImpl(line, preludeOnly = false).getOrElse(null)
+    parse(line).getOrElse(null)
 
-  private def parseImpl(line: String, preludeOnly: Boolean): Either[String, ParsedChange] = {
+  /** Hot-path entry: parse into `sink`, return metadata or null on error. */
+  def parseInto(line: String, sink: ColumnSink): Outcome =
+    parseImpl(line, preludeOnly = false, sink).getOrElse(null)
+
+  private def parseImpl(line: String, preludeOnly: Boolean, sink: ColumnSink): Either[String, Outcome] = {
     if (line == null || line.length < 5) return Left(s"message too short: $line")
 
     // Transaction boundary lines: "BEGIN <id>" / "COMMIT <id>".
     if (line.startsWith("BEGIN") || line.startsWith("COMMI")) {
       val fields = line.split("\\s+").filter(_.nonEmpty)
       if (fields.length != 2) return Left(s"unknown transaction message: $line")
-      return Right(ParsedChange(fields(1), "", fields(0), noTupleData = false, emptyCols, emptyCols))
+      return Right(Outcome(fields(1), "", fields(0), noTupleData = false))
     }
     if (!line.startsWith("table ")) return Left(s"unknown logical message received: $line")
 
@@ -100,8 +131,6 @@ object TestDecodingParser {
     var noTupleData = false
     var curName: String = null
     var curType: String = null
-    val newCols = VectorMap.newBuilder[String, ColumnValue]
-    val oldCols = VectorMap.newBuilder[String, ColumnValue]
     var truncate = false
 
     def captureValue(endExclusive: Int): Unit = {
@@ -110,8 +139,7 @@ object TestDecodingParser {
       if (valueWasQuoted) { s += 1; e -= 1 }
       val raw = line.substring(s, e)
       val v = if (valueWasQuoted) raw.replace("''", "'") else raw
-      val cv = ColumnValue(v, curType, valueWasQuoted)
-      if (oldSection) oldCols += (curName -> cv) else newCols += (curName -> cv)
+      sink.add(oldSection, curName, v, curType, valueWasQuoted)
     }
 
     var i = 0
@@ -194,12 +222,10 @@ object TestDecodingParser {
       i += 1
     }
 
-    if (truncate)
-      Right(ParsedChange("", relation, operation, noTupleData = false, emptyCols, emptyCols))
-    else if (preludeOnly && state == SColName)
-      Right(ParsedChange("", relation, operation, noTupleData = false, emptyCols, emptyCols))
+    if (truncate || (preludeOnly && state == SColName))
+      Right(Outcome("", relation, operation, noTupleData = false))
     else if (!preludeOnly && state == SEnd)
-      Right(ParsedChange("", relation, operation, noTupleData, newCols.result(), oldCols.result()))
+      Right(Outcome("", relation, operation, noTupleData))
     else
       Left(s"invalid parser end state $state for: $line")
   }
