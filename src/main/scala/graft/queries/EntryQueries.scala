@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -459,6 +459,24 @@ object EntryQueries {
       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_text
       |FROM f WHERE frame_text <> ''""".stripMargin
 
+  /** Gap-based sessionization of the events stream (30-minute gap). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(T(spark, dir, "events"))
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |x AS (SELECT user_id, us,
+      |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |             THEN 1 ELSE 0 END AS is_new,
+      |        event_id FROM e),
+      |s AS (SELECT user_id, us,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------ analytics
 
   def qAggPricing(spark: SparkSession, dir: String): DataFrame = {
@@ -558,6 +576,7 @@ object EntryQueries {
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_frame_sample" -> qFrameSample _,
+    "q_sessionize" -> qSessionize _,
     "q_agg_pricing" -> qAggPricing _,
     "q_join_revenue" -> qJoinRevenue _,
     "q_topk_orders" -> qTopkOrders _,
@@ -583,6 +602,7 @@ object EntryQueries {
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_frame_sample" -> qFrameSampleSql,
+    "q_sessionize" -> qSessionizeSql,
     "q_agg_pricing" -> qAggPricingSql,
     "q_join_revenue" -> qJoinRevenueSql,
     "q_topk_orders" -> qTopkOrdersSql)

@@ -60,6 +60,8 @@ class TestDecodingParserSpec extends AnyFunSuite {
   test("TRUNCATE single and multi-table") {
     val p1 = ok("table public.customers: TRUNCATE: (no-flags)")
     assert(p1.operation == "TRUNCATE" && p1.relation == "public.customers")
+    val p3 = ok("table public.customers: TRUNCATE: restart_seqs")
+    assert(p3.operation == "TRUNCATE")
     val p2 = ok("table public.customers, public.orders: TRUNCATE: cascade")
     assert(p2.relation == "public.customers, public.orders")
     assert(p2.columns.isEmpty && !p2.noTupleData)
