@@ -104,6 +104,21 @@ class MarshallerSpec extends AnyFunSuite {
         |"ivalue":{"new":{"q":"false","t":"integer","v":"3"}}}}""".stripMargin)
   }
 
+  test("key-less UPDATE with TOAST sentinel passes through raw (test_toasted golden)") {
+    // With REPLICA IDENTITY default there is no old tuple, so the
+    // sentinel cannot be substituted — the reference emits it verbatim
+    // (itests/tests/base/test_toasted/golden/test.0 row 4).
+    val out = marshal(Seq(
+      "BEGIN 3",
+      "table public.toast_test: UPDATE: id[integer]:2 ivalue[integer]:2 value[text]:unchanged-toast-datum",
+      "COMMIT 3"), noMarshalOld = true)
+    assertJson(out(1),
+      """{"table":"public.toast_test","operation":"UPDATE","columns":{
+        |"id":{"new":{"q":"false","t":"integer","v":"2"}},
+        |"ivalue":{"new":{"q":"false","t":"integer","v":"2"}},
+        |"value":{"new":{"q":"false","t":"text","v":"unchanged-toast-datum"}}}}""".stripMargin)
+  }
+
   test("noMarshalOldValue suppresses null-injection on key-less UPDATE") {
     val out = marshal(Seq(
       "BEGIN 2",
