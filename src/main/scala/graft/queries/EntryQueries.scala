@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -477,6 +477,26 @@ object EntryQueries {
       |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Salted two-phase aggregation: identical result to a plain
+    * group-by (which is exactly what the oracle computes) with the hot
+    * key spread over 16 reducers first.
+    */
+  def qSkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(T(spark, dir, "events"), "event_type", "event_id")
+
+  val qSkewSaltedAggSql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+  /** Exact distinct-user cardinality per event type. */
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val qDistinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------ analytics
 
   def qAggPricing(spark: SparkSession, dir: String): DataFrame = {
@@ -577,6 +597,8 @@ object EntryQueries {
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_frame_sample" -> qFrameSample _,
     "q_sessionize" -> qSessionize _,
+    "q_skew_salted_agg" -> qSkewSaltedAgg _,
+    "q_distinct_users" -> qDistinctUsers _,
     "q_agg_pricing" -> qAggPricing _,
     "q_join_revenue" -> qJoinRevenue _,
     "q_topk_orders" -> qTopkOrders _,
@@ -603,6 +625,8 @@ object EntryQueries {
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_skew_salted_agg" -> qSkewSaltedAggSql,
+    "q_distinct_users" -> qDistinctUsersSql,
     "q_agg_pricing" -> qAggPricingSql,
     "q_join_revenue" -> qJoinRevenueSql,
     "q_topk_orders" -> qTopkOrdersSql)
