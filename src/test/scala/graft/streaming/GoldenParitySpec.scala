@@ -94,4 +94,74 @@ class GoldenParitySpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  private def runPipeline(lines: Seq[String], cfg: CdcConfig): Seq[String] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "000.wal"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val out = CdcPipeline.transform(CdcPipeline.fromWalSource(spark, dir), cfg)
+    val q = out.writeStream.format("memory")
+      .queryName("golden_extra").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("golden_extra").where($"json".isNotNull)
+        .orderBy("walStart").select("json").as[String].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("TRUNCATE marshals with empty columns (test_truncate golden)") {
+    val produced = runPipeline(Seq(
+      "BEGIN 600",
+      "table public.customers: INSERT: id[integer]:1 first_name[text]:'Hello' last_name[text]:'World'",
+      "COMMIT 600",
+      "BEGIN 601",
+      "table public.customers: TRUNCATE: (no-flags)",
+      "COMMIT 601",
+      "BEGIN 602",
+      "table public.customers, public.orders: TRUNCATE: cascade",
+      "COMMIT 602"), CdcConfig())
+    val golden = Seq(
+      """{"table":"public.customers","operation":"INSERT","columns":{"first_name":{"new":{"q":"true","t":"text","v":"Hello"}},"id":{"new":{"q":"false","t":"integer","v":"1"}},"last_name":{"new":{"q":"true","t":"text","v":"World"}}}}""",
+      """{"table":"public.customers","operation":"TRUNCATE","columns":{}}""",
+      """{"table":"public.customers, public.orders","operation":"TRUNCATE","columns":{}}""")
+    val ref = new java.io.File("/root/reference/itests/tests/base/test_truncate/golden/test.0")
+    val want = if (ref.canRead)
+      scala.io.Source.fromFile(ref, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+    else golden
+    assert(want.map(canon) == golden.map(canon))
+    assert(produced.length == want.length)
+    produced.zip(want).foreach { case (g, w) => assert(canon(g) == canon(w), s"\n got: $g\nwant: $w") }
+  }
+
+  test("whitelist golden (test_whitelist): only listed tables delivered") {
+    val produced = runPipeline(Seq(
+      "BEGIN 610",
+      "table public.customers: INSERT: id[integer]:1 first_name[text]:'Hello' last_name[text]:'World'",
+      "table public.passwords: INSERT: id[integer]:1 secret[text]:'shh'",
+      "table public.inventory: INSERT: id[integer]:1 name[text]:'Thingy'",
+      "COMMIT 610"),
+      CdcConfig(filterTables = Seq("public.customers", "public.inventory"), whitelist = true))
+    val golden = Seq(
+      """{"table":"public.customers","operation":"INSERT","columns":{"first_name":{"new":{"q":"true","t":"text","v":"Hello"}},"id":{"new":{"q":"false","t":"integer","v":"1"}},"last_name":{"new":{"q":"true","t":"text","v":"World"}}}}""",
+      """{"table":"public.inventory","operation":"INSERT","columns":{"id":{"new":{"q":"false","t":"integer","v":"1"}},"name":{"new":{"q":"true","t":"text","v":"Thingy"}}}}""")
+    val ref = new java.io.File("/root/reference/itests/tests/base/test_whitelist/golden/test.0")
+    val want = if (ref.canRead)
+      scala.io.Source.fromFile(ref, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+    else golden
+    assert(want.map(canon) == golden.map(canon))
+    assert(produced.length == want.length)
+    produced.zip(want).foreach { case (g, w) => assert(canon(g) == canon(w)) }
+  }
+
+  test("blacklist golden (test_blacklist): listed table dropped") {
+    val produced = runPipeline(Seq(
+      "BEGIN 620",
+      "table public.customers: INSERT: id[integer]:1 first_name[text]:'Hello' last_name[text]:'World'",
+      "table public.passwords: INSERT: id[integer]:1 secret[text]:'shh'",
+      "table public.inventory: INSERT: id[integer]:1 name[text]:'Thingy'",
+      "COMMIT 620"),
+      CdcConfig(filterTables = Seq("public.passwords"), whitelist = false))
+    assert(produced.length == 2)
+    assert(!produced.exists(_.contains("passwords")))
+  }
 }
