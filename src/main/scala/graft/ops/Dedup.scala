@@ -198,6 +198,59 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Embedding near-duplicate pairs, exact: all pairs above a cosine
+    * threshold. Quadratic — use on bounded candidate sets (a shard, a
+    * bucket, a sampled audit); [[embeddingDuplicatesLsh]] is the scale
+    * path.
+    */
+  def embeddingDuplicatesExact(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs at scale: random-hyperplane LSH
+    * buckets (near-identical vectors collide on all sign bits with
+    * high probability), pairs generated within buckets only, cosine
+    * verified exactly. Candidate volume ≈ n²/2^nBits per band.
+    */
+  def embeddingDuplicatesLsh(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, dim: Int = 64,
+      nBits: Int = 12, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands, nBits)(Array.fill(dim)(rnd.nextGaussian()))
+
+    def bucketExpr(vec: Column, band: Int): Column = {
+      val vd = vec.cast("array<double>")
+      planes(band).zipWithIndex.map { case (p, b) =>
+        val dot = aggregate(zip_with(vd, lit(p), (x, w) => x * w),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, lit(1 << b)).otherwise(0)
+      }.reduce(_ + _)
+    }
+
+    val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until bands).map(b => bucketExpr(col(vecCol), b)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val x = withBuckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val y = withBuckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    x.join(y, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** N-gram-Jaccard duplicate pairs with inverted-index blocking:
     * explode distinct shingles, join docs sharing a shingle (rare
     * shingles only — frequent shingles are stopword-like and explode

@@ -427,6 +427,29 @@ object EntryQueries {
       |      FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_r FROM r WHERE rank <= 5""".stripMargin
 
+  /** Exact embedding near-dup pairs on a bounded subset (vec_id < 200)
+    * — cosine threshold 0.35, full SQL oracle.
+    */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDuplicatesExact(
+      T(spark, dir, "embeddings").where(col("vec_id") < 200),
+      "embedding", "vec_id", threshold = 0.35)
+
+  val qDedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin
+
+  /** LSH-bucketed embedding near-dups — rows-only (candidate recall is
+    * probabilistic by construction).
+    */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDuplicatesLsh(
+      T(spark, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.3, nBits = 8)
+
   /** IVF ANN with exhaustive probing (nprobe = nlist): the IVF
     * plumbing (centroid fit, cell assignment, probe-join) in its exact
     * mode, so the brute-force oracle applies verbatim.
@@ -594,6 +617,8 @@ object EntryQueries {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
+    "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_frame_sample" -> qFrameSample _,
     "q_sessionize" -> qSessionize _,
@@ -623,6 +648,7 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_sessionize" -> qSessionizeSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql,

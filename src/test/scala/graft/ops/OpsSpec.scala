@@ -108,4 +108,16 @@ class OpsSpec extends AnyFunSuite {
       .select("frame_bytes").as[Array[Byte]].head()
     assert(new String(f0, "UTF-8") == "hello")
   }
+
+  test("embedding dedup: exact finds identical-direction pairs; LSH recalls them") {
+    val exact = Dedup.embeddingDuplicatesExact(vecs, "embedding", "vec_id", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 5L))) // (1,0,0) vs (1,0.05,0): cosine ~0.9988
+    assert(!exact.contains((1L, 3L))) // orthogonal
+    val lsh = Dedup.embeddingDuplicatesLsh(vecs, "embedding", "vec_id",
+      threshold = 0.99, dim = 3, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((1L, 5L)))
+    assert(lsh.subsetOf(exact)) // verification prevents false positives
+  }
 }
