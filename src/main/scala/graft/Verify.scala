@@ -15,6 +15,9 @@ object Verify {
       // the driver's events.parquet carries TIMESTAMP(NANOS) which
       // Spark 4 otherwise refuses; queries convert the long back
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs timestamps (not INT96) so dumped results carry the
+      // same arrow dtype the DuckDB oracle produces
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -266,7 +266,9 @@ object EntryQueries {
       col("ts"))
     StatsAggregator.aggregate(stats)
       .select(
-        col("windowStart"), col("statName"),
+        // TIMESTAMP_NTZ: wall-clock UTC, matching the oracle's
+        // timezone-less time_bucket output dtype exactly
+        col("windowStart").cast("timestamp_ntz").as("windowStart"), col("statName"),
         col("total"), col("samples"), col("min").as("vmin"), col("max").as("vmax"))
       .withColumn("vavg", round(col("total").cast("double") / col("samples"), 6))
   }
@@ -274,7 +276,7 @@ object EntryQueries {
   val qStatsWindowSql: String =
     """SELECT CAST(time_bucket(INTERVAL '60 seconds', ts) AS TIMESTAMP) AS windowStart,
       | event_type AS statName,
-      | sum(CAST(round(value * 100, 0) AS BIGINT)) AS total,
+      | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total,
       | count(*) AS samples,
       | min(CAST(round(value * 100, 0) AS BIGINT)) AS vmin,
       | max(CAST(round(value * 100, 0) AS BIGINT)) AS vmax,

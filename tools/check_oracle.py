@@ -32,6 +32,9 @@ def canon(rows, cols):
                 else:
                     v = repr(v)
             elif hasattr(v, "isoformat"):
+                if getattr(v, "tzinfo", None) is not None:
+                    import datetime
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
                 v = v.isoformat()
             vals.append((cols[i], v))
         out.append(tuple(vals))
