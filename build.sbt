@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps runMain stdout for a bare JSON line; sbt's default
+// LoggedOutput prefixes every line with [info]/[error], which broke the
+// round-1 BENCH parse. StdoutOutput forwards the child's stdout raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

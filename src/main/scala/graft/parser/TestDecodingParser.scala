@@ -112,9 +112,10 @@ object TestDecodingParser {
     if (line == null || line.length < 5) return Left(s"message too short: $line")
 
     // Transaction boundary lines: "BEGIN <id>" / "COMMIT <id>".
-    if (line.startsWith("BEGIN") || line.startsWith("COMMI")) {
+    if (line.startsWith("BEGIN") || line.startsWith("COMMIT")) {
       val fields = line.split("\\s+").filter(_.nonEmpty)
-      if (fields.length != 2) return Left(s"unknown transaction message: $line")
+      if (fields.length != 2 || (fields(0) != "BEGIN" && fields(0) != "COMMIT"))
+        return Left(s"unknown transaction message: $line")
       return Right(Outcome(fields(1), "", fields(0), noTupleData = false))
     }
     if (!line.startsWith("table ")) return Left(s"unknown logical message received: $line")

@@ -75,43 +75,69 @@ object WalSource {
       .getOrElse(Nil)
   }
 
+  /** Per-file line counts keyed by (path, size): closed segments are
+    * immutable so one scan each suffices; a still-growing tail segment
+    * changes size and re-scans. Keeps the driver's per-trigger work
+    * O(new lines) instead of O(total lines) over the stream's life.
+    */
+  private val lineCountCache = new ConcurrentHashMap[String, (Long, Long)]()
+
+  def fileLineCount(f: java.io.File): Long = {
+    val key = f.getAbsolutePath
+    val size = f.length()
+    val cached = lineCountCache.get(key)
+    if (cached != null && cached._1 == size) cached._2
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val n = try src.getLines().size.toLong finally src.close()
+      lineCountCache.put(key, (size, n))
+      n
+    }
+  }
+
   def readLines(path: String, from: Long, until: Long): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
     var idx = 0L
     segmentFiles(path).foreach { f =>
       if (idx < until) {
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().foreach { l =>
-          if (idx >= from && idx < until) out += l
-          idx += 1
-        } finally src.close()
+        val cnt = fileLineCount(f)
+        if (idx + cnt <= from) idx += cnt // whole segment before the range: seek past
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().foreach { l =>
+            if (idx >= from && idx < until) out += l
+            idx += 1
+          } finally src.close()
+        }
       }
     }
     out.toSeq
   }
 
-  def countLines(path: String): Long = {
-    var n = 0L
-    segmentFiles(path).foreach { f =>
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try n += src.getLines().size finally src.close()
-    }
-    n
-  }
+  def countLines(path: String): Long = segmentFiles(path).map(fileLineCount).sum
 }
 
 /** Offset = (lines consumed, current txn, current timeBasedKey): the
   * stamping state rides with the LSN so it survives restarts.
   */
 case class WalOffset(lsn: Long, txn: String, timeBasedKey: String) extends Offset {
-  override def json(): String =
-    s"""{"lsn":$lsn,"txn":"$txn","timeBasedKey":"$timeBasedKey"}"""
+  override def json(): String = {
+    val node = WalOffset.mapper.createObjectNode()
+    node.put("lsn", lsn)
+    node.put("txn", txn)
+    node.put("timeBasedKey", timeBasedKey)
+    WalOffset.mapper.writeValueAsString(node)
+  }
 }
 object WalOffset {
-  private val R = """\{"lsn":(\d+),"txn":"([^"]*)","timeBasedKey":"([^"]*)"\}""".r
-  def fromJson(s: String): WalOffset = s match {
-    case R(l, t, k) => WalOffset(l.toLong, t, k)
-    case _ => throw new IllegalArgumentException(s"bad WalOffset: $s")
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(s: String): WalOffset = {
+    val n = mapper.readTree(s)
+    if (n == null || !n.has("lsn"))
+      throw new IllegalArgumentException(s"bad WalOffset: $s")
+    WalOffset(n.get("lsn").asLong(),
+      Option(n.get("txn")).map(_.asText()).getOrElse(""),
+      Option(n.get("timeBasedKey")).map(_.asText()).getOrElse(""))
   }
 }
 

@@ -57,7 +57,11 @@ object Chunker {
           val size = r.payload.length.toLong
           if (size > caps.maxRecordBytes) {
             dropped += r
-          } else if (n + 1 > caps.maxRecords || bytes + size > caps.maxBatchBytes) {
+          } else if (n > 0 && (n + 1 > caps.maxRecords || bytes + size > caps.maxBatchBytes)) {
+            // Only split on a non-empty chunk: an empty chunk always
+            // accepts its first record, so every next() makes progress
+            // even under degenerate caps (maxRecords=0, or a record
+            // within maxRecordBytes but over maxBatchBytes).
             pending = Some(r) // start next chunk with it
             full = true
           } else {
@@ -78,18 +82,20 @@ final class Backoff(
     multiplier: Double = 1.5d,
     capMillis: Long = 5000L,
     maxElapsedMillis: Long = 5 * 60 * 1000L,
-    sleeper: Long => Unit = Thread.sleep) {
+    sleeper: Long => Unit = Thread.sleep,
+    clock: () => Long = System.nanoTime) {
 
   /** Run `attempt` until it returns true (success) or the retry budget
-    * is exhausted; returns whether it eventually succeeded.
+    * is exhausted; returns whether it eventually succeeded. The budget
+    * is wall-clock over the whole loop — attempt durations count, like
+    * the reference's backoff MaxElapsedTime, not just sleep time.
     */
   def retry(attempt: () => Boolean): Boolean = {
+    val deadline = clock() + maxElapsedMillis * 1000000L
     var delay = initialMillis
-    var elapsed = 0L
     var ok = attempt()
-    while (!ok && elapsed < maxElapsedMillis) {
+    while (!ok && clock() < deadline) {
       sleeper(delay)
-      elapsed += delay
       delay = math.min((delay * multiplier).toLong, capMillis)
       ok = attempt()
     }

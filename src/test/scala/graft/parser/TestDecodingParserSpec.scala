@@ -109,6 +109,9 @@ class TestDecodingParserSpec extends AnyFunSuite {
     assert(TestDecodingParser.parse("shrt").isLeft)
     assert(TestDecodingParser.parse("BEGIN").isLeft)
     assert(TestDecodingParser.parse("BEGIN 1 2").isLeft)
+    // exact txn-marker tokens only: COMMIX/BEGINX are not BEGIN/COMMIT
+    assert(TestDecodingParser.parse("COMMIX 5").isLeft)
+    assert(TestDecodingParser.parse("BEGINX 5").isLeft)
     assert(TestDecodingParser.parse("nonsense message here").isLeft)
     assert(TestDecodingParser.parse("table public.t: INSERT: a[text]:'unterminated").isLeft)
     assert(TestDecodingParser.parse("table public.t:INSERT: a[text]:1").isLeft)

@@ -17,6 +17,28 @@ class WalSourceSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(dir, name),
       lines.mkString("\n").getBytes("UTF-8"))
 
+  test("WalOffset json roundtrips, including quotes/backslashes in keys") {
+    for (tbk <- Seq("700-123", """q"uo\te-1""", "")) {
+      val o = WalOffset(42L, "700", tbk)
+      assert(WalOffset.fromJson(o.json()) == o)
+    }
+    // round-1 checkpoint format still parses
+    assert(WalOffset.fromJson("""{"lsn":7,"txn":"700","timeBasedKey":"700-0"}""") ==
+      WalOffset(7L, "700", "700-0"))
+    intercept[IllegalArgumentException](WalOffset.fromJson("""{"nope":1}"""))
+  }
+
+  test("segment line counts are cached by (path,size); readLines skips closed segments") {
+    val dir = Files.createTempDirectory("graft_wal_cache").toString
+    writeSegment(dir, "000.wal", Seq("a", "b", "c"))
+    writeSegment(dir, "001.wal", Seq("d", "e"))
+    assert(WalSource.countLines(dir) == 5)
+    // tail segment grows → size changes → recount sees the new line
+    writeSegment(dir, "001.wal", Seq("d", "e", "f"))
+    assert(WalSource.countLines(dir) == 6)
+    assert(WalSource.readLines(dir, 4, 6) == Seq("e", "f"))
+  }
+
   test("wal source: LSN offsets, txn stamping across batches, commit acks") {
     val dir = Files.createTempDirectory("graft_wal").toString
     writeSegment(dir, "000.wal", Seq(

@@ -37,10 +37,33 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("backoff gives up after the elapsed budget") {
-    val b = new Backoff(1000, 2.0, 4000, 10000, _ => ())
+    var now = 0L // fake nanos, advanced by the fake sleeper
+    val b = new Backoff(1000, 2.0, 4000, 10000, d => now += d * 1000000L, () => now)
     var calls = 0
     val ok = b.retry { () => calls += 1; false }
     assert(!ok && calls >= 4)
+  }
+
+  test("backoff budget is wall-clock: slow attempts count toward it") {
+    var now = 0L
+    val b = new Backoff(1000, 2.0, 4000, 10000, d => now += d * 1000000L, () => now)
+    var calls = 0
+    val ok = b.retry { () => calls += 1; now += 4000L * 1000000L; false } // each attempt takes 4 s
+    assert(!ok)
+    // 4 s attempt + 1 s sleep + 4 s attempt + 2 s sleep = 11 s > 10 s budget
+    // → gives up after the 3rd attempt instead of retrying on sleep-time alone
+    assert(calls == 3)
+  }
+
+  test("degenerate caps still make progress (no infinite chunk loop)") {
+    // record fits maxRecordBytes but exceeds maxBatchBytes: accepted as a
+    // singleton chunk rather than re-pended forever
+    val recs = Seq(rec("k", "t", 1, 800), rec("k", "t", 2, 800))
+    val chunks = Chunker.greedyChunks(recs.iterator, BatchCaps(100, 500, 1000)).toSeq
+    assert(chunks.map(_.records.map(_.walStart)) == Seq(Vector(1L), Vector(2L)))
+    // maxRecords = 0: same rule, one record per chunk
+    val chunks0 = Chunker.greedyChunks(recs.iterator, BatchCaps(0, Long.MaxValue, Long.MaxValue)).toSeq
+    assert(chunks0.map(_.records.size) == Seq(1, 1))
   }
 
   test("writePartition: partial failures are retried; written counts reported per txn") {
