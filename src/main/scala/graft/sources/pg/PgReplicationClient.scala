@@ -1,0 +1,272 @@
+package graft.sources.pg
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.security.MessageDigest
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.collection.mutable.ArrayBuffer
+
+import PgWire._
+
+/** One decoded XLogData frame: a `test_decoding` text line plus its WAL
+  * position (reference replication/message.go:25-32). `serverTimeMs` is
+  * converted from Postgres-epoch micros to Unix millis exactly like
+  * replication/message.go:52-60.
+  */
+final case class XLogData(walStart: Long, serverWalEnd: Long,
+                          serverTimeMs: Long, line: String)
+
+/** Fields of a PrimaryKeepalive frame. */
+final case class Keepalive(serverWalEnd: Long, serverTimeMs: Long,
+                           replyRequested: Boolean)
+
+final case class PgError(sqlState: String, message: String)
+  extends RuntimeException(s"$sqlState: $message")
+
+/** Live PostgreSQL logical-replication client — the socket loop behind
+  * the reference's replication client (replication/client/client.go:
+  * 224-380, conn mgmt conn/conn.go:35-75), implemented directly on the
+  * v3 wire protocol so it carries no driver dependency.
+  *
+  * Scope matches the reference:
+  *  - startup with `replication=database` (logical replication mode)
+  *  - trust / cleartext / md5 auth
+  *  - `IDENTIFY_SYSTEM`, `CREATE_REPLICATION_SLOT … LOGICAL
+  *    test_decoding` idempotent on SQLSTATE 42710 (utils/utils.go:38-77,
+  *    main/main.go:174-190), `DROP_REPLICATION_SLOT`
+  *  - `START_REPLICATION SLOT … LOGICAL X/X` copy-both loop: XLogData
+  *    frames to a handler, keepalive replies, and StandbyStatusUpdate
+  *    acks — sent when the ack LSN advances, when the server requests a
+  *    reply, and at least every `statusIntervalMillis` (the reference's
+  *    10 s forced cadence, client.go:44,286-298)
+  *
+  * Threading: `startReplication` blocks the calling thread in the read
+  * loop (the reference dedicates a goroutine; [[PgWalReceiver]] wraps
+  * this in a thread). `updateAckLsn` is thread-safe — the commit hook
+  * calls it from Spark's streaming thread.
+  */
+final class PgReplicationClient(
+    host: String,
+    port: Int,
+    user: String,
+    database: String,
+    password: Option[String] = None,
+    statusIntervalMillis: Long = 10000L,
+    connectTimeoutMillis: Int = 10000,
+    readPollMillis: Int = 200) {
+
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
+  private val ackLsn = new AtomicLong(0L)
+  private val lastSentAck = new AtomicLong(-1L)
+  private val stopRequested = new AtomicBoolean(false)
+
+  def connect(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMillis)
+    socket.setTcpNoDelay(true)
+    in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
+    out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+    writeStartup(out, Seq(
+      "user" -> user,
+      "database" -> database,
+      "replication" -> "database",
+      "application_name" -> "graft"))
+    authLoop()
+  }
+
+  private def authLoop(): Unit = {
+    var ready = false
+    while (!ready) {
+      val m = readMsg(in)
+      m.tpe match {
+        case Tpe.Authentication =>
+          val r = new Reader(m.payload)
+          r.int32() match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext password
+              val b = new Builder().cstring(password.getOrElse(
+                throw PgError("28P01", "password required (cleartext)")))
+              writeMsg(out, Tpe.PasswordMessage, b.result())
+            case 5 => // md5: md5(md5(password + user) + salt), "md5"-prefixed
+              val salt = r.bytes(4)
+              val pw = password.getOrElse(throw PgError("28P01", "password required (md5)"))
+              val md = MessageDigest.getInstance("MD5")
+              def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+              val inner = hex(md.digest((pw + user).getBytes("UTF-8")))
+              md.reset()
+              md.update(inner.getBytes("UTF-8")); md.update(salt)
+              val b = new Builder().cstring("md5" + hex(md.digest()))
+              writeMsg(out, Tpe.PasswordMessage, b.result())
+            case code =>
+              throw PgError("0A000", s"unsupported auth method $code")
+          }
+        case Tpe.ParameterStatus | Tpe.BackendKeyData | Tpe.NoticeResponse => // informational
+        case Tpe.ReadyForQuery => ready = true
+        case Tpe.ErrorResponse =>
+          val f = parseErrorFields(m.payload)
+          throw PgError(f.getOrElse('C', "?????"), f.getOrElse('M', "auth failed"))
+        case other =>
+          throw PgError("08P01", s"unexpected message '${other.toChar}' during startup")
+      }
+    }
+  }
+
+  /** Simple-protocol query; text-format rows. */
+  def simpleQuery(sql: String): Seq[Seq[String]] = {
+    writeMsg(out, Tpe.Query, new Builder().cstring(sql).result())
+    val rows = ArrayBuffer[Seq[String]]()
+    var err: PgError = null
+    var done = false
+    while (!done) {
+      val m = readMsg(in)
+      m.tpe match {
+        case Tpe.RowDescription | Tpe.CommandComplete |
+             Tpe.EmptyQueryResponse | Tpe.ParameterStatus | Tpe.NoticeResponse => ()
+        case Tpe.DataRow =>
+          val r = new Reader(m.payload)
+          val n = r.int16()
+          rows += (0 until n).map { _ =>
+            val len = r.int32()
+            if (len < 0) null else new String(r.bytes(len), "UTF-8")
+          }
+        case Tpe.ErrorResponse =>
+          val f = parseErrorFields(m.payload)
+          err = PgError(f.getOrElse('C', "?????"), f.getOrElse('M', "query failed"))
+        case Tpe.ReadyForQuery => done = true
+        case other =>
+          throw PgError("08P01", s"unexpected message '${other.toChar}' in query response")
+      }
+    }
+    if (err != null) throw err
+    rows.toSeq
+  }
+
+  /** `IDENTIFY_SYSTEM` → (systemid, timeline, current xlogpos). */
+  def identifySystem(): (String, Int, Long) = {
+    val row = simpleQuery("IDENTIFY_SYSTEM").head
+    (row(0), row(1).toInt, parseLsn(row(2)))
+  }
+
+  /** Idempotent slot create (false = already existed, SQLSTATE 42710 —
+    * the reference's runCreate behavior, main/main.go:174-190).
+    */
+  def createSlot(name: String, plugin: String = "test_decoding"): Boolean =
+    try { simpleQuery(s"CREATE_REPLICATION_SLOT $name LOGICAL $plugin"); true }
+    catch { case e: PgError if e.sqlState == "42710" => false }
+
+  /** Idempotent slot drop (42704 = undefined object). */
+  def dropSlot(name: String): Unit =
+    try simpleQuery(s"DROP_REPLICATION_SLOT $name")
+    catch { case e: PgError if e.sqlState == "42704" => () }
+
+  /** Advance the LSN the next StandbyStatusUpdate will carry. Called by
+    * the ack edge (committed stream offsets → slot trim), monotone.
+    */
+  def updateAckLsn(lsn: Long): Unit =
+    ackLsn.getAndUpdate(cur => math.max(cur, lsn))
+
+  /** The LSN the next status update will carry (observability/tests). */
+  def currentAckLsn: Long = ackLsn.get()
+
+  def requestStop(): Unit = stopRequested.set(true)
+
+  /** Enter the copy-both loop; blocks until `requestStop()` or the
+    * server ends the stream. Each XLogData frame is decoded and passed
+    * to `handler` in WAL order.
+    */
+  def startReplication(slot: String, startLsn: Long)(handler: XLogData => Unit): Unit = {
+    writeMsg(out, Tpe.Query,
+      new Builder().cstring(
+        s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)}").result())
+    // Expect CopyBothResponse (or an error, e.g. slot in use / missing).
+    var entered = false
+    while (!entered) {
+      val m = readMsg(in)
+      m.tpe match {
+        case Tpe.CopyBothResponse => entered = true
+        case Tpe.ParameterStatus | Tpe.NoticeResponse => ()
+        case Tpe.ErrorResponse =>
+          val f = parseErrorFields(m.payload)
+          throw PgError(f.getOrElse('C', "?????"), f.getOrElse('M', "START_REPLICATION failed"))
+        case other =>
+          throw PgError("08P01", s"unexpected message '${other.toChar}' before copy-both")
+      }
+    }
+    socket.setSoTimeout(readPollMillis)
+    var lastStatusAt = System.nanoTime()
+    def maybeSendStatus(force: Boolean): Unit = {
+      val lsn = ackLsn.get()
+      val due = (System.nanoTime() - lastStatusAt) / 1000000L >= statusIntervalMillis
+      if (force || due || lsn != lastSentAck.get()) {
+        sendStandbyStatus(lsn, replyRequested = false)
+        lastSentAck.set(lsn)
+        lastStatusAt = System.nanoTime()
+      }
+    }
+    var streaming = true
+    while (streaming && !stopRequested.get()) {
+      val m =
+        try Some(readMsg(in))
+        catch { case _: SocketTimeoutException => None }
+      m.foreach { msg =>
+        msg.tpe match {
+          case Tpe.CopyData =>
+            val r = new Reader(msg.payload)
+            r.byte() match {
+              case CopyTag.XLogData =>
+                val walStart = r.int64()
+                val walEnd = r.int64()
+                val tMicros = r.int64()
+                val serverTimeMs =
+                  if (tMicros == 0) 0L
+                  else (tMicros + PgEpochDeltaMicros) / 1000L
+                handler(XLogData(walStart, walEnd, serverTimeMs,
+                  new String(r.remaining(), "UTF-8")))
+              case CopyTag.PrimaryKeepalive =>
+                val walEnd = r.int64(); r.int64() // sendTime unused
+                val replyRequested = r.byte() != 0
+                if (replyRequested) maybeSendStatus(force = true)
+                else maybeSendStatus(force = false)
+              case _ => () // unknown copy sub-message: skip (forward compat)
+            }
+          case Tpe.CopyDone =>
+            writeMsg(out, Tpe.CopyDone, Array.emptyByteArray)
+            streaming = false
+          case Tpe.ErrorResponse =>
+            val f = parseErrorFields(msg.payload)
+            throw PgError(f.getOrElse('C', "?????"), f.getOrElse('M', "stream error"))
+          case Tpe.NoticeResponse | Tpe.ParameterStatus => ()
+          case Tpe.ReadyForQuery => streaming = false
+          case other =>
+            throw PgError("08P01", s"unexpected message '${other.toChar}' during copy-both")
+        }
+      }
+      if (m.isEmpty) maybeSendStatus(force = false)
+    }
+    // Final ack so a stop after commit doesn't lose the last trim.
+    maybeSendStatus(force = true)
+  }
+
+  /** StandbyStatusUpdate: written/flushed/applied all = ack LSN, like
+    * the reference's SendStandbyStatus (client.go:130-160).
+    */
+  def sendStandbyStatus(lsn: Long, replyRequested: Boolean): Unit = {
+    val b = new Builder()
+      .byte(CopyTag.StandbyStatusUpdate)
+      .int64(lsn).int64(lsn).int64(lsn)
+      .int64(nowPgMicros())
+      .byte(if (replyRequested) 1 else 0)
+    writeMsg(out, Tpe.CopyData, b.result())
+  }
+
+  def close(): Unit = {
+    stopRequested.set(true)
+    try if (out != null) writeMsg(out, Tpe.Terminate, Array.emptyByteArray)
+    catch { case _: Throwable => () }
+    try if (socket != null) socket.close()
+    catch { case _: Throwable => () }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources.pg
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sources.WalSource
+
+/** Bridges the live replication socket to the `graft-wal` DSv2 source:
+  * spools each XLogData line into the segment directory the source
+  * reads, and translates the source's committed line offsets back into
+  * server WAL LSNs for StandbyStatusUpdate.
+  *
+  * This completes the reference's O1/O16 loop (replication/client/
+  * client.go:224-380 receive path, :128-217 ack path) in Spark terms:
+  *
+  *   socket → spool segments → DSv2 micro-batches → sink
+  *      ▲                                            │
+  *      └── StandbyStatusUpdate ◀── commit(offset) ──┘
+  *
+  * The spool doubles as the reference's bounded client buffer (U2) —
+  * but durable, so a restart replays from the checkpointed offset
+  * instead of forcing a slot rewind. A `wal.idx` sidecar records each
+  * line's walStart (one hex per line); on restart it is reloaded so
+  * acks for lines spooled by a previous run still translate.
+  */
+final class PgWalReceiver(
+    client: PgReplicationClient,
+    spoolDir: String,
+    linesPerSegment: Int = 10000) {
+
+  private val walStarts = ArrayBuffer[Long]() // line i (0-based) → walStart
+  private val spooled = new AtomicLong(0L)
+  private var writer: BufferedWriter = _
+  private var idxWriter: BufferedWriter = _
+  private var linesInSegment = 0
+  private var thread: Thread = _
+  private val started = new CountDownLatch(1)
+  @volatile private var failure: Throwable = _
+
+  Files.createDirectories(Paths.get(spoolDir))
+  // Recover the line→LSN index left by a previous receiver session.
+  private val idxFile = new File(spoolDir, "wal.idx")
+  if (idxFile.exists()) {
+    val src = scala.io.Source.fromFile(idxFile, "UTF-8")
+    try src.getLines().foreach(l => walStarts += java.lang.Long.parseLong(l, 16))
+    finally src.close()
+    spooled.set(walStarts.size.toLong)
+  }
+
+  /** Lines spooled so far (existing + this session). */
+  def linesSpooled: Long = spooled.get()
+
+  /** Translate a committed line offset (the graft-wal LSN = number of
+    * lines consumed) to the server LSN of the last consumed line and
+    * forward it to the socket's standby-status sender.
+    */
+  def ackLines(lineLsn: Long): Unit = {
+    val idx = math.min(lineLsn, walStarts.synchronized(walStarts.size.toLong)) - 1
+    if (idx >= 0)
+      client.updateAckLsn(walStarts.synchronized(walStarts(idx.toInt)))
+  }
+
+  /** Register this receiver as the ack hook for its spool directory. */
+  def registerAckHook(): Unit =
+    WalSource.ackHooks.put(spoolDir, ackLines)
+
+  private def rollIfNeeded(): Unit = {
+    if (writer == null || linesInSegment >= linesPerSegment) {
+      if (writer != null) writer.close()
+      val startLine = spooled.get()
+      writer = new BufferedWriter(new FileWriter(
+        new File(spoolDir, f"$startLine%012d.wal"), true))
+      linesInSegment = 0
+    }
+  }
+
+  private def spool(x: XLogData): Unit = {
+    rollIfNeeded()
+    writer.write(x.line)
+    writer.write('\n')
+    writer.flush()
+    idxWriter.write(java.lang.Long.toHexString(x.walStart))
+    idxWriter.write('\n')
+    idxWriter.flush()
+    walStarts.synchronized { walStarts += x.walStart }
+    spooled.incrementAndGet()
+    linesInSegment += 1
+  }
+
+  /** Connect-equivalent of the reference's client Start: enters the
+    * copy-both loop on a daemon thread. `startLsn` 0 = slot's position.
+    */
+  def start(slot: String, startLsn: Long = 0L): Unit = {
+    idxWriter = new BufferedWriter(new FileWriter(idxFile, true))
+    registerAckHook()
+    thread = new Thread(() => {
+      try {
+        started.countDown()
+        client.startReplication(slot, startLsn)(spool)
+      } catch {
+        case t: Throwable => failure = t
+      }
+    }, s"graft-pg-receiver-$slot")
+    thread.setDaemon(true)
+    thread.start()
+    started.await()
+  }
+
+  /** Wait until at least `n` lines are spooled (test/drain helper). */
+  def awaitLines(n: Long, timeoutMillis: Long = 10000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    while (spooled.get() < n && System.nanoTime() < deadline) {
+      if (failure != null) throw failure
+      Thread.sleep(10)
+    }
+    spooled.get() >= n
+  }
+
+  def stop(): Unit = {
+    client.requestStop()
+    if (thread != null) thread.join(5000)
+    if (writer != null) { writer.close(); writer = null }
+    if (idxWriter != null) { idxWriter.close(); idxWriter = null }
+    WalSource.ackHooks.remove(spoolDir)
+    if (failure != null) throw failure
+  }
+}
+
+/** [[graft.sources.SlotAdmin]] over the live replication connection —
+  * the reference's `pg-bifrost create|drop` (utils/utils.go:38-77).
+  */
+final class PgSlotAdmin(client: PgReplicationClient) extends graft.sources.SlotAdmin {
+  override def createSlot(name: String): Boolean = client.createSlot(name)
+  override def dropSlot(name: String): Unit = client.dropSlot(name)
+}

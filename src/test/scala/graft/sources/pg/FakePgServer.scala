@@ -1,0 +1,192 @@
+package graft.sources.pg
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+
+import scala.collection.mutable
+
+import PgWire._
+
+/** In-process stand-in for a PostgreSQL server speaking the protocol-v3
+  * subset the replication client uses: startup/auth, IDENTIFY_SYSTEM,
+  * slot DDL with the real SQLSTATEs (42710 duplicate, 42704 undefined),
+  * START_REPLICATION → copy-both with scripted XLogData frames and a
+  * reply-requested keepalive, and StandbyStatusUpdate capture.
+  */
+final class FakePgServer(
+    xlog: Seq[(Long, String)], // (walStart, test_decoding line)
+    authMode: String = "trust", // trust | cleartext | md5
+    expectedPassword: String = "pw",
+    keepaliveAfterFrames: Boolean = true) {
+
+  import scala.jdk.CollectionConverters._
+
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+  val acks = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+  val slots: mutable.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
+  @volatile private var running = true
+  @volatile var lastAuthResponse: String = _
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s), "fake-pg-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: SocketException => () }
+    }
+  }, "fake-pg-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def sendError(out: DataOutputStream, code: String, msg: String): Unit = {
+    val b = new Builder()
+      .byte('S').cstring("ERROR")
+      .byte('C').cstring(code)
+      .byte('M').cstring(msg)
+      .byte(0)
+    writeMsg(out, Tpe.ErrorResponse, b.result())
+  }
+
+  private def sendReady(out: DataOutputStream): Unit =
+    writeMsg(out, Tpe.ReadyForQuery, new Builder().byte('I').result())
+
+  private def sendCommandComplete(out: DataOutputStream, tag: String): Unit =
+    writeMsg(out, Tpe.CommandComplete, new Builder().cstring(tag).result())
+
+  private def sendTextRow(out: DataOutputStream, names: Seq[String], vals: Seq[String]): Unit = {
+    val b = new Builder()
+    b.byte((names.size >> 8) & 0xff).byte(names.size & 0xff)
+    names.foreach { n =>
+      b.cstring(n).int32(0)
+      b.byte(0).byte(0) // attnum int16
+      b.int32(25) // text oid
+      b.byte(0xff).byte(0xff) // typlen -1
+      b.int32(-1) // typmod
+      b.byte(0).byte(0) // format text
+    }
+    writeMsg(out, Tpe.RowDescription, b.result())
+    val d = new Builder()
+    d.byte((vals.size >> 8) & 0xff).byte(vals.size & 0xff)
+    vals.foreach { v =>
+      val bytes = v.getBytes("UTF-8")
+      d.int32(bytes.length).bytes(bytes)
+    }
+    writeMsg(out, Tpe.DataRow, d.result())
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
+    try {
+      // Startup frame (untyped): len, version, params.
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      // auth handshake
+      authMode match {
+        case "trust" =>
+          writeMsg(out, Tpe.Authentication, new Builder().int32(0).result())
+        case "cleartext" =>
+          writeMsg(out, Tpe.Authentication, new Builder().int32(3).result())
+          val pm = readMsg(in)
+          lastAuthResponse = new Reader(pm.payload).cstring()
+          if (lastAuthResponse != expectedPassword) {
+            sendError(out, "28P01", "password authentication failed"); return
+          }
+          writeMsg(out, Tpe.Authentication, new Builder().int32(0).result())
+        case "md5" =>
+          writeMsg(out, Tpe.Authentication,
+            new Builder().int32(5).bytes(Array[Byte](1, 2, 3, 4)).result())
+          val pm = readMsg(in)
+          lastAuthResponse = new Reader(pm.payload).cstring()
+          if (!lastAuthResponse.startsWith("md5")) {
+            sendError(out, "28P01", "md5 response expected"); return
+          }
+          writeMsg(out, Tpe.Authentication, new Builder().int32(0).result())
+      }
+      writeMsg(out, Tpe.ParameterStatus,
+        new Builder().cstring("server_version").cstring("16.0").result())
+      sendReady(out)
+
+      var open = true
+      while (open) {
+        val m =
+          try readMsg(in)
+          catch { case _: EOFException | _: SocketException => return }
+        m.tpe match {
+          case Tpe.Terminate => open = false
+          case Tpe.Query =>
+            val sql = new Reader(m.payload).cstring().trim
+            if (sql == "IDENTIFY_SYSTEM") {
+              sendTextRow(out, Seq("systemid", "timeline", "xlogpos", "dbname"),
+                Seq("7000000000000000001", "1", "0/100", "db"))
+              sendCommandComplete(out, "IDENTIFY_SYSTEM")
+              sendReady(out)
+            } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+              val name = sql.split("\\s+")(1)
+              if (!slots.add(name)) sendError(out, "42710", s"""replication slot "$name" already exists""")
+              else sendCommandComplete(out, "CREATE_REPLICATION_SLOT")
+              sendReady(out)
+            } else if (sql.startsWith("DROP_REPLICATION_SLOT")) {
+              val name = sql.split("\\s+")(1)
+              if (!slots.remove(name)) sendError(out, "42704", s"""replication slot "$name" does not exist""")
+              else sendCommandComplete(out, "DROP_REPLICATION_SLOT")
+              sendReady(out)
+            } else if (sql.startsWith("START_REPLICATION")) {
+              // CopyBothResponse: overall format 0, zero columns
+              writeMsg(out, Tpe.CopyBothResponse,
+                new Builder().byte(0).byte(0).byte(0).result())
+              xlog.foreach { case (walStart, line) =>
+                val bytes = line.getBytes("UTF-8")
+                val b = new Builder()
+                  .byte(CopyTag.XLogData)
+                  .int64(walStart).int64(walStart + bytes.length)
+                  .int64(nowPgMicros())
+                  .bytes(bytes)
+                writeMsg(out, Tpe.CopyData, b.result())
+              }
+              if (keepaliveAfterFrames) {
+                val k = new Builder()
+                  .byte(CopyTag.PrimaryKeepalive)
+                  .int64(xlog.lastOption.map(_._1).getOrElse(0L))
+                  .int64(nowPgMicros())
+                  .byte(1) // reply requested
+                writeMsg(out, Tpe.CopyData, k.result())
+              }
+              // Drain standby status updates until the client goes away.
+              var draining = true
+              while (draining) {
+                val cm =
+                  try readMsg(in)
+                  catch { case _: EOFException | _: SocketException => draining = false; null }
+                if (cm != null) cm.tpe match {
+                  case Tpe.CopyData =>
+                    val r = new Reader(cm.payload)
+                    if (r.byte() == CopyTag.StandbyStatusUpdate) {
+                      val walWritten = r.int64()
+                      acks.add(walWritten)
+                    }
+                  case Tpe.Terminate => draining = false; open = false
+                  case _ => ()
+                }
+              }
+            } else {
+              sendError(out, "42601", s"unknown command: $sql")
+              sendReady(out)
+            }
+          case _ => () // ignore
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => ()
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+}

@@ -1,0 +1,169 @@
+package graft.sources.pg
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Partitioner
+import graft.streaming.{CdcConfig, CdcPipeline}
+
+class PgReplicationSpec extends AnyFunSuite {
+
+  private val txnLines: Seq[(Long, String)] = Seq(
+    0x100L -> "BEGIN 800",
+    0x110L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'",
+    0x120L -> "table public.users: INSERT: id[integer]:2 name[text]:'b'",
+    0x130L -> "COMMIT 800",
+    0x140L -> "BEGIN 801",
+    0x150L -> "table public.users: UPDATE: id[integer]:1 name[text]:'z'",
+    0x160L -> "COMMIT 801")
+
+  private def newClient(port: Int, password: Option[String] = None) =
+    new PgReplicationClient("127.0.0.1", port, "u", "db", password,
+      statusIntervalMillis = 100L, readPollMillis = 20)
+
+  private def awaitTrue(timeoutMillis: Long = 5000L)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
+    cond
+  }
+
+  test("LSN text form roundtrips as %X/%X") {
+    assert(PgWire.formatLsn(0x1A2B3C4D5E6FL) == "1A2B/3C4D5E6F")
+    assert(PgWire.parseLsn("1A2B/3C4D5E6F") == 0x1A2B3C4D5E6FL)
+    assert(PgWire.parseLsn(PgWire.formatLsn(0L)) == 0L)
+    assert(PgWire.parseLsn(PgWire.formatLsn(Long.MaxValue)) == Long.MaxValue)
+  }
+
+  test("identify, idempotent slot DDL, md5 + cleartext auth") {
+    val srv = new FakePgServer(Nil, authMode = "md5", expectedPassword = "s3cret")
+    try {
+      val c = newClient(srv.port, Some("s3cret"))
+      c.connect()
+      val (sysid, timeline, xlogpos) = c.identifySystem()
+      assert(sysid == "7000000000000000001" && timeline == 1 && xlogpos == 0x100L)
+      assert(srv.lastAuthResponse.startsWith("md5") && srv.lastAuthResponse.length == 35)
+      // idempotent create: true first, false on 42710 duplicate
+      assert(c.createSlot("graft_slot"))
+      assert(!c.createSlot("graft_slot"))
+      // drop: removes, then 42704 is swallowed
+      c.dropSlot("graft_slot")
+      c.dropSlot("graft_slot")
+      assert(srv.slots.isEmpty)
+      c.close()
+
+      val admin = new PgSlotAdmin({
+        val c2 = newClient(srv.port, Some("s3cret")); c2.connect(); c2
+      })
+      assert(admin.createSlot("s2") && !admin.createSlot("s2"))
+    } finally srv.stop()
+
+    val srv2 = new FakePgServer(Nil, authMode = "cleartext", expectedPassword = "pw2")
+    try {
+      val c = newClient(srv2.port, Some("pw2"))
+      c.connect()
+      assert(srv2.lastAuthResponse == "pw2")
+      c.close()
+    } finally srv2.stop()
+  }
+
+  test("copy-both loop: XLogData decode, keepalive reply, standby-status acks") {
+    val srv = new FakePgServer(txnLines)
+    val received = new ArrayBuffer[XLogData]()
+    try {
+      val c = newClient(srv.port)
+      c.connect()
+      val t = new Thread(() => c.startReplication("s", 0L) { x =>
+        received.synchronized { received += x }
+      })
+      t.setDaemon(true); t.start()
+
+      assert(awaitTrue()(received.synchronized(received.size) == txnLines.size))
+      val got = received.synchronized(received.toVector)
+      assert(got.map(_.line) == txnLines.map(_._2))
+      assert(got.map(_.walStart) == txnLines.map(_._1))
+      assert(got.forall(x => x.serverWalEnd > x.walStart && x.serverTimeMs > 0))
+
+      // the reply-requested keepalive forces at least one status update
+      assert(awaitTrue()(srv.acks.size() > 0))
+
+      // committing an LSN surfaces it in the next StandbyStatusUpdate
+      c.updateAckLsn(0x130L)
+      assert(awaitTrue()(srv.acks.asScala.contains(0x130L)))
+
+      c.requestStop()
+      t.join(5000)
+      // acks never regress
+      val acks = srv.acks.asScala.toVector
+      assert(acks == acks.sorted)
+      assert(acks.last == 0x130L)
+      c.close()
+    } finally srv.stop()
+  }
+
+  test("end-to-end: socket -> spool -> graft-wal source -> sink, acks reach the server in server LSNs") {
+    import TestSpark.spark
+    val srv = new FakePgServer(txnLines)
+    val dir = Files.createTempDirectory("graft_pg_spool").toString
+    val client = newClient(srv.port)
+    var receiver: PgWalReceiver = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      client.connect()
+      receiver = new PgWalReceiver(client, dir, linesPerSegment = 3)
+      receiver.start("s", 0L)
+      assert(receiver.awaitLines(txnLines.size.toLong))
+
+      val src = CdcPipeline.fromWalSource(spark, dir, maxLinesPerTrigger = Some(3))
+      val out = CdcPipeline.transform(src,
+        CdcConfig(partitionMethod = Partitioner.Transaction))
+      q = out.writeStream.format("memory").queryName("pg_e2e")
+        .outputMode("append").start()
+      q.processAllAvailable()
+
+      val rows = spark.table("pg_e2e").select("operation", "txn").collect()
+      assert(rows.length == txnLines.size)
+      assert(rows.count(_.getString(0) == "INSERT") == 2)
+      assert(rows.filter(_.getString(0) == "UPDATE").map(_.getString(1)).toSeq == Seq("801"))
+
+      // line-offset commits must surface as SERVER LSN acks: every ack
+      // the server saw is a real frame walStart (or 0 before first commit)
+      assert(awaitTrue()(srv.acks.asScala.exists(_ >= 0x100L)))
+      val walSet = txnLines.map(_._1).toSet + 0L
+      assert(srv.acks.asScala.forall(walSet.contains))
+      val acks = srv.acks.asScala.toVector
+      assert(acks == acks.sorted)
+    } finally {
+      if (q != null) q.stop()
+      if (receiver != null) receiver.stop()
+      client.close()
+      srv.stop()
+    }
+  }
+
+  test("receiver recovers the line->LSN index across restarts") {
+    val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
+    val dir = Files.createTempDirectory("graft_pg_idx").toString
+    try {
+      val c1 = newClient(srv.port)
+      c1.connect()
+      val r1 = new PgWalReceiver(c1, dir, linesPerSegment = 2)
+      r1.start("s", 0L)
+      assert(r1.awaitLines(4))
+      r1.stop(); c1.close()
+
+      // fresh receiver on the same spool: index reloaded, acks translate
+      val c2 = newClient(srv.port)
+      val r2 = new PgWalReceiver(c2, dir)
+      assert(r2.linesSpooled == 4)
+      r2.ackLines(4) // line offset 4 = COMMIT 800 @ 0x130
+      assert(c2.currentAckLsn == 0x130L)
+      r2.ackLines(2)
+      assert(c2.currentAckLsn == 0x130L, "acks are monotone")
+    } finally srv.stop()
+  }
+}
