@@ -17,6 +17,18 @@ object GraftFunctions {
   def parse_test_decoding(line: Column): Column =
     column(ParseTestDecoding(expression(line)))
 
+  /** Prelude-only parse: the relation of a wire line (NULL if
+    * unparseable). Cheap — no column parsing, no map allocation — so
+    * filters built on it can be duplicated by predicate pushdown at
+    * negligible cost, keeping the full parse single-evaluation.
+    */
+  def prelude_relation(line: Column): Column =
+    column(ParsePreludeField(expression(line), 0))
+
+  /** Prelude-only parse: the operation of a wire line. */
+  def prelude_operation(line: Column): Column =
+    column(ParsePreludeField(expression(line), 1))
+
   /** Register SQL-callable functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -39,18 +51,24 @@ object GraftFunctions {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast(LongType),
       lit(buckets.toLong)).cast("int")
 
-  /** Cosine similarity between two float/double array columns, computed
-    * with codegen'd higher-order functions (zip_with + aggregate); inputs
-    * are cast to double first so the arithmetic is stable across engines.
+  /** Cosine similarity between two float/double array columns — one
+    * native fused loop (dot + both norms, left-to-right accumulation,
+    * numerically identical to the former zip_with/aggregate form but
+    * with no per-row intermediate arrays). Inputs are cast to double
+    * first so the arithmetic is stable across engines.
     */
-  def cosine_similarity(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSim(
+      expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
+
+  /** Per-band hyperplane LSH bucket ids (see [[HyperplaneBuckets]]). */
+  def hyperplane_buckets(vec: Column, dim: Int, nBits: Int, bands: Int, seed: Long): Column =
+    column(HyperplaneBuckets(expression(vec.cast("array<double>")), dim, nBits, bands, seed))
+
+  /** The `nprobe` nearest centroid indices (see [[NearestCells]]). */
+  def nearest_cells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(NearestCells(expression(vec.cast("array<double>")), centroids, nprobe))
 
   /** Dot product of two array columns (cast to double). */
   def dot_product(a: Column, b: Column): Column =

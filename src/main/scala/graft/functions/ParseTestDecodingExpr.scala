@@ -44,7 +44,45 @@ case class ParseTestDecoding(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `parse_prelude(line, field)` → string: relation (field 0) or
+  * operation (field 1) from the prelude-only parse — the automaton
+  * stops after the operation and allocates no column maps. This is the
+  * reference's two-phase design (parselogical.go:89-95): the table
+  * filter runs on the cheap prelude so predicate pushdown can duplicate
+  * it freely, and the full `parse_test_decoding` is evaluated exactly
+  * once, above the filter.
+  */
+case class ParsePreludeField(child: Expression, field: Int) extends UnaryExpression {
+  require(field == 0 || field == 1, "field: 0 = relation, 1 = operation")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (field == 0) "prelude_relation" else "prelude_operation"
+
+  override def nullSafeEval(input: Any): Any =
+    ParseTestDecoding.preludeField(input.asInstanceOf[UTF8String], field)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.ParseTestDecoding.preludeField($c, $field);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ParsePreludeField =
+    copy(child = newChild)
+}
+
 object ParseTestDecoding {
+
+  /** Static prelude entry shared by interpreted eval and codegen. */
+  def preludeField(line: UTF8String, field: Int): UTF8String = {
+    if (line == null) return null
+    val o = TestDecodingParser.parsePreludeOrNull(line.toString)
+    if (o == null) null
+    else UTF8String.fromString(if (field == 0) o.relation else o.operation)
+  }
 
   /** Array-backed sink: columns land directly as UTF8String rows, no
     * intermediate immutable maps (this is the per-record hot path).

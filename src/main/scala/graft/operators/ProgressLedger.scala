@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   *  - [[ProgressLedger.contiguousAck]]: distributed, for batch parity
   *    checks and large reconciliation jobs. No global sort and no
-  *    driver-side state: a key-partitioned join + one scalar aggregate
-  *    (`min` over incomplete positions) + one filtered `max`.
+  *    driver-side state: a key-partitioned join, a parallel per-bucket
+  *    prefix scan over contiguous ord ranges, and a tiny combine over
+  *    the bucket summaries — the joined status is computed exactly
+  *    once.
   *  - [[InMemoryLedger]]: the faithful insertion-ordered ledger used
   *    driver-side by the streaming ack loop, including the reference's
   *    re-delivery supersession rules (a transaction re-delivered under
@@ -37,19 +39,44 @@ object ProgressLedger {
     *                (in CDC order this is the commit LSN itself)
     * @param written zero+ rows per txn: (timeBasedKey, count)
     */
-  def contiguousAck(seen: DataFrame, written: DataFrame): DataFrame = {
+  def contiguousAck(seen: DataFrame, written: DataFrame,
+                    bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
     val writtenAgg = written.groupBy("timeBasedKey")
       .agg(sum("count").as("writtenCount"))
     val status = seen.join(writtenAgg, Seq("timeBasedKey"), "left")
-      .withColumn("complete",
-        col("commitWalStart") =!= 0L &&
-          coalesce(col("writtenCount"), lit(0L)) === col("totalMsgs"))
-    val firstIncomplete = status.agg(
-      min(when(!col("complete"), col("ord"))).as("firstIncompleteOrd"))
-    status.crossJoin(firstIncomplete)
-      .where(col("complete") &&
-        (col("firstIncompleteOrd").isNull || col("ord") < col("firstIncompleteOrd")))
-      .agg(max("commitWalStart").as("ackLsn"))
+      .select(col("ord"), col("commitWalStart"),
+        coalesce(
+          col("commitWalStart") =!= 0L &&
+            coalesce(col("writtenCount"), lit(0L)) === col("totalMsgs"),
+          lit(false)).as("complete"))
+
+    // Prefix scan without a global sort and without evaluating `status`
+    // twice (a scalar "first incomplete ord" subquery would recompute
+    // the whole join): bucket `ord` into contiguous ranges, do the
+    // ordered prefix scan WITHIN each bucket in parallel (window
+    // partitioned by bucket), reduce each bucket to one summary row,
+    // and combine the few summaries with a tiny single-partition
+    // window. Dense ord spaces (LSNs, order keys) give few buckets; a
+    // degenerate fully-sparse space degrades to the summary row count,
+    // never to a global sort of the transaction rows.
+    val bucketed = status.withColumn("bucket", floor(col("ord") / bucketWidth))
+    val wIn = Window.partitionBy("bucket").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = bucketed
+      .withColumn("inPrefix", min(when(col("complete"), 1).otherwise(0)).over(wIn))
+      .groupBy("bucket")
+      .agg(
+        max(when(col("inPrefix") === 1, col("commitWalStart"))).as("prefixAck"),
+        min(when(col("complete"), 1).otherwise(0)).as("allComplete"))
+
+    // A bucket contributes its in-bucket prefix ack iff every earlier
+    // bucket is fully complete.
+    val wOut = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("okBefore", coalesce(min(col("allComplete")).over(wOut), lit(1)))
+      .agg(max(when(col("okBefore") === 1, col("prefixAck"))).as("ackLsn"))
   }
 }
 

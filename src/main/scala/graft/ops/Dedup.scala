@@ -224,20 +224,13 @@ object Dedup {
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, dim: Int = 64,
       nBits: Int = 12, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands, nBits)(Array.fill(dim)(rnd.nextGaussian()))
-
-    def bucketExpr(vec: Column, band: Int): Column = {
-      val vd = vec.cast("array<double>")
-      planes(band).zipWithIndex.map { case (p, b) =>
-        val dot = aggregate(zip_with(vd, lit(p), (x, w) => x * w),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, lit(1 << b)).otherwise(0)
-      }.reduce(_ + _)
-    }
-
+    // All bands' sign-bit buckets come from ONE native expression call
+    // (plane matrices ride as a referenced object, not plan literals) —
+    // the unrolled per-bit column trees cost ~100 kB of plan and
+    // seconds of Janino compilation per query.
     val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(array((0 until bands).map(b => bucketExpr(col(vecCol), b)): _*)))
+      posexplode(graft.functions.GraftFunctions.hyperplane_buckets(
+        col(vecCol), dim, nBits, bands, seed)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     val x = withBuckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))

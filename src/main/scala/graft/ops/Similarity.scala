@@ -50,12 +50,6 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random unit-ish directions for hyperplane LSH. */
-  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
   /** LSH-bucketed approximate top-k. `dim` must match the embedding
     * length. Probing flips up to `probeHamming` sign bits of the query
     * signature (1 + nBits buckets for probeHamming=1).
@@ -65,17 +59,12 @@ object Similarity {
       nBits: Int = 8, probeHamming: Int = 1, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nBits <= 30, "bucket key packs into an int")
-    val ps = planes(dim, nBits, seed)
 
-    def signature(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val vd = vec.cast("array<double>")
-      val bits = ps.zipWithIndex.map { case (p, b) =>
-        val dot = aggregate(
-          zip_with(vd, lit(p), (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << b)).otherwise(0L)
-      }
-      bits.reduce(_ + _).cast("int")
-    }
+    // Single-band native signature: constant plan size, one fused loop
+    // (the unrolled per-bit trees cost ~30 kB of plan per query).
+    def signature(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      element_at(
+        GraftFunctions.hyperplane_buckets(vec, dim, nBits, bands = 1, seed), 1)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", signature(col("c_vec")))
@@ -139,42 +128,19 @@ object Similarity {
       it += 1
     }
 
-    // ---- codegen'd cell assignment against the broadcast centroid array
-    def cellExpr(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val vd = vec.cast("array<double>")
-      // argmin over squared distance == argmax over (2·dot − ‖c‖²)
-      val scores = centroids.map { cvec =>
-        val dot = aggregate(zip_with(vd, lit(cvec), (x, w) => x * w),
-          lit(0.0d), (acc, x) => acc + x)
-        dot * 2.0d - lit(cvec.map(x => x * x).sum)
-      }
-      // argmax via greatest over (score, idx) structs
-      val packed = scores.zipWithIndex.map { case (s, i) =>
-        struct(s.as("s"), lit(i).as("i"))
-      }
-      greatest(packed: _*).getField("i")
-    }
-
+    // ---- native cell assignment against the referenced centroid array
+    // (argmin over squared distance == argmax over 2·dot − ‖c‖²): one
+    // expression call — centroids never appear as plan literals, so the
+    // plan stays constant-size regardless of nlist × dim.
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", cellExpr(col("c_vec")))
+      .withColumn("cell",
+        element_at(GraftFunctions.nearest_cells(col("c_vec"), centroids, 1), 1))
 
     // queries probe their nprobe nearest cells
-    def probeCells(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val vd = vec.cast("array<double>")
-      val packed = centroids.zipWithIndex.map { case (cvec, i) =>
-        val dot = aggregate(zip_with(vd, lit(cvec), (x, w) => x * w),
-          lit(0.0d), (acc, x) => acc + x)
-        struct((dot * 2.0d - lit(cvec.map(x => x * x).sum)).as("s"), lit(i).as("i"))
-      }
-      slice(transform(array_sort(array(packed: _*),
-        (a, b) => when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)),
-        p => p.getField("i")), 1, nprobe)
-    }
-
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(probeCells(col("q_vec")))))
+      .withColumn("cell",
+        explode(GraftFunctions.nearest_cells(col("q_vec"), centroids, nprobe))))
 
     val scored = c.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))

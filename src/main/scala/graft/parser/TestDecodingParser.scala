@@ -104,6 +104,18 @@ object TestDecodingParser {
   def parseOrNull(line: String): ParsedChange =
     parse(line).getOrElse(null)
 
+  private object NoopSink extends ColumnSink {
+    def add(oldSection: Boolean, name: String, v: String, t: String, q: Boolean): Unit = ()
+  }
+
+  /** Prelude-only hot path: relation + operation without column
+    * parsing and without map allocation — the cheap first phase of the
+    * reference's two-phase design (parselogical.go:89-95), used by the
+    * table filter so full parsing runs only on rows that pass.
+    */
+  def parsePreludeOrNull(line: String): Outcome =
+    parseImpl(line, preludeOnly = true, NoopSink).getOrElse(null)
+
   /** Hot-path entry: parse into `sink`, return metadata or null on error. */
   def parseInto(line: String, sink: ColumnSink): Outcome =
     parseImpl(line, preludeOnly = false, sink).getOrElse(null)

@@ -77,8 +77,21 @@ object EntryQueries {
       | printf('%.2f', value) AS value_v, props AS props_v, true AS props_q
       |FROM events""".stripMargin
 
+  /** Filter on the cheap prelude parse BEFORE the full parse (the
+    * reference's two-phase design): pushdown duplicates only the
+    * prelude; the full column parse runs once, on survivors only.
+    */
+  private def preludeFiltered(spark: SparkSession, dir: String, tf: TableFilter): DataFrame =
+    eventLines(spark, dir)
+      .where(tf.predicate(
+        GraftFunctions.prelude_relation(col("line")),
+        GraftFunctions.prelude_operation(col("line"))))
+      .select(col("event_id"), col("user_id"),
+        GraftFunctions.parse_test_decoding(col("line")).as("p"))
+      .select(col("event_id"), col("user_id"), col("p.*"))
+
   def qFilterWhitelist(spark: SparkSession, dir: String): DataFrame =
-    TableFilter(Seq("public.purchase", "public.view"))(parsedEvents(spark, dir))
+    preludeFiltered(spark, dir, TableFilter(Seq("public.purchase", "public.view")))
       .select("event_id", "relation")
 
   val qFilterWhitelistSql: String =
@@ -86,8 +99,8 @@ object EntryQueries {
       |WHERE event_type IN ('purchase', 'view')""".stripMargin
 
   def qFilterRegexBlacklist(spark: SparkSession, dir: String): DataFrame =
-    TableFilter(Seq("^public\\.(click|error)$"), whitelist = false, regex = true)(
-      parsedEvents(spark, dir))
+    preludeFiltered(spark, dir,
+      TableFilter(Seq("^public\\.(click|error)$"), whitelist = false, regex = true))
       .select("event_id", "relation")
 
   val qFilterRegexBlacklistSql: String =
@@ -583,13 +596,13 @@ object EntryQueries {
     * checked by golden unit tests, rows-only here.
     */
   def qCdcPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = parsedEvents(spark, dir)
+    val parsed = preludeFiltered(spark, dir,
+      TableFilter(Seq("^public\\.error$"), whitelist = false, regex = true))
       .withColumn("txn", col("user_id").cast("string"))
       .withColumn("timeBasedKey", concat(col("txn"), lit("-0")))
       .withColumn("ord", col("event_id"))
     val withMeta = CdcFixture.withSourceMeta(parsed)
-    val filtered = TableFilter(Seq("^public\\.error$"), whitelist = false, regex = true)(withMeta)
-    val keyed = Partitioner(Partitioner.TableName)(filtered)
+    val keyed = Partitioner(Partitioner.TableName)(withMeta)
     Marshaller(noMarshalOldValue = false)(keyed)
       .select("walStart", "operation", "relation", "partitionKey", "json")
   }

@@ -43,12 +43,24 @@ object CdcPipeline {
       .foldLeft(lines)((df, c) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(0L)))
 
+    // Table filtering runs on the PRELUDE parse (relation + operation
+    // only, the reference's two-phase design, parselogical.go:89-95),
+    // BEFORE the full parse. Filtering on fields of the full parse
+    // would let predicate pushdown substitute the parse expression into
+    // the filter — evaluating the column automaton 3-4× per row; the
+    // prelude is cheap enough to duplicate, and rows that don't pass
+    // never pay column parsing at all (the reference's own intent).
+    val tf = TableFilter(cfg.filterTables, cfg.whitelist, cfg.regexFilter)
+    val preFiltered = withMeta.where(tf.predicate(
+      GraftFunctions.prelude_relation(col("line")),
+      GraftFunctions.prelude_operation(col("line"))))
+
     // Source-provided metadata wins over parsed fields (a CDC source
     // stamps txn/timeBasedKey itself; the parsed txn is only set on
     // BEGIN/COMMIT lines anyway).
     val parsedFields = Seq("txn", "relation", "operation", "noTupleData", "columns", "oldColumns")
     val inputCols = withMeta.columns.filter(_ != "line")
-    val parsed = withMeta
+    val parsed = preFiltered
       .withColumn("p", GraftFunctions.parse_test_decoding(col("line")))
       .where(col("p").isNotNull)
       .select(inputCols.map(col) ++
@@ -58,8 +70,7 @@ object CdcPipeline {
       if (parsed.columns.contains("timeBasedKey")) parsed
       else parsed.withColumn("timeBasedKey", concat(col("txn"), lit("-0")))
 
-    val filtered = TableFilter(cfg.filterTables, cfg.whitelist, cfg.regexFilter)(stamped)
-    val keyed = Partitioner(cfg.partitionMethod)(filtered)
+    val keyed = Partitioner(cfg.partitionMethod)(stamped)
     val marshalled = Marshaller(cfg.noMarshalOldValue)(keyed)
       .select("operation", "relation", "json", "timeBasedKey", "walStart", "txn", "partitionKey")
       .withColumnRenamed("relation", "table")
