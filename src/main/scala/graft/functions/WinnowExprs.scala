@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `winnow_fingerprint(text)` → array<bigint>: the winnowing document
+  * fingerprint (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+  * Algorithms for Document Fingerprinting", SIGMOD 2003) over a
+  * character-level Rabin–Karp rolling hash:
+  *
+  *  1. normalize is the CALLER's job (pass the already-normalized text);
+  *  2. hash every k-gram with the polynomial rolling hash
+  *     `h = Σ cp_j · B^(k-1-j) mod M` (B = 257, M = 2^31 − 1), updated
+  *     in O(1) per position;
+  *  3. slide a window of `w` consecutive k-gram hashes and select each
+  *     window's minimum (monotonic-deque, O(1) amortized);
+  *  4. the fingerprint is the sorted distinct selected values — any two
+  *     documents sharing a substring of length ≥ k + w − 1 share at
+  *     least one fingerprint value (the winnowing guarantee).
+  *
+  * The selected-VALUE set is independent of the min-tie rule, which is
+  * what makes the fingerprint reproducible in ANSI SQL (a window-min +
+  * DISTINCT — see the q_fingerprint_winnow oracle).
+  *
+  * Texts with fewer than one k-gram fingerprint to an empty array;
+  * with fewer than `w` k-grams, to the single global minimum.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFingerprint.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+
+  val Base = 257L
+  val Mod = 2147483647L // 2^31 − 1: products stay well inside a long
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+
+    // k-gram rolling hashes
+    val g = n - k + 1
+    val hashes = new Array[Long](g)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * Base + cps(i)) % Mod; i += 1 }
+    hashes(0) = h
+    // B^(k-1) mod M for the roll-out term
+    var bk1 = 1L
+    i = 0
+    while (i < k - 1) { bk1 = (bk1 * Base) % Mod; i += 1 }
+    i = 1
+    while (i < g) {
+      h = ((h - (cps(i - 1) * bk1) % Mod + Mod) % Mod * Base + cps(i + k - 1)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+
+    // winnowing: minimum of each w-window via monotonic deque
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (g <= w) {
+      var min = Long.MaxValue
+      i = 0
+      while (i < g) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      selected.add(min)
+    } else {
+      val deque = new Array[Int](g)
+      var head = 0
+      var tail = 0 // [head, tail) holds candidate indices, hashes increasing
+      i = 0
+      while (i < g) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) selected.add(hashes(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}

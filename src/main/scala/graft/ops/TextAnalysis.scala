@@ -40,6 +40,17 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Winnowing fingerprint over a Rabin–Karp rolling hash of the
+    * normalized text: sorted distinct window-minimum k-gram hashes
+    * (see [[graft.functions.WinnowFingerprint]]). Two documents
+    * sharing a normalized substring of length ≥ k + w − 1 share a
+    * fingerprint value — the local-match guarantee md5 lacks.
+    */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(normalize(text)), k, w))
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text)

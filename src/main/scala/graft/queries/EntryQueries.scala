@@ -380,6 +380,46 @@ object EntryQueries {
       |  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3 AS DOUBLE), 4) AS DOUBLE) AS quality
       |FROM x""".stripMargin
 
+  /** Winnowing rolling-hash fingerprint (k=5-gram Rabin–Karp, w=4
+    * window minima): per-doc selected-hash count, min/max, and sum —
+    * value-exact against a pure-SQL re-derivation of the same
+    * polynomial hash and window-min selection.
+    */
+  def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).cast("long").as("n_selected"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"),
+        aggregate(col("fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+
+  val qFingerprintWinnowSql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |kgl AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 4),
+      |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, 4),
+      |      j -> CAST(unicode(substring(t, CAST(i + j AS INTEGER), 1)) AS HUGEINT)
+      |           * ([4362470401, 16974593, 66049, 257, 1][j + 1]))) % 2147483647 AS BIGINT)})) AS u
+      |  FROM nrm WHERE length(t) >= 5),
+      |kg AS (SELECT doc_id, u.i AS i, u.h AS h FROM kgl),
+      |cnt AS (SELECT doc_id, count(*) AS g FROM kg GROUP BY doc_id),
+      |wm AS (
+      |  SELECT kg.doc_id, kg.i, c.g,
+      |    min(h) OVER (PARTITION BY kg.doc_id ORDER BY kg.i
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM kg JOIN cnt c ON c.doc_id = kg.doc_id),
+      |sel AS (SELECT DISTINCT doc_id, sel FROM wm WHERE i <= greatest(g - 3, 1)),
+      |agg AS (SELECT doc_id, count(*) AS n_selected, min(sel) AS fp_min,
+      |               max(sel) AS fp_max, sum(sel) AS fp_sum
+      |        FROM sel GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected,
+      |  a.fp_min, a.fp_max, CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   /** Language-id heuristic — no SQL oracle (argmax over stopword
     * profiles; pinned by unit tests), rows-only check.
     */
@@ -624,6 +664,7 @@ object EntryQueries {
     "q_route_workers" -> qRouteWorkers _,
     "q_chunk_sizes" -> qChunkSizes _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_fingerprint_winnow" -> qFingerprintWinnow _,
     "q_token_stats" -> qTokenStats _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
@@ -658,6 +699,7 @@ object EntryQueries {
     "q_route_workers" -> qRouteWorkersSql,
     "q_chunk_sizes" -> qChunkSizesSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_fingerprint_winnow" -> qFingerprintWinnowSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -109,6 +109,37 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(f0, "UTF-8") == "hello")
   }
 
+  test("winnowing fingerprint: rolling hash + window minima, local-match guarantee") {
+    import graft.functions.WinnowFingerprint
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(s: String, k: Int = 5, w: Int = 4): Set[Long] = {
+      val a = WinnowFingerprint.compute(UTF8String.fromString(s), k, w)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    // rolling recurrence equals direct polynomial evaluation
+    def direct(s: String, k: Int): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        s.substring(i, i + k).codePoints().toArray
+          .foldLeft(0L)((h, c) => (h * 257 + c) % 2147483647L)
+      }
+    val text = "the quick brown fox jumps over the lazy dog"
+    val grams = direct(text, 5)
+    // every selected value is some window's true minimum
+    val expected = (0 to grams.length - 4).map(i => grams.slice(i, i + 4).min).toSet
+    assert(fp(text) == expected)
+
+    // shared substring of length >= k + w - 1 => shared fingerprint value
+    val a = fp("prefix AAA the common core substring here ZZZ")
+    val b = fp("totally different opening the common core substring here and tail")
+    assert(a.intersect(b).nonEmpty)
+
+    // edges: no k-grams -> empty; fewer than w k-grams -> global min
+    assert(fp("abc") == Set.empty[Long])
+    assert(fp("abcdef") == Set(direct("abcdef", 5).min)) // 2 grams < w
+    // disjoint contents share nothing
+    assert(fp("aaaaaaaaaaaa").intersect(fp("zzzzzzzzzzzz")).isEmpty)
+  }
+
   test("embedding dedup: exact finds identical-direction pairs; LSH recalls them") {
     val exact = Dedup.embeddingDuplicatesExact(vecs, "embedding", "vec_id", threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
