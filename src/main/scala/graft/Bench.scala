@@ -25,8 +25,27 @@ object Bench {
     def evalFully(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
     // Warm the JVM/codegen paths once so the first measured query isn't
-    // paying one-time session costs.
+    // paying one-time session costs. The CDC automaton + marshal path
+    // is JIT-dominated (16× slower on first execution), so warm it with
+    // a small synthetic corpus — standard JVM bench practice; measured
+    // per-query times then reflect steady-state throughput.
     evalFully(spark.range(1000000).selectExpr("sum(id) as s"))
+    locally {
+      import org.apache.spark.sql.functions._
+      val lines = spark.range(0, 200000).select(
+        concat(lit("table public.w"), pmod(col("id"), lit(3)),
+          lit(": INSERT: id[bigint]:"), col("id"),
+          lit(" name[text]:'u "), col("id"), lit("''x' v[double precision]:'1.00'")).as("line"),
+        col("id").cast("string").as("txn"))
+        .withColumn("timeBasedKey", concat(col("txn"), lit("-0")))
+        .withColumn("ord", col("txn").cast("long"))
+      val warm = graft.streaming.CdcPipeline.transform(
+        graft.fixtures.CdcFixture.withSourceMeta(lines),
+        graft.streaming.CdcConfig(
+          filterTables = Seq("public.w0"), whitelist = false,
+          partitionMethod = graft.operators.Partitioner.TableName))
+      evalFully(warm)
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

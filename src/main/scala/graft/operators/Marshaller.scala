@@ -112,11 +112,33 @@ object Marshaller {
         // rendered as null (golden-output contract).
         Map("ignoreNullFields" -> "true")))
 
+  /** Native single-pass form of [[jsonExpr]] (see
+    * [[graft.functions.MarshalJson]]): byte-identical output, no
+    * intermediate merged map, no per-row Jackson generator. The default
+    * hot path; [[jsonExpr]] remains as the declarative reference the
+    * parity spec checks it against.
+    */
+  def jsonExprNative(
+      operation: Column,
+      relation: Column,
+      columns: Column,
+      oldColumns: Column,
+      serverTimeMs: Column,
+      timeBasedKey: Column,
+      walStart: Column,
+      noMarshalOldValue: Boolean): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.functions.MarshalJson(
+      Seq(operation, relation, columns, oldColumns, serverTimeMs, timeBasedKey, walStart)
+        .map(expression),
+      noMarshalOldValue))
+  }
+
   /** DataFrame transform: expects the change-record schema (FIXTURES §4)
     * and appends a `json` column.
     */
   def apply(noMarshalOldValue: Boolean = false): DataFrame => DataFrame = df =>
-    df.withColumn("json", jsonExpr(
+    df.withColumn("json", jsonExprNative(
       col("operation"), col("relation"), col("columns"), col("oldColumns"),
       col("serverTimeMs"), col("timeBasedKey"), col("walStart"),
       noMarshalOldValue))

@@ -30,6 +30,11 @@ object CdcPerf {
       .withColumn("ord", $"txn".cast("long"))
     lines.cache().count()
     time("render lines only", 3000000)( lines.queryExecution.toRdd.count() )
+    // small-corpus JIT warmup: does first-run slowness follow the JVM
+    // (disappears after this) or the plan (still slow on 3M)?
+    val small = lines.limit(200000)
+      .select(graft.functions.GraftFunctions.parse_test_decoding($"line").as("p"))
+    time("parse 200k (jvm cold)", 200000)( small.queryExecution.toRdd.count() )
     val parsed = lines.select(graft.functions.GraftFunctions.parse_test_decoding($"line").as("p"))
     time("parse (cold)", 3000000)( parsed.queryExecution.toRdd.count() )
     time("parse (warm)", 3000000)( parsed.queryExecution.toRdd.count() )
