@@ -96,7 +96,8 @@ object TextAnalysis {
     round((lenOk * 0.4d + punctOk * 0.3d + wordOk * 0.3d), 4)
   }
 
-  private val stopwordProfiles: Map[String, Seq[String]] = Map(
+  /** Public so the SQL oracle derives from the same profiles. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"),

@@ -133,10 +133,29 @@ object EntryQueries {
       | CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) % 8 AS VARCHAR) AS bucket
       |FROM events""".stripMargin
 
-  /** Reference-faithful crc32 bucketing (no SQL oracle: DuckDB lacks
-    * crc32; correctness is pinned by the unit test against
-    * java.util.zip.CRC32).
+  /** Reference-faithful crc32 bucketing. DuckDB has no crc32 builtin,
+    * so the oracle computes CRC-32 (IEEE) from first principles: the
+    * 256-entry table as a literal, `list_reduce` over the key's bytes
+    * with the standard `table[(crc ^ b) & 0xFF] ^ (crc >> 8)` step.
     */
+  private val crc32TableSql: String =
+    (0 until 256).map { n =>
+      var c = n.toLong
+      (0 until 8).foreach(_ => c = if ((c & 1) == 1) 0xEDB88320L ^ (c >>> 1) else c >>> 1)
+      c
+    }.mkString("[", ",", "]")
+
+  val qPartitionBucketCrc32Sql: String =
+    s"""WITH s AS (SELECT event_id, CAST(user_id AS VARCHAR) AS k FROM events)
+       |SELECT event_id, CAST(
+       |  xor(list_reduce(
+       |        [CAST(4294967295 AS BIGINT)] ||
+       |          list_transform(generate_series(1, length(k)),
+       |            i -> CAST(unicode(substring(k, CAST(i AS INTEGER), 1)) AS BIGINT)),
+       |        (acc, b) -> xor($crc32TableSql[CAST(xor(acc, b) & 255 AS INTEGER) + 1], acc >> 8)),
+       |      4294967295) % 8 AS VARCHAR) AS bucket
+       |FROM s""".stripMargin
+
   def qPartitionBucketCrc32(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "events").select(
       col("event_id"),
@@ -420,12 +439,25 @@ object EntryQueries {
       |  a.fp_min, a.fp_max, CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum
       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
-  /** Language-id heuristic — no SQL oracle (argmax over stopword
-    * profiles; pinned by unit tests), rows-only check.
+  /** Language-id heuristic: stopword-profile argmax, ties toward the
+    * lexicographically greatest language code (Spark's `greatest` over
+    * (hits, lang) structs ≡ DuckDB's struct `max`). Oracle re-derives
+    * the scoring from the same profile lists.
     */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").select(
       col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  val qLangIdSql: String = {
+    val structs = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"{'hits': len(list_filter(t, x -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], x))), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents),
+       |b AS (SELECT doc_id, list_aggregate([$structs], 'max') AS best FROM toks)
+       |SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM b""".stripMargin
+  }
 
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardDuplicates(
@@ -691,6 +723,7 @@ object EntryQueries {
     "q_filter_regex_blacklist" -> qFilterRegexBlacklistSql,
     "q_partition_keys" -> qPartitionKeysSql,
     "q_partition_bucket_md5" -> qPartitionBucketMd5Sql,
+    "q_partition_bucket_crc32" -> qPartitionBucketCrc32Sql,
     "q_marshal_update" -> qMarshalUpdateSql,
     "q_marshal_delete" -> qMarshalDeleteSql,
     "q_txn_counts" -> qTxnCountsSql,
@@ -702,6 +735,7 @@ object EntryQueries {
     "q_fingerprint_winnow" -> qFingerprintWinnowSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_text_quality" -> qTextQualitySql,
+    "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
