@@ -153,6 +153,61 @@ class GoldenParitySpec extends AnyFunSuite {
     produced.zip(want).foreach { case (g, w) => assert(canon(g) == canon(w)) }
   }
 
+  /** Single-quoted literals of a reference itest input SQL, in order. */
+  private def sqlLiterals(test: String): Seq[String] = {
+    val f = new java.io.File(s"/root/reference/itests/tests/base/$test/input/001.sql")
+    assume(f.canRead, s"reference checkout not present: $f")
+    val sql = scala.io.Source.fromFile(f, "UTF-8").mkString
+    "'([^']*)'".r.findAllMatchIn(sql).map(_.group(1)).toSeq
+  }
+
+  private def refGolden(test: String): Seq[String] = {
+    val f = new java.io.File(s"/root/reference/itests/tests/base/$test/golden/test.0")
+    assume(f.canRead, s"reference checkout not present: $f")
+    scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+  }
+
+  /** The wire lines Postgres emits for the TOAST itest inputs: an
+    * unchanged toasted column appears as `unchanged-toast-datum` in the
+    * new tuple; after `REPLICA IDENTITY FULL` the old-key carries the
+    * real value, enabling the marshaller's substitution.
+    */
+  private def toastWal(lits: Seq[String], withValueRewrite: Boolean): Seq[String] = {
+    val small = lits(0); val big1 = lits(1); val big2 = lits(2)
+    def ins(txn: Int, id: Int, v: String) = Seq(s"BEGIN $txn",
+      s"table public.toast_test: INSERT: id[integer]:$id value[text]:'$v' ivalue[integer]:1",
+      s"COMMIT $txn")
+    def upd(txn: Int, body: String) =
+      Seq(s"BEGIN $txn", s"table public.toast_test: UPDATE: $body", s"COMMIT $txn")
+    val base =
+      ins(700, 1, small) ++ ins(701, 2, big1) ++
+      upd(702, s"id[integer]:1 value[text]:'$small' ivalue[integer]:2") ++
+      upd(703, "id[integer]:2 value[text]:unchanged-toast-datum ivalue[integer]:2") ++
+      ins(704, 3, big2) ++
+      upd(705, s"old-key: id[integer]:3 value[text]:'$big2' ivalue[integer]:1 " +
+        s"new-tuple: id[integer]:3 value[text]:unchanged-toast-datum ivalue[integer]:2")
+    if (withValueRewrite)
+      base ++ upd(706, s"old-key: id[integer]:3 value[text]:'$big2' ivalue[integer]:2 " +
+        s"new-tuple: id[integer]:3 value[text]:'${lits(3)}' ivalue[integer]:2")
+    else base
+  }
+
+  test("TOAST golden (test_toasted, itest-default no-marshal-old): sentinel kept without old, substituted with old") {
+    val produced = runPipeline(toastWal(sqlLiterals("test_toasted"), withValueRewrite = true),
+      CdcConfig(noMarshalOldValue = true)) // itests/containers/defaults.env:13
+    val want = refGolden("test_toasted")
+    assert(produced.length == want.length)
+    produced.zip(want).foreach { case (g, w) => assert(canon(g) == canon(w), s"\n got: $g\nwant: $w") }
+  }
+
+  test("TOAST golden (test_toasted_withold): old sides kept, null-injection, toast substitution with old") {
+    val produced = runPipeline(toastWal(sqlLiterals("test_toasted_withold"), withValueRewrite = false),
+      CdcConfig(noMarshalOldValue = false))
+    val want = refGolden("test_toasted_withold")
+    assert(produced.length == want.length)
+    produced.zip(want).foreach { case (g, w) => assert(canon(g) == canon(w), s"\n got: $g\nwant: $w") }
+  }
+
   test("blacklist golden (test_blacklist): listed table dropped") {
     val produced = runPipeline(Seq(
       "BEGIN 620",
