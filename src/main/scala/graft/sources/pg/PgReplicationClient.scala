@@ -63,7 +63,12 @@ final class PgReplicationClient(
   private val lastSentAck = new AtomicLong(-1L)
   private val stopRequested = new AtomicBoolean(false)
 
+  @volatile private var connected = false
+
+  /** Idempotent: a second call on a live connection is a no-op. */
   def connect(): Unit = {
+    if (connected) return
+    connected = true
     socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMillis)
     socket.setTcpNoDelay(true)

@@ -28,9 +28,16 @@ import graft.sources.WalSource
   * acks for lines spooled by a previous run still translate.
   */
 final class PgWalReceiver(
-    client: PgReplicationClient,
+    clientFactory: () => PgReplicationClient,
     spoolDir: String,
-    linesPerSegment: Int = 10000) {
+    linesPerSegment: Int = 10000,
+    maxRecoveries: Int = 3) {
+
+  /** Single-connection convenience (no reconnect after stream error). */
+  def this(client: PgReplicationClient, spoolDir: String) =
+    this(() => client, spoolDir, 10000, 0)
+  def this(client: PgReplicationClient, spoolDir: String, linesPerSegment: Int) =
+    this(() => client, spoolDir, linesPerSegment, 0)
 
   private val walStarts = ArrayBuffer[Long]() // line i (0-based) → walStart
   private val spooled = new AtomicLong(0L)
@@ -40,6 +47,10 @@ final class PgWalReceiver(
   private var thread: Thread = _
   private val started = new CountDownLatch(1)
   @volatile private var failure: Throwable = _
+  @volatile private var client: PgReplicationClient = _
+  @volatile private var openTxn: String = null // BEGIN seen, COMMIT not yet
+  @volatile private var highestWalStart = 0L
+  @volatile var recoveries: Int = 0
 
   Files.createDirectories(Paths.get(spoolDir))
   // Recover the line→LSN index left by a previous receiver session.
@@ -60,8 +71,12 @@ final class PgWalReceiver(
     */
   def ackLines(lineLsn: Long): Unit = {
     val idx = math.min(lineLsn, walStarts.synchronized(walStarts.size.toLong)) - 1
-    if (idx >= 0)
+    if (idx >= 0) {
+      // before start() the ack is parked on a fresh client and carried
+      // by the first status update once the loop begins
+      if (client == null) synchronized { if (client == null) client = clientFactory() }
       client.updateAckLsn(walStarts.synchronized(walStarts(idx.toInt)))
+    }
   }
 
   /** Register this receiver as the ack hook for its spool directory. */
@@ -89,21 +104,50 @@ final class PgWalReceiver(
     walStarts.synchronized { walStarts += x.walStart }
     spooled.incrementAndGet()
     linesInSegment += 1
+    if (x.walStart > highestWalStart) highestWalStart = x.walStart
+    if (x.line.startsWith("BEGIN ")) openTxn = x.line.substring(6).trim
+    else if (x.line.startsWith("COMMIT")) openTxn = null
   }
 
   /** Connect-equivalent of the reference's client Start: enters the
-    * copy-both loop on a daemon thread. `startLsn` 0 = slot's position.
+    * copy-both loop on a daemon thread; on a mid-stream server error it
+    * applies the reference's recovery (client.go:386-424): spool a
+    * synthetic COMMIT so downstream closes the open transaction, drop
+    * the broken connection, reconnect, and fast-forward to the server's
+    * current LSN (a data gap is accepted by design). `startLsn` 0 = the
+    * slot's position.
     */
   def start(slot: String, startLsn: Long = 0L): Unit = {
     idxWriter = new BufferedWriter(new FileWriter(idxFile, true))
     registerAckHook()
     thread = new Thread(() => {
+      var lsn = startLsn
+      var proceed = true
       try {
+        // reuse a client parked by a pre-start ackLines call
+        synchronized { if (client == null) client = clientFactory() }
+        client.connect()
         started.countDown()
-        client.startReplication(slot, startLsn)(spool)
+        while (proceed) {
+          proceed = false
+          try client.startReplication(slot, lsn)(spool)
+          catch {
+            case e: PgError if recoveries < maxRecoveries =>
+              recoveries += 1
+              // close the open transaction for the ledger's benefit
+              if (openTxn != null)
+                spool(XLogData(highestWalStart, highestWalStart, 0L, s"COMMIT $openTxn"))
+              try client.close() catch { case _: Throwable => () }
+              client = clientFactory()
+              client.connect()
+              val (_, _, xlogpos) = client.identifySystem()
+              lsn = xlogpos
+              proceed = true
+          }
+        }
       } catch {
         case t: Throwable => failure = t
-      }
+      } finally started.countDown()
     }, s"graft-pg-receiver-$slot")
     thread.setDaemon(true)
     thread.start()
@@ -121,7 +165,7 @@ final class PgWalReceiver(
   }
 
   def stop(): Unit = {
-    client.requestStop()
+    if (client != null) client.requestStop()
     if (thread != null) thread.join(5000)
     if (writer != null) { writer.close(); writer = null }
     if (idxWriter != null) { idxWriter.close(); idxWriter = null }

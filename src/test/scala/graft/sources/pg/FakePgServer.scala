@@ -13,13 +13,28 @@ import PgWire._
   * START_REPLICATION → copy-both with scripted XLogData frames and a
   * reply-requested keepalive, and StandbyStatusUpdate capture.
   */
+/** Per-connection behavior script: frames to stream, an optional
+  * injected ErrorResponse after N frames (connection then closed, like
+  * a real server failing mid-stream), and the IDENTIFY_SYSTEM xlogpos.
+  */
+final case class FakeConn(
+    xlog: Seq[(Long, String)],
+    errorAfterFrames: Int = -1,
+    xlogpos: String = "0/100")
+
 final class FakePgServer(
     xlog: Seq[(Long, String)], // (walStart, test_decoding line)
     authMode: String = "trust", // trust | cleartext | md5
     expectedPassword: String = "pw",
-    keepaliveAfterFrames: Boolean = true) {
+    keepaliveAfterFrames: Boolean = true,
+    connScripts: Seq[FakeConn] = Nil) { // per-connection override; last repeats
 
   import scala.jdk.CollectionConverters._
+
+  private val connCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def scriptFor(i: Int): FakeConn =
+    if (connScripts.isEmpty) FakeConn(xlog)
+    else connScripts(math.min(i, connScripts.size - 1))
 
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -81,6 +96,7 @@ final class FakePgServer(
   }
 
   private def handle(sock: Socket): Unit = {
+    val script = scriptFor(connCount.getAndIncrement())
     val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
@@ -125,7 +141,7 @@ final class FakePgServer(
             val sql = new Reader(m.payload).cstring().trim
             if (sql == "IDENTIFY_SYSTEM") {
               sendTextRow(out, Seq("systemid", "timeline", "xlogpos", "dbname"),
-                Seq("7000000000000000001", "1", "0/100", "db"))
+                Seq("7000000000000000001", "1", script.xlogpos, "db"))
               sendCommandComplete(out, "IDENTIFY_SYSTEM")
               sendReady(out)
             } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
@@ -142,14 +158,24 @@ final class FakePgServer(
               // CopyBothResponse: overall format 0, zero columns
               writeMsg(out, Tpe.CopyBothResponse,
                 new Builder().byte(0).byte(0).byte(0).result())
-              xlog.foreach { case (walStart, line) =>
-                val bytes = line.getBytes("UTF-8")
-                val b = new Builder()
-                  .byte(CopyTag.XLogData)
-                  .int64(walStart).int64(walStart + bytes.length)
-                  .int64(nowPgMicros())
-                  .bytes(bytes)
-                writeMsg(out, Tpe.CopyData, b.result())
+              var sent = 0
+              script.xlog.foreach { case (walStart, line) =>
+                if (script.errorAfterFrames < 0 || sent < script.errorAfterFrames) {
+                  val bytes = line.getBytes("UTF-8")
+                  val b = new Builder()
+                    .byte(CopyTag.XLogData)
+                    .int64(walStart).int64(walStart + bytes.length)
+                    .int64(nowPgMicros())
+                    .bytes(bytes)
+                  writeMsg(out, Tpe.CopyData, b.result())
+                  sent += 1
+                }
+              }
+              if (script.errorAfterFrames >= 0) {
+                // fail the stream like a server hitting corrupt WAL,
+                // then drop the connection
+                sendError(out, "XX000", "simulated replication failure")
+                return
               }
               if (keepaliveAfterFrames) {
                 val k = new Builder()

