@@ -27,9 +27,48 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    // Pre-reduce before the ranking shuffle: each scan partition keeps
+    // only its own top-k per query (bounded heap, same ordering as the
+    // final rank), so the exchange moves ≤ partitions × queries × k
+    // rows instead of queries × corpus — the difference between a
+    // broadcast-scan plan that scales to a 100 TB corpus and one whose
+    // window exchange IS the corpus. Falls back to the plain window
+    // when ids aren't integral (the heap is typed).
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    val integralIds = Seq("query_id", "neighbor_id").forall { c =>
+      scored.schema(c).dataType == LongType || scored.schema(c).dataType == IntegerType
+    }
+    val reduced =
+      if (!integralIds) scored
+      else {
+        val spark = scored.sparkSession
+        import spark.implicits._
+        // "worst" = lower sim, then higher neighbor id (the final
+        // ordering reversed) — the heap's head is the eviction victim
+        val worstFirst: Ordering[(Long, Long, Double)] = (a, b) => {
+          val c = java.lang.Double.compare(b._3, a._3)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+        scored
+          .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+            col("sim_r").cast("double"))
+          .as[(Long, Long, Double)]
+          .mapPartitions { it =>
+            val heaps = scala.collection.mutable.HashMap
+              .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+            it.foreach { row =>
+              val h = heaps.getOrElseUpdate(row._1,
+                scala.collection.mutable.PriorityQueue.empty(worstFirst))
+              if (h.size < k) h.enqueue(row)
+              else if (worstFirst.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row) }
+            }
+            heaps.valuesIterator.flatMap(_.iterator)
+          }
+          .toDF("query_id", "neighbor_id", "sim_r")
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_r").desc, col("neighbor_id"))
-    scored
+    reduced
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim_r")
