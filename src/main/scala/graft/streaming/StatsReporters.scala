@@ -32,6 +32,42 @@ object StatsReporters {
         s"total=${r.getAs[Long]("total")} samples=${r.getAs[Long]("samples")}")
     }
 
+  /** Dogstatsd wire line for one stat, the reference's Datadog mapping
+    * (datadog/datadog.go:62-69): metric name
+    * `<prefix>.<component>.<statName>.<unit>`, count stats → `|c`,
+    * histogram stats → gauge `|g`.
+    */
+  def statsdLine(prefix: String, component: String, statName: String,
+                 unit: String, statType: String, value: Long): String = {
+    val name = s"$prefix.$component.$statName.$unit"
+    if (statType == "count") s"$name:$value|c" else s"$name:$value|g"
+  }
+
+  /** foreachBatch hook emitting dogstatsd lines for an aggregated stats
+    * stream. Histogram windows multiplex into `_avg`/`_max`/`_min`
+    * sub-stats exactly like the reference aggregator
+    * (aggregator/aggregate.go:58-79: main value = the window sum).
+    * `send` is the transport edge — a UDP datagram client drops in
+    * behind it (no egress in this environment).
+    */
+  def reportStatsd(send: String => Unit, prefix: String = "bifrost")
+      : (DataFrame, Long) => Unit = (batch, _) =>
+    batch.collect().foreach { r =>
+      val component = r.getAs[String]("component")
+      val statName = r.getAs[String]("statName")
+      val statType = r.getAs[String]("statType")
+      val unit = r.getAs[String]("unit")
+      val total = r.getAs[Long]("total")
+      send(statsdLine(prefix, component, statName, unit, statType, total))
+      if (statType == "histogram") {
+        val samples = r.getAs[Long]("samples")
+        val avg = if (samples == 0) 0L else (total.toDouble / samples).toLong
+        send(statsdLine(prefix, component, s"${statName}_avg", unit, statType, avg))
+        send(statsdLine(prefix, component, s"${statName}_max", unit, statType, r.getAs[Long]("max")))
+        send(statsdLine(prefix, component, s"${statName}_min", unit, statType, r.getAs[Long]("min")))
+      }
+    }
+
   /** Engine-level throughput reporter from query progress events. */
   final class ProgressStatsReporter(emit: String => Unit = stdoutEmit)
     extends StreamingQueryListener {
