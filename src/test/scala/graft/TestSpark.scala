@@ -8,6 +8,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
