@@ -189,6 +189,12 @@ object NearestCells {
         if (!taken(i) && scores(i) > bestS) { bestS = scores(i); best = i }
         i += 1
       }
+      if (best < 0) {
+        // all remaining scores are NaN (dirty vector): fall back to the
+        // first untaken cell instead of crashing the task
+        var i2 = 0
+        while (best < 0 && i2 < k) { if (!taken(i2)) best = i2; i2 += 1 }
+      }
       taken(best) = true
       out(r) = best
       r += 1

@@ -65,6 +65,12 @@ object Similarity {
             heaps.valuesIterator.flatMap(_.iterator)
           }
           .toDF("query_id", "neighbor_id", "sim_r")
+          // restore the caller's id types — the optimization must be
+          // schema-invariant, not silently widen int ids to bigint
+          .select(
+            col("query_id").cast(scored.schema("query_id").dataType),
+            col("neighbor_id").cast(scored.schema("neighbor_id").dataType),
+            col("sim_r"))
       }
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_r").desc, col("neighbor_id"))

@@ -75,22 +75,30 @@ object WalSource {
       .getOrElse(Nil)
   }
 
-  /** Per-file line counts keyed by (path, size): closed segments are
-    * immutable so one scan each suffices; a still-growing tail segment
-    * changes size and re-scans. Keeps the driver's per-trigger work
-    * O(new lines) instead of O(total lines) over the stream's life.
+  /** Per-file line counts keyed by (path, size, mtime): closed segments
+    * are immutable so one scan each suffices; a still-growing tail
+    * segment changes size (or mtime) and re-scans. Keeps the driver's
+    * per-trigger work O(new lines) instead of O(total lines) over the
+    * stream's life. LRU-bounded so long-lived drivers streaming many
+    * spool dirs don't accumulate entries for deleted files forever.
     */
-  private val lineCountCache = new ConcurrentHashMap[String, (Long, Long)]()
+  private val lineCountCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long, Long)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, Long)]): Boolean = size() > 4096
+      })
 
   def fileLineCount(f: java.io.File): Long = {
     val key = f.getAbsolutePath
     val size = f.length()
+    val mtime = f.lastModified()
     val cached = lineCountCache.get(key)
-    if (cached != null && cached._1 == size) cached._2
+    if (cached != null && cached._1 == size && cached._2 == mtime) cached._3
     else {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val n = try src.getLines().size.toLong finally src.close()
-      lineCountCache.put(key, (size, n))
+      lineCountCache.put(key, (size, mtime, n))
       n
     }
   }

@@ -54,7 +54,8 @@ final class PgReplicationClient(
     password: Option[String] = None,
     statusIntervalMillis: Long = 10000L,
     connectTimeoutMillis: Int = 10000,
-    readPollMillis: Int = 200) {
+    readPollMillis: Int = 200,
+    frameReadTimeoutMillis: Int = 30000) {
 
   private var socket: Socket = _
   private var in: DataInputStream = _
@@ -200,8 +201,27 @@ final class PgReplicationClient(
           throw PgError("08P01", s"unexpected message '${other.toChar}' before copy-both")
       }
     }
-    socket.setSoTimeout(readPollMillis)
     var lastStatusAt = System.nanoTime()
+
+    /** Poll for a frame: only the FIRST byte read carries the short
+      * poll timeout — once a type byte is consumed, the rest of the
+      * frame is read under a generous timeout, so a slow large frame
+      * (TOASTed row) can never time out mid-frame and leave the stream
+      * desynchronized on a half-consumed message.
+      */
+    def pollMsg(): Option[Msg] = {
+      socket.setSoTimeout(readPollMillis)
+      val tpe =
+        try in.read()
+        catch { case _: SocketTimeoutException => return None }
+      if (tpe < 0) throw new java.io.EOFException("connection closed")
+      socket.setSoTimeout(frameReadTimeoutMillis)
+      val len = in.readInt()
+      if (len < 4 || len > (1 << 30)) throw new java.io.IOException(s"bad frame length $len")
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      Some(Msg(tpe.toByte, payload))
+    }
     def maybeSendStatus(force: Boolean): Unit = {
       val lsn = ackLsn.get()
       val due = (System.nanoTime() - lastStatusAt) / 1000000L >= statusIntervalMillis
@@ -213,9 +233,7 @@ final class PgReplicationClient(
     }
     var streaming = true
     while (streaming && !stopRequested.get()) {
-      val m =
-        try Some(readMsg(in))
-        catch { case _: SocketTimeoutException => None }
+      val m = pollMsg()
       m.foreach { msg =>
         msg.tpe match {
           case Tpe.CopyData =>
@@ -230,6 +248,9 @@ final class PgReplicationClient(
                   else (tMicros + PgEpochDeltaMicros) / 1000L
                 handler(XLogData(walStart, walEnd, serverTimeMs,
                   new String(r.remaining(), "UTF-8")))
+                // keep the ack cadence under sustained traffic too —
+                // without this, a busy stream only acks on keepalives
+                maybeSendStatus(force = false)
               case CopyTag.PrimaryKeepalive =>
                 val walEnd = r.int64(); r.int64() // sendTime unused
                 val replyRequested = r.byte() != 0

@@ -1,6 +1,6 @@
 package graft.sources.pg
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.File
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.CountDownLatch
 import java.util.concurrent.atomic.AtomicLong
@@ -41,8 +41,8 @@ final class PgWalReceiver(
 
   private val walStarts = ArrayBuffer[Long]() // line i (0-based) → walStart
   private val spooled = new AtomicLong(0L)
-  private var writer: BufferedWriter = _
-  private var idxWriter: BufferedWriter = _
+  private var writer: java.io.FileOutputStream = _
+  private var idxWriter: java.io.FileOutputStream = _
   private var linesInSegment = 0
   private var thread: Thread = _
   private val started = new CountDownLatch(1)
@@ -50,6 +50,7 @@ final class PgWalReceiver(
   @volatile private var client: PgReplicationClient = _
   @volatile private var openTxn: String = null // BEGIN seen, COMMIT not yet
   @volatile private var highestWalStart = 0L
+  @volatile private var stopping = false
   @volatile var recoveries: Int = 0
 
   Files.createDirectories(Paths.get(spoolDir))
@@ -87,20 +88,21 @@ final class PgWalReceiver(
     if (writer == null || linesInSegment >= linesPerSegment) {
       if (writer != null) writer.close()
       val startLine = spooled.get()
-      writer = new BufferedWriter(new FileWriter(
-        new File(spoolDir, f"$startLine%012d.wal"), true))
+      writer = new java.io.FileOutputStream(
+        new File(spoolDir, f"$startLine%012d.wal"), true)
       linesInSegment = 0
     }
   }
 
   private def spool(x: XLogData): Unit = {
     rollIfNeeded()
-    writer.write(x.line)
-    writer.write('\n')
-    writer.flush()
-    idxWriter.write(java.lang.Long.toHexString(x.walStart))
-    idxWriter.write('\n')
-    idxWriter.flush()
+    // one write() per full line (content + newline): the source's
+    // reader polls these files concurrently, and a buffered writer
+    // could expose a half-flushed line as a complete one. A single
+    // write of the whole record into the page cache is the strongest
+    // line-level atomicity a plain file offers.
+    writer.write((x.line + "\n").getBytes("UTF-8"))
+    idxWriter.write((java.lang.Long.toHexString(x.walStart) + "\n").getBytes("UTF-8"))
     walStarts.synchronized { walStarts += x.walStart }
     spooled.incrementAndGet()
     linesInSegment += 1
@@ -118,7 +120,7 @@ final class PgWalReceiver(
     * slot's position.
     */
   def start(slot: String, startLsn: Long = 0L): Unit = {
-    idxWriter = new BufferedWriter(new FileWriter(idxFile, true))
+    idxWriter = new java.io.FileOutputStream(idxFile, true)
     registerAckHook()
     thread = new Thread(() => {
       var lsn = startLsn
@@ -132,13 +134,22 @@ final class PgWalReceiver(
           proceed = false
           try client.startReplication(slot, lsn)(spool)
           catch {
-            case e: PgError if recoveries < maxRecoveries =>
+            // recover from server errors AND connection-level failures
+            // (EOF, reset, mid-frame timeout) — any of them breaks the
+            // stream the same way; but never "recover" from our own
+            // shutdown closing the socket
+            case e @ (_: PgError | _: java.io.IOException)
+                if !stopping && recoveries < maxRecoveries =>
               recoveries += 1
               // close the open transaction for the ledger's benefit
               if (openTxn != null)
                 spool(XLogData(highestWalStart, highestWalStart, 0L, s"COMMIT $openTxn"))
+              val prevAck = client.currentAckLsn
               try client.close() catch { case _: Throwable => () }
               client = clientFactory()
+              // carry the committed position over so a quiet stream
+              // after recovery still trims the slot to it
+              client.updateAckLsn(prevAck)
               client.connect()
               val (_, _, xlogpos) = client.identifySystem()
               lsn = xlogpos
@@ -165,6 +176,7 @@ final class PgWalReceiver(
   }
 
   def stop(): Unit = {
+    stopping = true
     if (client != null) client.requestStop()
     if (thread != null) thread.join(5000)
     if (writer != null) { writer.close(); writer = null }

@@ -19,7 +19,8 @@ import PgWire._
   */
 final case class FakeConn(
     xlog: Seq[(Long, String)],
-    errorAfterFrames: Int = -1,
+    errorAfterFrames: Int = -1, // send ErrorResponse then close
+    dropAfterFrames: Int = -1, // close the socket with no error frame
     xlogpos: String = "0/100")
 
 final class FakePgServer(
@@ -159,8 +160,11 @@ final class FakePgServer(
               writeMsg(out, Tpe.CopyBothResponse,
                 new Builder().byte(0).byte(0).byte(0).result())
               var sent = 0
+              val frameCap =
+                Seq(script.errorAfterFrames, script.dropAfterFrames).filter(_ >= 0)
+                  .reduceOption(math.min).getOrElse(Int.MaxValue)
               script.xlog.foreach { case (walStart, line) =>
-                if (script.errorAfterFrames < 0 || sent < script.errorAfterFrames) {
+                if (sent < frameCap) {
                   val bytes = line.getBytes("UTF-8")
                   val b = new Builder()
                     .byte(CopyTag.XLogData)
@@ -176,6 +180,9 @@ final class FakePgServer(
                 // then drop the connection
                 sendError(out, "XX000", "simulated replication failure")
                 return
+              }
+              if (script.dropAfterFrames >= 0) {
+                return // hard TCP drop: no error frame at all
               }
               if (keepaliveAfterFrames) {
                 val k = new Builder()

@@ -175,6 +175,36 @@ class PgReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("hard TCP drop (no error frame) also recovers; committed ack LSN survives the reconnect") {
+    val conn1 = FakeConn(Seq(
+      0x200L -> "BEGIN 950",
+      0x210L -> "table public.users: INSERT: id[integer]:1",
+      0x220L -> "COMMIT 950"),
+      dropAfterFrames = 3) // full txn delivered, then the socket dies
+    val conn2 = FakeConn(Seq(
+      0x500L -> "BEGIN 951",
+      0x510L -> "COMMIT 951"), xlogpos = "0/500")
+    val srv = new FakePgServer(Nil, connScripts = Seq(conn1, conn2))
+    val dir = Files.createTempDirectory("graft_pg_drop").toString
+    val r = new PgWalReceiver(() => newClient(srv.port), dir, 10000, maxRecoveries = 3)
+    try {
+      r.start("s", 0L)
+      assert(awaitTrue()(r.linesSpooled >= 3))
+      r.ackLines(3) // commit the whole first txn -> ack 0x220
+      // the drop arrives with no ErrorResponse: EOF must recover too
+      assert(awaitTrue()(r.recoveries == 1))
+      assert(awaitTrue()(r.linesSpooled >= 5))
+      // no open txn at drop time -> no synthetic COMMIT spooled
+      val spooled = graft.sources.WalSource.readLines(dir, 0, 5)
+      assert(spooled(3) == "BEGIN 951")
+      // the pre-drop committed LSN was carried onto the new connection
+      assert(awaitTrue()(srv.acks.asScala.contains(0x220L)))
+    } finally {
+      r.stop()
+      srv.stop()
+    }
+  }
+
   test("receiver recovers the line->LSN index across restarts") {
     val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
     val dir = Files.createTempDirectory("graft_pg_idx").toString
