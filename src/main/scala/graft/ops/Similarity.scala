@@ -146,32 +146,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       fitSampleSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-
     // ---- fit centroids on a bounded sample (simple Lloyd's, driver-side)
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
-      .limit(fitSampleSize).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toSeq).take(math.min(nlist, sample.length)).toArray
-    val iters = 10
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
-      }.toArray
-      it += 1
-    }
+    val centroids = fitCentroids(corpus, nlist, seed, fitSampleSize, vecCol)
 
     // ---- native cell assignment against the referenced centroid array
     // (argmin over squared distance == argmax over 2·dot − ‖c‖²): one
@@ -193,6 +169,104 @@ object Similarity {
         round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
       .select("query_id", "neighbor_id", "sim_r")
     rankedTopK(scored, k)
+  }
+
+  /** Fit IVF centroids on a bounded sample (driver-side Lloyd's) —
+    * shared by [[ivfTopK]] and the stored-layout path.
+    */
+  def fitCentroids(
+      corpus: DataFrame, nlist: Int, seed: Long = 42L,
+      fitSampleSize: Int = 10000, vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(fitSampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toSeq).take(math.min(nlist, sample.length)).toArray
+    var it = 0
+    while (it < 10) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** The 100 TB IVF layout: materialize the corpus PARTITIONED BY its
+    * cell assignment. Queries then touch only their probed cells'
+    * partitions — the scan prunes at the file-listing level, so a
+    * query reads ~nprobe/nlist of the data no matter how large the
+    * corpus grows.
+    */
+  def writeCellPartitioned(
+      corpus: DataFrame, centroids: Array[Array[Double]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol), col(vecCol),
+      element_at(GraftFunctions.nearest_cells(col(vecCol), centroids, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Top-k against a cell-partitioned corpus: probe cells are computed
+    * driver-side from the (small, broadcastable) centroid matrix and
+    * pushed as a STATIC partition filter — `.explain` shows
+    * `PartitionFilters: [cell IN (…)]` and the scan lists only those
+    * directories.
+    */
+  def ivfTopKPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed: Map[Long, Seq[Int]] = qRows.map { case (id, v) =>
+      id -> nearestCells(v, centroids, nprobe)
+    }.toMap
+    val cells = probed.values.flatten.toSeq.distinct.sorted
+
+    val corpus = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*)) // static partition pruning
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
+
+    val qDf = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          probed.toSeq.flatMap { case (id, cs) =>
+            val vec = qRows.find(_._1 == id).get._2
+            cs.map(c => org.apache.spark.sql.Row(id, vec.toSeq, c))
+          }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q_vec",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType)))))
+
+    val scored = corpus.join(qDf, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(scored, k)
+  }
+
+  /** Driver-side nprobe-nearest cells (same scoring as [[graft.functions.NearestCells]]). */
+  private def nearestCells(v: Array[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] = {
+    val scores = cs.map { c =>
+      var dot = 0.0d
+      var i = 0
+      while (i < math.min(v.length, c.length)) { dot += v(i) * c(i); i += 1 }
+      2.0d * dot - c.map(x => x * x).sum
+    }
+    scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

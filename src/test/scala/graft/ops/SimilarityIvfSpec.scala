@@ -49,4 +49,39 @@ class SimilarityIvfSpec extends AnyFunSuite {
       assert(ids == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("cell-partitioned IVF layout: partition pruning + exhaustive-probe equivalence") {
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 300L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 4)
+
+    val centroids = Similarity.fitCentroids(corpus, nlist = 6, vecCol = "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    Similarity.writeCellPartitioned(corpus, centroids, path)
+
+    // one directory per non-empty cell
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 6)
+
+    // exhaustive probing over the stored layout == brute force
+    val stored = Similarity.ivfTopKPartitioned(spark, path, queries, k = 3,
+      centroids, nprobe = 6)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(stored.toSeq == brute.toSeq)
+
+    // partial probing prunes the scan: the plan carries a partition
+    // filter on cell and reads fewer files than the full layout
+    val pruned = Similarity.ivfTopKPartitioned(spark, path, queries.limit(1), k = 3,
+      centroids, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+    val filesRead = pruned.select(input_file_name()).distinct().count()
+    val totalFiles = spark.read.parquet(path).select(input_file_name()).distinct().count()
+    assert(filesRead < totalFiles, s"pruned scan read $filesRead of $totalFiles files")
+  }
 }
