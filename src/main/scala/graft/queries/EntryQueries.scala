@@ -664,8 +664,12 @@ object EntryQueries {
       |  FROM orders) WHERE rank <= 3""".stripMargin
 
   /** Full CDC pipeline (parse → filter → partition → marshal) over the
-    * events wire lines — the flagship/bench path; JSON output is
-    * checked by golden unit tests, rows-only here.
+    * events wire lines — the flagship/bench path. The oracle rebuilds
+    * the ENTIRE output JSON envelope byte-for-byte in SQL (fixed time
+    * fallback, `%X/%X` LSN via to_hex, merged columns map in source
+    * order, Jackson-style escaping of the props payload), so the whole
+    * parse→filter→key→marshal chain is hash-checked, on top of the
+    * reference-golden unit tests.
     */
   def qCdcPipeline(spark: SparkSession, dir: String): DataFrame = {
     val parsed = preludeFiltered(spark, dir,
@@ -678,6 +682,25 @@ object EntryQueries {
     Marshaller(noMarshalOldValue = false)(keyed)
       .select("walStart", "operation", "relation", "partitionKey", "json")
   }
+
+  val qCdcPipelineSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, printf('%.2f', value) AS val,
+      |    replace(replace(props, '\', '\\'), '"', '\"') AS props_esc
+      |  FROM events WHERE event_type <> 'error'
+      |)
+      |SELECT event_id AS walStart, 'INSERT' AS operation,
+      |  'public.' || event_type AS relation,
+      |  'public.' || event_type AS partitionKey,
+      |  '{"time":"1970-01-01T00:00:01Z","time_ms":0,"txn":"' || user_id || '-0","lsn":"' ||
+      |    upper(to_hex(event_id >> 32)) || '/' || upper(to_hex(event_id & 4294967295)) ||
+      |    '","table":"public.' || event_type || '","operation":"INSERT","columns":{' ||
+      |    '"event_id":{"new":{"v":"' || event_id || '","t":"bigint","q":"false"}},' ||
+      |    '"user_id":{"new":{"v":"' || user_id || '","t":"bigint","q":"false"}},' ||
+      |    '"event_type":{"new":{"v":"' || event_type || '","t":"text","q":"true"}},' ||
+      |    '"value":{"new":{"v":"' || val || '","t":"double precision","q":"true"}},' ||
+      |    '"props":{"new":{"v":"' || props_esc || '","t":"jsonb","q":"true"}}}}' AS json
+      |FROM e""".stripMargin
 
   // ------------------------------------------------------- registry
 
@@ -746,5 +769,6 @@ object EntryQueries {
     "q_distinct_users" -> qDistinctUsersSql,
     "q_agg_pricing" -> qAggPricingSql,
     "q_join_revenue" -> qJoinRevenueSql,
-    "q_topk_orders" -> qTopkOrdersSql)
+    "q_topk_orders" -> qTopkOrdersSql,
+    "q_cdc_pipeline" -> qCdcPipelineSql)
 }
