@@ -71,7 +71,12 @@ object WalSource {
 
   def segmentFiles(path: String): Seq[java.io.File] = {
     val d = new java.io.File(path)
-    Option(d.listFiles()).map(_.filter(_.isFile).sortBy(_.getName).toSeq)
+    // Hadoop convention: dot/underscore files are metadata, not data —
+    // the receiver's .wal.idx sidecar lives in the same directory.
+    Option(d.listFiles())
+      .map(_.filter(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .sortBy(_.getName).toSeq)
       .getOrElse(Nil)
   }
 

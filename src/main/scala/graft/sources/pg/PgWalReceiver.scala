@@ -55,7 +55,8 @@ final class PgWalReceiver(
 
   Files.createDirectories(Paths.get(spoolDir))
   // Recover the line→LSN index left by a previous receiver session.
-  private val idxFile = new File(spoolDir, "wal.idx")
+  // Dot-prefixed so the segment source never mistakes it for WAL data.
+  private val idxFile = new File(spoolDir, ".wal.idx")
   if (idxFile.exists()) {
     val src = scala.io.Source.fromFile(idxFile, "UTF-8")
     try src.getLines().foreach(l => walStarts += java.lang.Long.parseLong(l, 16))

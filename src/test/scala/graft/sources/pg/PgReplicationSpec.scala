@@ -205,6 +205,72 @@ class PgReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("receiver session + checkpointed query both restart: exactly-once, acks resume in server LSNs") {
+    import TestSpark.spark
+    val conn1 = FakeConn(Seq(
+      0x100L -> "BEGIN 960",
+      0x110L -> "table public.users: INSERT: id[integer]:1",
+      0x120L -> "COMMIT 960",
+      0x130L -> "BEGIN 961",
+      0x140L -> "table public.users: INSERT: id[integer]:2",
+      0x150L -> "COMMIT 961"))
+    val conn2 = FakeConn(Seq(
+      0x200L -> "BEGIN 962",
+      0x210L -> "table public.users: INSERT: id[integer]:3",
+      0x220L -> "COMMIT 962"), xlogpos = "0/200")
+    val srv = new FakePgServer(Nil, connScripts = Seq(conn1, conn2))
+    val dir = Files.createTempDirectory("graft_pg_restart_spool").toString
+    val outDir = Files.createTempDirectory("graft_pg_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_pg_restart_ckpt").toString
+
+    def startQuery() = {
+      val src = CdcPipeline.fromWalSource(spark, dir, maxLinesPerTrigger = Some(2))
+      CdcPipeline.transform(src, CdcConfig(partitionMethod = Partitioner.Transaction))
+        .where(org.apache.spark.sql.functions.col("json").isNotNull)
+        .select("json")
+        .writeStream.format("text")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    }
+
+    try {
+      // session 1: stream two txns, run the query, stop both
+      val c1 = newClient(srv.port)
+      val r1 = new PgWalReceiver(() => c1, dir, 10000, 0)
+      r1.start("s", 0L)
+      assert(r1.awaitLines(6))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      r1.stop(); c1.close()
+
+      // session 2: fresh receiver (index reloaded from wal.idx), the
+      // server streams a third txn from a later LSN
+      val c2 = newClient(srv.port)
+      val r2 = new PgWalReceiver(() => c2, dir, 10000, 0)
+      r2.start("s", 0L)
+      assert(r2.awaitLines(9))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+
+      // exactly-once across both sessions
+      val ids = spark.read.text(outDir.toString).collect().map { r =>
+        """"id":\{"new":\{"v":"(\d+)"""".r.findFirstMatchIn(r.getString(0)).get.group(1).toInt
+      }.sorted.toSeq
+      assert(ids == Seq(1, 2, 3))
+
+      // acks translate through the RELOADED index: the committed line
+      // offsets map to real frame walStarts of both sessions
+      assert(awaitTrue()(srv.acks.asScala.exists(_ >= 0x150L)))
+      val walSet = (conn1.xlog ++ conn2.xlog).map(_._1).toSet + 0L
+      assert(srv.acks.asScala.forall(walSet.contains))
+
+      q2.stop()
+      r2.stop(); c2.close()
+    } finally srv.stop()
+  }
+
   test("receiver recovers the line->LSN index across restarts") {
     val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
     val dir = Files.createTempDirectory("graft_pg_idx").toString
