@@ -258,6 +258,126 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Product-quantization codebooks: M subspaces × K centroids × D/M
+    * dims, fit driver-side on a bounded sample of L2-NORMALIZED vectors
+    * (so the ADC score approximates cosine). The standard
+    * billion-scale compression: codes are M ints instead of D floats.
+    */
+  def pqTrain(
+      corpus: DataFrame, m: Int, ksub: Int = 16, seed: Long = 42L,
+      fitSampleSize: Int = 10000, vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(fitSampleSize).collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, math.min(ksub, sub.length), seed + s)
+    }.toArray
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0d
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    var cs = rnd.shuffle(points.toSeq).take(k).toArray
+    var it = 0
+    while (it < 10) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      points.foreach { p =>
+        val c = nearestCentroid(p, cs)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += p(d); d += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
+      }.toArray
+      it += 1
+    }
+    cs
+  }
+
+  /** Encode the corpus: M small codes per row (8–32× smaller than the
+    * float vector — at 100 TB, THIS is what you store and scan).
+    */
+  def pqEncode(
+      corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val normed = normalizeExpr(col(vecCol))
+    corpus.select(col(idCol),
+      column(graft.functions.PqEncode(expression(normed), codebooks)).as("pq_codes"))
+  }
+
+  private def normalizeExpr(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val vd = vec.cast("array<double>")
+    val n = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
+    transform(vd, x => x / n)
+  }
+
+  /** Approximate cosine top-k over PQ codes via asymmetric distance:
+    * each query's M×K lookup table (subvector · centroid dot products)
+    * is broadcast; scoring a candidate is M table reads. Ranking reuses
+    * the per-partition pre-reduce.
+    */
+  def pqTopK(
+      encoded: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val spark = encoded.sparkSession
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
+    val lutRows = qRows.map { case (id, q) =>
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < ksub) {
+          var dot = 0.0d
+          var i = 0
+          while (i < dsub) { dot += q(s * dsub + i) * codebooks(s)(j)(i); i += 1 }
+          lut(s * ksub + j) = dot
+          j += 1
+        }
+        s += 1
+      }
+      org.apache.spark.sql.Row(id, lut.toSeq)
+    }
+    val qDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false))))))
+
+    val scored = encoded.select(col(idCol).as("neighbor_id"), col("pq_codes"))
+      .join(qDf, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(column(graft.functions.PqAdcScore(
+          expression(col("pq_codes")), expression(col("lut")), ksub)), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(scored, k)
+  }
+
   /** Driver-side nprobe-nearest cells (same scoring as [[graft.functions.NearestCells]]). */
   private def nearestCells(v: Array[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] = {
     val scores = cs.map { c =>

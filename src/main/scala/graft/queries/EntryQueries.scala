@@ -554,6 +554,19 @@ object EntryQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Product-quantization ANN: train M=8/K=16 codebooks, encode the
+    * corpus to 8 codes/vector, search via asymmetric distance — the
+    * compressed-storage scale path (rows-only: approximate by
+    * construction; cluster-recall and self-similarity pinned by spec).
+    */
+  def qSimilarityPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    val codebooks = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    val encoded = Similarity.pqEncode(emb, codebooks)
+    Similarity.pqTopK(encoded, emb.where(col("vec_id") < 8), k = 5, codebooks)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(T(spark, dir, "documents"))
     Multimodal.frameSample(media, n = 4, frameBytes = 16)
@@ -731,6 +744,7 @@ object EntryQueries {
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_similarity_lsh" -> qSimilarityLsh _,
+    "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
     "q_sessionize" -> qSessionize _,
     "q_skew_salted_agg" -> qSkewSaltedAgg _,

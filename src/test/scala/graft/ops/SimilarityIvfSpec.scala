@@ -50,6 +50,51 @@ class SimilarityIvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("product quantization: exact on codebook points, high recall on clustered data") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // clustered corpus: 10 anchors, 30 points each with small noise
+    val anchors = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0L until 300L).map { i =>
+      val a = anchors((i % 10).toInt)
+      (i, a.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+
+    val codebooks = Similarity.pqTrain(corpus, m = 4, ksub = 16)
+    assert(codebooks.length == 4 && codebooks(0)(0).length == 4)
+    val encoded = Similarity.pqEncode(corpus, codebooks)
+    assert(encoded.select(size(col("pq_codes"))).head.getInt(0) == 4)
+
+    val pq = Similarity.pqTopK(encoded, queries, k = 5, codebooks)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    // Quantization collapses same-cluster points onto near-identical
+    // ADC scores, so exact-rank recall is tie-dominated; the property
+    // PQ must deliver is CLUSTER recall — retrieved neighbors come from
+    // the query's cluster.
+    val clusterRecall = pq.map { case (q, ns) =>
+      ns.count(n => n % 10 == q % 10).toDouble / ns.size
+    }.sum / pq.size
+    assert(clusterRecall >= 0.9, s"PQ cluster recall@5 = $clusterRecall")
+
+    // encoding is deterministic, and a query's ADC score against its
+    // OWN encoded vector approximates cosine(v, v) = 1
+    val enc1 = Similarity.pqEncode(corpus.where(col("vec_id") === 0), codebooks)
+      .head.getSeq[Int](1)
+    val enc2 = Similarity.pqEncode(corpus.where(col("vec_id") === 0), codebooks)
+      .head.getSeq[Int](1)
+    assert(enc1 == enc2)
+    val dup = corpus.where(col("vec_id") === 7)
+      .select(lit(1007L).as("vec_id"), col("embedding"))
+    val withDup = Similarity.pqEncode(corpus.unionAll(dup), codebooks)
+    val self = Similarity.pqTopK(withDup, corpus.where(col("vec_id") === 7), k = 1, codebooks)
+      .head
+    assert(self.getDouble(3) > 0.9, s"self-ADC score ${self.getDouble(3)} should approach 1")
+  }
+
   test("cell-partitioned IVF layout: partition pruning + exhaustive-probe equivalence") {
     import org.apache.spark.sql.functions._
     val dim = 8
