@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types._
 
 import graft.functions._
 
@@ -24,7 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def lit(e: Expression): Int =
     e.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(s"literal out of int range: $l")
       case other => throw new IllegalArgumentException(s"literal int expected, got $other")
     }
   private def litLong(e: Expression): Long =
@@ -33,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case l: Long => l
       case other => throw new IllegalArgumentException(s"literal long expected, got $other")
     }
+
+  // The DataFrame wrappers cast inputs before building the expressions
+  // (e.g. cosine over array<float> columns); the SQL surface must do
+  // the same or float-packed arrays would be read as doubles.
+  private def asDoubles(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def asLongs(e: Expression): Expression = Cast(e, ArrayType(LongType))
+  private def asStrings(e: Expression): Expression = Cast(e, ArrayType(StringType))
+  private def asString(e: Expression): Expression = Cast(e, StringType)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
@@ -43,53 +53,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     inject("parse_test_decoding",
       "parse_test_decoding(line) - parse a test_decoding wire line into the change-record struct") {
-      args => ParseTestDecoding(args.head)
+      args => ParseTestDecoding(asString(args.head))
     }
     inject("prelude_relation",
       "prelude_relation(line) - relation from the prelude-only parse") {
-      args => ParsePreludeField(args.head, 0)
+      args => ParsePreludeField(asString(args.head), 0)
     }
     inject("prelude_operation",
       "prelude_operation(line) - operation from the prelude-only parse") {
-      args => ParsePreludeField(args.head, 1)
+      args => ParsePreludeField(asString(args.head), 1)
     }
     inject("winnow_fingerprint",
       "winnow_fingerprint(text[, k, w]) - winnowing rolling-hash fingerprint (sorted distinct window minima)") {
-      case Seq(t) => WinnowFingerprint(t, 5, 4)
-      case Seq(t, k, w) => WinnowFingerprint(t, lit(k), lit(w))
+      case Seq(t) => WinnowFingerprint(asString(t), 5, 4)
+      case Seq(t, k, w) => WinnowFingerprint(asString(t), lit(k), lit(w))
       case args => throw new IllegalArgumentException(s"winnow_fingerprint: 1 or 3 args, got ${args.size}")
     }
     inject("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two double-array columns") {
-      case Seq(a, b) => CosineSim(a, b)
+      case Seq(a, b) => CosineSim(asDoubles(a), asDoubles(b))
       case args => throw new IllegalArgumentException(s"cosine_sim: 2 args, got ${args.size}")
     }
     inject("minhash_signature",
       "minhash_signature(tokens[, numHashes, seed]) - MinHash signature of a token array") {
-      case Seq(t) => MinHashSignature(t, 64, 42)
-      case Seq(t, n, s) => MinHashSignature(t, lit(n), lit(s))
+      case Seq(t) => MinHashSignature(asStrings(t), 64, 42)
+      case Seq(t, n, s) => MinHashSignature(asStrings(t), lit(n), lit(s))
       case args => throw new IllegalArgumentException(s"minhash_signature: 1 or 3 args, got ${args.size}")
     }
     inject("simhash64",
       "simhash64(tokens[, seed]) - 64-bit SimHash of a token array") {
-      case Seq(t) => SimHash64(t, 42)
-      case Seq(t, s) => SimHash64(t, lit(s))
+      case Seq(t) => SimHash64(asStrings(t), 42)
+      case Seq(t, s) => SimHash64(asStrings(t), lit(s))
       case args => throw new IllegalArgumentException(s"simhash64: 1 or 2 args, got ${args.size}")
     }
     inject("shingle_hashes",
       "shingle_hashes(text[, k, seed]) - distinct 64-bit hashes of word k-shingles") {
-      case Seq(t) => ShingleHashes(t, 3, 42)
-      case Seq(t, k, s) => ShingleHashes(t, lit(k), lit(s))
+      case Seq(t) => ShingleHashes(asString(t), 3, 42)
+      case Seq(t, k, s) => ShingleHashes(asString(t), lit(k), lit(s))
       case args => throw new IllegalArgumentException(s"shingle_hashes: 1 or 3 args, got ${args.size}")
     }
     inject("jaccard_long",
       "jaccard_long(a, b) - exact Jaccard of two distinct bigint-array sets") {
-      case Seq(a, b) => JaccardLong(a, b)
+      case Seq(a, b) => JaccardLong(asLongs(a), asLongs(b))
       case args => throw new IllegalArgumentException(s"jaccard_long: 2 args, got ${args.size}")
     }
     inject("hyperplane_buckets",
       "hyperplane_buckets(vec, dim, nBits, bands, seed) - per-band hyperplane LSH bucket ids") {
-      case Seq(v, d, n, b, s) => HyperplaneBuckets(v, lit(d), lit(n), lit(b), litLong(s))
+      case Seq(v, d, n, b, s) => HyperplaneBuckets(asDoubles(v), lit(d), lit(n), lit(b), litLong(s))
       case args => throw new IllegalArgumentException(s"hyperplane_buckets: 5 args, got ${args.size}")
     }
   }

@@ -90,8 +90,12 @@ object WalSource {
   private val lineCountCache =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, (Long, Long, Long)](64, 0.75f, true) {
+        // Sized so a full sequential sweep of a large spool still fits
+        // (a 65k-segment stream is ~5 MB of cache; an access-order LRU
+        // smaller than the sweep would thrash to a 0% hit rate). Long
+        // captures should compact segments before approaching this.
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Long, Long, Long)]): Boolean = size() > 4096
+            e: java.util.Map.Entry[String, (Long, Long, Long)]): Boolean = size() > 65536
       })
 
   def fileLineCount(f: java.io.File): Long = {

@@ -55,8 +55,13 @@ final class PgWalReceiver(
 
   Files.createDirectories(Paths.get(spoolDir))
   // Recover the line→LSN index left by a previous receiver session.
-  // Dot-prefixed so the segment source never mistakes it for WAL data.
+  // Dot-prefixed so the segment source never mistakes it for WAL data;
+  // a spool written before the rename is migrated on sight.
   private val idxFile = new File(spoolDir, ".wal.idx")
+  locally {
+    val legacy = new File(spoolDir, "wal.idx")
+    if (legacy.exists() && !idxFile.exists()) legacy.renameTo(idxFile)
+  }
   if (idxFile.exists()) {
     val src = scala.io.Source.fromFile(idxFile, "UTF-8")
     try src.getLines().foreach(l => walStarts += java.lang.Long.parseLong(l, 16))
@@ -154,7 +159,9 @@ final class PgWalReceiver(
               client.connect()
               val (_, _, xlogpos) = client.identifySystem()
               lsn = xlogpos
-              proceed = true
+              // a stop() racing this reconnect may have signalled only
+              // the discarded client — re-check before streaming again
+              proceed = !stopping
           }
         }
       } catch {
@@ -179,7 +186,14 @@ final class PgWalReceiver(
   def stop(): Unit = {
     stopping = true
     if (client != null) client.requestStop()
-    if (thread != null) thread.join(5000)
+    if (thread != null) {
+      thread.join(5000)
+      if (thread.isAlive) {
+        // a recovery swapped clients mid-stop: signal the current one
+        if (client != null) client.requestStop()
+        thread.join(5000)
+      }
+    }
     if (writer != null) { writer.close(); writer = null }
     if (idxWriter != null) { idxWriter.close(); idxWriter = null }
     WalSource.ackHooks.remove(spoolDir)

@@ -60,8 +60,9 @@ object StatsReporters {
       val total = r.getAs[Long]("total")
       send(statsdLine(prefix, component, statName, unit, statType, total))
       if (statType == "histogram") {
-        val samples = r.getAs[Long]("samples")
-        val avg = if (samples == 0) 0L else (total.toDouble / samples).toLong
+        // the aggregator's own avg column, truncated to a whole number
+        // exactly like the reference (aggregate.go:72 `int64(a.avg)`)
+        val avg = r.getAs[Double]("avg").toLong
         send(statsdLine(prefix, component, s"${statName}_avg", unit, statType, avg))
         send(statsdLine(prefix, component, s"${statName}_max", unit, statType, r.getAs[Long]("max")))
         send(statsdLine(prefix, component, s"${statName}_min", unit, statType, r.getAs[Long]("min")))

@@ -20,6 +20,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-9)
 
+    // float-array columns (the embeddings table's real type) must cast,
+    // not be read as doubles
+    val cosF = spark.sql(
+      """SELECT cosine_sim(array(cast(3.0 as float), cast(4.0 as float)),
+        |                  array(cast(3.0 as float), cast(4.0 as float))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(cosF - 1.0) < 1e-6)
+
     val fp = spark.sql(
       "SELECT size(winnow_fingerprint('the quick brown fox jumps over it')) AS n").head.getInt(0)
     assert(fp > 0)

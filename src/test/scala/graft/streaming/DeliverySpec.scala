@@ -26,26 +26,36 @@ class DeliverySpec extends AnyFunSuite {
       col("id").as("walStart"),
       concat(lit("""{"i":"""), col("id"), lit("}")).as("json"))
 
+    // the full delivery path: affinity routing, the sink-edge WAL-order
+    // sort (a shuffle does not preserve order — the sort is part of the
+    // delivery contract), then the REAL chunked-sink machinery; the
+    // transport must receive every key's records in WAL order across
+    // chunk boundaries. (Like the reference's ordering itest, this runs
+    // without sink errors: a partial-failure resend re-delivers later
+    // by design in both systems.)
     val routed = Router.route(df, 4, Router.Partition())
-    // drain each worker partition through the capped sink path and
-    // record arrival order per key
-    val arrivals = routed.repartition(4, col("workerId"))
+    val transports = routed.repartition(4, col("workerId"))
       .sortWithinPartitions("walStart")
-      .select("partitionKey", "walStart")
-      .as[(String, Long)]
+      .select("partitionKey", "timeBasedKey", "walStart", "json")
+      .as[(String, String, Long, String)]
       .mapPartitions { it =>
-        // the sink write is sequential per partition: arrival order IS
-        // iterator order; emit (key, walStart, seq) triples
-        var seq = 0L
-        it.map { case (k, w) => seq += 1; (k, w, seq) }
+        val transport = new InMemoryTransport()
+        val recs = it.map { case (k, tbk, w, j) =>
+          SinkRecord(k, tbk, w, j.getBytes("UTF-8"))
+        }
+        ChunkedSink.writePartition(recs, BatchCaps(100, Long.MaxValue, Long.MaxValue),
+          transport, () => new Backoff(sleeper = _ => ()))
+        // arrival order per key as the transport saw it
+        transport.sent.flatten.map(r => (r.partitionKey, r.walStart)).iterator
       }.collect()
 
-    // per key: sequence order must equal walStart order (no interleaving
-    // reordering within the worker), and exactly one worker saw the key
-    arrivals.groupBy(_._1).foreach { case (_, rows) =>
-      val bySeq = rows.sortBy(_._3).map(_._2).toSeq
-      assert(bySeq == bySeq.sorted, "arrival order == WAL order within the worker")
+    // per key: the transport's arrival order is WAL order (chunking and
+    // the retry resend never reorder), and every record arrived
+    transports.groupBy(_._1).foreach { case (_, rows) =>
+      val order = rows.map(_._2).toSeq
+      assert(order == order.sorted, s"arrival order != WAL order: ${order.take(10)}")
     }
+    assert(transports.length == n, "every record delivered exactly once")
     val workersPerKey = Router.route(df, 4, Router.Partition())
       .groupBy("partitionKey").agg(countDistinct("workerId").as("w"))
       .select("w").as[Long].collect()
