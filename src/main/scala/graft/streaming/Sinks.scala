@@ -197,17 +197,34 @@ object ChunkedSink {
   def kinesisPartitionKey(r: SinkRecord, keyed: Boolean): String =
     if (keyed && r.partitionKey.nonEmpty) r.partitionKey else r.walStart.toString
 
-  /** ForeachWriter adapter for streaming queries. */
+  /** ForeachWriter adapter for streaming queries. Pass an
+    * [[EpochTracker]] for end-to-end exactly-once against
+    * non-transactional transports: Spark replays a whole micro-batch
+    * if it fails between the sink write and the offset-log commit, and
+    * `open` returning false for an already-delivered (partition,
+    * epoch) tells Spark to skip it — the idempotence half of the
+    * exactly-once contract (the source-offset half is checkpointing).
+    */
   def foreachWriter(
       caps: BatchCaps,
-      transportFactory: () => RecordTransport): ForeachWriter[Row] =
+      transportFactory: () => RecordTransport,
+      tracker: EpochTracker = EpochTracker.none): ForeachWriter[Row] =
     new ForeachWriter[Row] {
       @transient private var buf: ArrayBuffer[SinkRecord] = _
       @transient private var transport: RecordTransport = _
+      private var part: Long = -1L
+      private var epoch: Long = -1L
       override def open(partitionId: Long, epochId: Long): Boolean = {
-        buf = new ArrayBuffer[SinkRecord]()
-        transport = transportFactory()
-        true
+        part = partitionId
+        epoch = epochId
+        if (tracker.alreadyCommitted(partitionId, epochId)) {
+          buf = null // close() is still invoked after a declined open
+          false
+        } else {
+          buf = new ArrayBuffer[SinkRecord]()
+          transport = transportFactory()
+          true
+        }
       }
       override def process(row: Row): Unit = {
         val json = row.getAs[String]("json")
@@ -219,7 +236,45 @@ object ChunkedSink {
             json.getBytes("UTF-8"))
       }
       override def close(errorOrNull: Throwable): Unit =
-        if (errorOrNull == null && buf != null)
+        if (errorOrNull == null && buf != null) {
           writePartition(buf.iterator, caps, transport, () => new Backoff())
+          tracker.markCommitted(part, epoch) // AFTER delivery succeeded
+        }
     }
+}
+
+/** Replay guard for non-transactional sinks: records which (partition,
+  * epoch) pairs were fully delivered. The marker is written only after
+  * the transport accepted every record, so a crash mid-delivery leaves
+  * no marker and the replayed epoch re-sends (at-least-once within the
+  * epoch, exactly-once across epochs — the same guarantee the
+  * reference's ledger-acked redelivery provides).
+  */
+trait EpochTracker extends Serializable {
+  def alreadyCommitted(partitionId: Long, epochId: Long): Boolean
+  def markCommitted(partitionId: Long, epochId: Long): Unit
+}
+
+object EpochTracker {
+  /** No tracking: every replay re-sends (at-least-once). */
+  val none: EpochTracker = new EpochTracker {
+    def alreadyCommitted(partitionId: Long, epochId: Long): Boolean = false
+    def markCommitted(partitionId: Long, epochId: Long): Unit = ()
+  }
+
+  /** Marker files under `dir` (a shared filesystem on a cluster —
+    * same durability domain as the checkpoint). One empty file per
+    * committed (partition, epoch).
+    */
+  def fileBacked(dir: String): EpochTracker = new EpochTracker {
+    private def marker(p: Long, e: Long) =
+      java.nio.file.Paths.get(dir, f"epoch-$e%020d-part-$p%05d")
+    def alreadyCommitted(p: Long, e: Long): Boolean =
+      java.nio.file.Files.exists(marker(p, e))
+    def markCommitted(p: Long, e: Long): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      try java.nio.file.Files.createFile(marker(p, e))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
 }

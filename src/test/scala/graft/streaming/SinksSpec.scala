@@ -66,6 +66,46 @@ class SinksSpec extends AnyFunSuite {
     assert(chunks0.map(_.records.size) == Seq(1, 1))
   }
 
+  test("epoch tracker makes batch replays idempotent: open returns false, nothing re-sent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_epochs").toString
+    val tracker = EpochTracker.fileBacked(dir)
+    val transport = new InMemoryTransport()
+    val writer = ChunkedSink.foreachWriter(BatchCaps.kinesis, () => transport, tracker)
+
+    def row(i: Int): org.apache.spark.sql.Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any]("k", s"t$i-0", i.toLong, s"""{"i":$i}"""),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partitionKey", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("timeBasedKey", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("walStart", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("json", org.apache.spark.sql.types.StringType))))
+
+    // first delivery of (partition 0, epoch 7)
+    assert(writer.open(0, 7))
+    (1 to 3).foreach(i => writer.process(row(i)))
+    writer.close(null)
+    assert(transport.totalRecords == 3)
+
+    // Spark replays the same epoch after a failure before offset commit:
+    // open must decline and nothing may be re-sent
+    assert(!writer.open(0, 7))
+    writer.close(null)
+    assert(transport.totalRecords == 3)
+
+    // a FAILED first attempt leaves no marker: the replay re-delivers
+    assert(writer.open(1, 7))
+    writer.process(row(9))
+    writer.close(new RuntimeException("task died before delivery"))
+    assert(writer.open(1, 7), "no marker after failure -> replay proceeds")
+    writer.process(row(9))
+    writer.close(null)
+    assert(transport.totalRecords == 4)
+
+    // later epochs proceed normally
+    assert(writer.open(0, 8))
+  }
+
   test("writePartition: partial failures are retried; written counts reported per txn") {
     val transport = new InMemoryTransport(partialFailOnce = Seq(1, 3))
     val recs = (1 to 5).map(i => rec("k", s"t${i % 2}", i, 10))
