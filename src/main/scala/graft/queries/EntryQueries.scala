@@ -582,6 +582,32 @@ object EntryQueries {
       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_text
       |FROM f WHERE frame_text <> ''""".stripMargin
 
+  /** Greedy sequence packing of documents into 512-token training bins
+    * (shard-parallel, deterministic) — oracle re-derives the greedy
+    * walk with a recursive CTE.
+    */
+  def qSeqPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(
+      T(spark, dir, "documents"), budget = 512, shardSize = 1000)
+
+  val qSeqPackingSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, doc_id // 1000 AS shard,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents),
+      |ordered AS (SELECT doc_id, shard, n,
+      |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks),
+      |pack AS (
+      |  SELECT doc_id, shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS used
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.doc_id, o.shard, o.rn, o.n,
+      |    CASE WHEN p.used + o.n > 512 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.used + o.n > 512 THEN o.n ELSE p.used + o.n END
+      |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      |SELECT doc_id AS id, shard, bin, CAST(n AS BIGINT) AS n_tokens FROM pack""".stripMargin
+
   /** Gap-based sessionization of the events stream (30-minute gap). */
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(T(spark, dir, "events"))
@@ -746,6 +772,7 @@ object EntryQueries {
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
+    "q_seq_packing" -> qSeqPacking _,
     "q_sessionize" -> qSessionize _,
     "q_skew_salted_agg" -> qSkewSaltedAgg _,
     "q_distinct_users" -> qDistinctUsers _,
@@ -778,6 +805,7 @@ object EntryQueries {
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_frame_sample" -> qFrameSampleSql,
+    "q_seq_packing" -> qSeqPackingSql,
     "q_sessionize" -> qSessionizeSql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql,
     "q_distinct_users" -> qDistinctUsersSql,

@@ -26,7 +26,8 @@ class PgReplicationSpec extends AnyFunSuite {
     new PgReplicationClient("127.0.0.1", port, "u", "db", password,
       statusIntervalMillis = 100L, readPollMillis = 20)
 
-  private def awaitTrue(timeoutMillis: Long = 5000L)(cond: => Boolean): Boolean = {
+  // generous default: these run concurrently with Spark-heavy suites
+  private def awaitTrue(timeoutMillis: Long = 30000L)(cond: => Boolean): Boolean = {
     val deadline = System.nanoTime() + timeoutMillis * 1000000L
     while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
     cond
