@@ -180,26 +180,7 @@ object Similarity {
     val sample = corpus.select(col(vecCol).cast("array<double>"))
       .limit(fitSampleSize).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toSeq).take(math.min(nlist, sample.length)).toArray
-    var it = 0
-    while (it < 10) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
-      }.toArray
-      it += 1
-    }
-    centroids
+    lloyd(sample, math.min(nlist, sample.length), seed)
   }
 
   /** The 100 TB IVF layout: materialize the corpus PARTITIONED BY its
@@ -225,30 +206,24 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, centroids: Array[Array[Double]], nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    import spark.implicits._
+    // one pass: (query row, its probe cells) — duplicate ids are kept
+    // as distinct query rows, same as the non-partitioned path
+    val probeRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probed: Map[Long, Seq[Int]] = qRows.map { case (id, v) =>
-      id -> nearestCells(v, centroids, nprobe)
-    }.toMap
-    val cells = probed.values.flatten.toSeq.distinct.sorted
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        nearestCells(v, centroids, nprobe).map(c => (id, v.toSeq, c))
+      }
+    val cells = probeRows.map(_._3).distinct.sorted.toSeq
 
     val corpus = spark.read.parquet(path)
       .where(col("cell").isin(cells: _*)) // static partition pruning
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
 
-    val qDf = broadcast(
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          probed.toSeq.flatMap { case (id, cs) =>
-            val vec = qRows.find(_._1 == id).get._2
-            cs.map(c => org.apache.spark.sql.Row(id, vec.toSeq, c))
-          }),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("q_vec",
-            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
-          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType)))))
+    val qDf = broadcast(probeRows.toSeq.toDF("query_id", "q_vec", "cell"))
 
     val scored = corpus.join(qDf, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -325,7 +300,9 @@ object Similarity {
   private def normalizeExpr(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val vd = vec.cast("array<double>")
     val n = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
-    transform(vd, x => x / n)
+    // zero vectors stay zero (NOT 0/0 = NaN), matching the driver-side
+    // normalize() so training and encoding agree on degenerate input
+    when(n === 0.0d, vd).otherwise(transform(vd, x => x / n))
   }
 
   /** Approximate cosine top-k over PQ codes via asymmetric distance:
@@ -360,14 +337,10 @@ object Similarity {
         }
         s += 1
       }
-      org.apache.spark.sql.Row(id, lut.toSeq)
+      (id, lut.toSeq)
     }
-    val qDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(lutRows.toSeq),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("lut",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false))))))
+    import spark.implicits._
+    val qDf = broadcast(lutRows.toSeq.toDF("query_id", "lut"))
 
     val scored = encoded.select(col(idCol).as("neighbor_id"), col("pq_codes"))
       .join(qDf, col("query_id") =!= col("neighbor_id"))
@@ -378,15 +351,15 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
-  /** Driver-side nprobe-nearest cells (same scoring as [[graft.functions.NearestCells]]). */
+  /** Driver-side nprobe-nearest cells — delegates to the SAME scoring
+    * the executor-side expression runs, so the cells a query probes are
+    * bit-identical to the cells the corpus was written under.
+    */
   private def nearestCells(v: Array[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] = {
-    val scores = cs.map { c =>
-      var dot = 0.0d
-      var i = 0
-      while (i < math.min(v.length, c.length)) { dot += v(i) * c(i); i += 1 }
-      2.0d * dot - c.map(x => x * x).sum
-    }
-    scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+    val out = graft.functions.NearestCells.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+      cs, cs.map(c => c.map(x => x * x).sum), nprobe)
+    (0 until out.numElements()).map(out.getInt)
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -60,7 +60,20 @@ final class PgWalReceiver(
   private val idxFile = new File(spoolDir, ".wal.idx")
   locally {
     val legacy = new File(spoolDir, "wal.idx")
-    if (legacy.exists() && !idxFile.exists()) legacy.renameTo(idxFile)
+    if (legacy.exists() && !idxFile.exists()) {
+      if (!legacy.renameTo(idxFile)) {
+        // rename denied (e.g. cross-device): copy, then the original
+        // MUST go away or the segment source would read it as WAL data
+        Files.copy(legacy.toPath, idxFile.toPath)
+        if (!legacy.delete())
+          throw new IllegalStateException(
+            s"cannot migrate legacy index $legacy: delete failed; remove it manually")
+      }
+    } else if (legacy.exists()) {
+      // both present (old receiver ran after the rename): ambiguous
+      throw new IllegalStateException(
+        s"both $legacy and $idxFile exist; reconcile the spool manually")
+    }
   }
   if (idxFile.exists()) {
     val src = scala.io.Source.fromFile(idxFile, "UTF-8")

@@ -262,17 +262,25 @@ object EpochTracker {
     def markCommitted(partitionId: Long, epochId: Long): Unit = ()
   }
 
-  /** Marker files under `dir` (a shared filesystem on a cluster —
-    * same durability domain as the checkpoint). One empty file per
-    * committed (partition, epoch).
+  /** Marker files under `dir/scope` (a shared filesystem on a cluster).
+    * One empty file per committed (partition, epoch).
+    *
+    * The tracker directory is part of the query's durability domain,
+    * exactly like the checkpoint: pair one tracker dir+scope with one
+    * checkpoint location, and reset them TOGETHER — epochs restart at 0
+    * after a checkpoint reset, and stale markers would silently
+    * suppress delivery. A repartitioning restart mid-epoch can likewise
+    * redistribute rows into an already-marked partition id; changing
+    * `spark.sql.shuffle.partitions` for a query warrants a new scope
+    * (the same caveat Spark documents for foreachBatch idempotence).
     */
-  def fileBacked(dir: String): EpochTracker = new EpochTracker {
+  def fileBacked(dir: String, scope: String = "default"): EpochTracker = new EpochTracker {
     private def marker(p: Long, e: Long) =
-      java.nio.file.Paths.get(dir, f"epoch-$e%020d-part-$p%05d")
+      java.nio.file.Paths.get(dir, scope, f"epoch-$e%020d-part-$p%05d")
     def alreadyCommitted(p: Long, e: Long): Boolean =
       java.nio.file.Files.exists(marker(p, e))
     def markCommitted(p: Long, e: Long): Unit = {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, scope))
       try java.nio.file.Files.createFile(marker(p, e))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
