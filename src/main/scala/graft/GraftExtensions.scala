@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(a, b) => JaccardLong(asLongs(a), asLongs(b))
       case args => throw new IllegalArgumentException(s"jaccard_long: 2 args, got ${args.size}")
     }
+    inject("marshal_json",
+      "marshal_json(operation, relation, columns, oldColumns, serverTimeMs, timeBasedKey, walStart[, noMarshalOldValue]) - render the change-record JSON envelope") {
+      case args if args.size == 7 || args.size == 8 =>
+        val noOld = if (args.size == 8) args(7).eval(null) == true else false
+        MarshalJson(Seq(
+          asString(args(0)), asString(args(1)), args(2), args(3),
+          Cast(args(4), LongType), asString(args(5)), Cast(args(6), LongType)), noOld)
+      case args => throw new IllegalArgumentException(s"marshal_json: 7 or 8 args, got ${args.size}")
+    }
     inject("hyperplane_buckets",
       "hyperplane_buckets(vec, dim, nBits, bands, seed) - per-band hyperplane LSH bucket ids") {
       case Seq(v, d, n, b, s) => HyperplaneBuckets(asDoubles(v), lit(d), lit(n), lit(b), litLong(s))

@@ -54,5 +54,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val shg = spark.sql(
       "SELECT size(shingle_hashes('one two three four')) AS n").head.getInt(0)
     assert(shg == 2) // 4 tokens, k=3 -> 2 shingles
+
+    // the full CDC marshal path from plain SQL: parse then render
+    val envelope = spark.sql(
+      """SELECT marshal_json(p.operation, p.relation, p.columns, p.oldColumns,
+        |                    0L, '42-0', 5L) AS j
+        |FROM (SELECT parse_test_decoding(
+        |  "table public.t: INSERT: id[integer]:7 name[text]:'a'") AS p)""".stripMargin)
+      .head.getString(0)
+    assert(envelope ==
+      """{"time":"1970-01-01T00:00:01Z","time_ms":0,"txn":"42-0","lsn":"0/5","table":"public.t","operation":"INSERT","columns":{"id":{"new":{"v":"7","t":"integer","q":"false"}},"name":{"new":{"v":"a","t":"text","q":"true"}}}}""")
   }
 }
