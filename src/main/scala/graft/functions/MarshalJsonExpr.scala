@@ -94,8 +94,10 @@ object MarshalJson {
     sb.append("{\"time\":\"")
     appendTime(sb, serverTimeMs)
     sb.append("\",\"time_ms\":").append(serverTimeMs)
-    sb.append(",\"txn\":")
-    appendJsonString(sb, tbk)
+    if (tbk != null) { // omitted when null, like to_json(ignoreNullFields)
+      sb.append(",\"txn\":")
+      appendJsonString(sb, tbk)
+    }
     sb.append(",\"lsn\":\"")
     sb.append(java.lang.Long.toHexString(walStart >>> 32).toUpperCase)
     sb.append('/')

@@ -44,7 +44,8 @@ object PqEncode {
   def compute(vec: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val out = new Array[Int](m)
+    val len = vec.numElements() // dims past the vector's end read as 0,
+    val out = new Array[Int](m) // like HyperplaneBuckets/NearestCells
     var s = 0
     while (s < m) {
       val cb = codebooks(s)
@@ -57,7 +58,7 @@ object PqEncode {
         var d = 0.0d
         var i = 0
         while (i < dsub) {
-          val x = vec.getDouble(base + i) - c(i)
+          val x = (if (base + i < len) vec.getDouble(base + i) else 0.0d) - c(i)
           d += x * x
           i += 1
         }

@@ -81,10 +81,17 @@ object Marshaller {
 
   /** RFC3339 timestamp; PG 9–11 report ServerTime=0, for which the
     * reference emits a fixed epoch-ish constant (marshaller.go:42,304-310).
+    *
+    * `date_format` renders in the session timezone; shifting the
+    * instant by `to_utc_timestamp(_, current_timezone())` makes the
+    * rendered wall-clock UTC regardless of session tz — matching the
+    * native [[graft.functions.MarshalJson]], which is UTC-fixed.
     */
   private def timeExpr(serverTimeMs: Column): Column =
     when(serverTimeMs =!= 0,
-      date_format(timestamp_millis(serverTimeMs), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      date_format(
+        to_utc_timestamp(timestamp_millis(serverTimeMs), current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
       .otherwise("1970-01-01T00:00:01Z")
 
   /** Full output JSON for one change record; NULL for BEGIN/COMMIT
@@ -128,9 +135,16 @@ object Marshaller {
       walStart: Column,
       noMarshalOldValue: Boolean): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // MarshalJson.eval casts its long/string inputs directly; tolerate
+    // Int/Timestamp/typed columns the same way the declarative jsonExpr
+    // and the SQL-registered builder (GraftExtensions) do.
+    def str(c: Column) = Cast(expression(c), StringType)
+    def lng(c: Column) = Cast(expression(c), LongType)
     column(graft.functions.MarshalJson(
-      Seq(operation, relation, columns, oldColumns, serverTimeMs, timeBasedKey, walStart)
-        .map(expression),
+      Seq(str(operation), str(relation), expression(columns), expression(oldColumns),
+        lng(serverTimeMs), str(timeBasedKey), lng(walStart)),
       noMarshalOldValue))
   }
 

@@ -75,11 +75,96 @@ final class PgWalReceiver(
         s"both $legacy and $idxFile exist; reconcile the spool manually")
     }
   }
-  if (idxFile.exists()) {
-    val src = scala.io.Source.fromFile(idxFile, "UTF-8")
-    try src.getLines().foreach(l => walStarts += java.lang.Long.parseLong(l, 16))
-    finally src.close()
+  // --- torn-write recovery ---
+  // spool() appends the data line and its idx entry as two independent
+  // writes with no ordering barrier between the streams; a crash can
+  // leave either file with a trailing line missing its newline (a torn
+  // line that an append-mode reopen would silently extend into a
+  // valid-looking but WRONG entry — e.g. a truncated hex LSN that
+  // later translates an ack past undelivered data), or the data spool
+  // one line ahead of the idx. Repair on startup: truncate each file
+  // to its last complete line, then trim both streams to the shorter.
+  // Trimmed lines were never ack-translatable, so the slot never
+  // advanced past them — the server redelivers after reconnect (the
+  // same at-least-once window the reference's error recovery accepts,
+  // replication/client/client.go:386-424).
+  locally {
+    truncateTornTail(idxFile)
+    val segs = WalSource.segmentFiles(spoolDir)
+    segs.lastOption.foreach(truncateTornTail) // only the newest can be torn
+    if (idxFile.exists()) {
+      val src = scala.io.Source.fromFile(idxFile, "UTF-8")
+      val allValid =
+        try src.getLines().forall { l =>
+          try { walStarts += java.lang.Long.parseLong(l.trim, 16); true }
+          catch { case _: NumberFormatException => false }
+        } finally src.close()
+      if (!allValid) rewriteIdx() // keep only the valid prefix
+    }
+    val dataLines = segs.map(WalSource.fileLineCount).sum
+    if (walStarts.size > dataLines) {
+      walStarts.remove(dataLines.toInt, walStarts.size - dataLines.toInt)
+      rewriteIdx()
+    } else if (dataLines > walStarts.size) {
+      truncateDataTo(segs, walStarts.size.toLong)
+    }
     spooled.set(walStarts.size.toLong)
+  }
+
+  /** Drop a trailing line that is missing its newline (torn write). */
+  private def truncateTornTail(f: File): Unit = {
+    if (!f.exists() || f.length() == 0) return
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(raf.length() - 1)
+      if (raf.read() == '\n') return
+      var pos = raf.length() - 1
+      var cut = 0L
+      while (cut == 0L && pos > 0) {
+        pos -= 1
+        raf.seek(pos)
+        if (raf.read() == '\n') cut = pos + 1
+      }
+      raf.setLength(cut)
+    } finally raf.close()
+  }
+
+  /** Atomically replace the idx with the current `walStarts` prefix. */
+  private def rewriteIdx(): Unit = {
+    val tmp = new File(spoolDir, ".wal.idx.tmp")
+    val w = new java.io.FileOutputStream(tmp)
+    try walStarts.foreach(ws =>
+      w.write((java.lang.Long.toHexString(ws) + "\n").getBytes("UTF-8")))
+    finally w.close()
+    Files.move(tmp.toPath, idxFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Trim the data spool to its first `keep` lines (drop the unindexed
+    * tail; segments are bounded by `linesPerSegment`, so reading one
+    * whole segment to find the cut point is cheap).
+    */
+  private def truncateDataTo(segs: Seq[File], keep: Long): Unit = {
+    var before = 0L
+    segs.foreach { f =>
+      val n = WalSource.fileLineCount(f)
+      if (before >= keep) {
+        if (!f.delete())
+          throw new IllegalStateException(s"cannot remove surplus segment $f")
+      } else if (before + n > keep) {
+        val bytes = Files.readAllBytes(f.toPath)
+        var lines = 0L
+        var pos = 0
+        while (lines < keep - before && pos < bytes.length) {
+          if (bytes(pos) == '\n') lines += 1
+          pos += 1
+        }
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try raf.setLength(pos.toLong) finally raf.close()
+      }
+      before += n
+    }
   }
 
   /** Lines spooled so far (existing + this session). */

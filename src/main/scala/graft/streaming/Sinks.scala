@@ -15,7 +15,13 @@ final case class SinkRecord(partitionKey: String, timeBasedKey: String,
   *  - RabbitMQ: 5000 records (rabbitmq/config.go:47-50)
   *  - S3: 50 000 records/object (s3/config.go:53-56)
   */
-final case class BatchCaps(maxRecords: Int, maxBatchBytes: Long, maxRecordBytes: Long)
+final case class BatchCaps(maxRecords: Int, maxBatchBytes: Long, maxRecordBytes: Long) {
+  // A record admitted by maxRecordBytes must also fit a batch by
+  // itself, or the chunker would emit a single-record chunk the
+  // transport's hard batch limit then rejects at send time.
+  require(maxRecordBytes <= maxBatchBytes,
+    s"maxRecordBytes ($maxRecordBytes) must not exceed maxBatchBytes ($maxBatchBytes)")
+}
 object BatchCaps {
   val kinesis: BatchCaps = BatchCaps(500, 5L * 1024 * 1024, 1L * 1024 * 1024)
   val kafka: BatchCaps = BatchCaps(5000, Long.MaxValue, 1000000L)

@@ -72,4 +72,53 @@ class MarshalNativeParitySpec extends AnyFunSuite {
     val row = frame.limit(3).collect()
     assert(row.nonEmpty) // codegen path exercised above; this pins row shape
   }
+
+  test("parity holds with a NULL timeBasedKey (txn omitted on both paths)") {
+    val both = frame.select(
+      Marshaller.jsonExpr($"operation", $"relation", $"columns", $"oldColumns",
+        $"serverTimeMs", lit(null).cast("string"), $"walStart", noMarshalOldValue = false)
+        .as("catalyst"),
+      Marshaller.jsonExprNative($"operation", $"relation", $"columns", $"oldColumns",
+        $"serverTimeMs", lit(null).cast("string"), $"walStart", noMarshalOldValue = false)
+        .as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("catalyst"))
+      val j = r.getAs[String]("native")
+      if (j != null) assert(!j.contains("\"txn\""))
+    }
+  }
+
+  test("parity holds when the session timezone is not UTC") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val both = frame.select(
+        Marshaller.jsonExpr($"operation", $"relation", $"columns", $"oldColumns",
+          $"serverTimeMs", $"timeBasedKey", $"walStart", noMarshalOldValue = false)
+          .as("catalyst"),
+        Marshaller.jsonExprNative($"operation", $"relation", $"columns", $"oldColumns",
+          $"serverTimeMs", $"timeBasedKey", $"walStart", noMarshalOldValue = false)
+          .as("native"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        val native = r.getAs[String]("native")
+        assert(native == r.getAs[String]("catalyst"))
+        // and the UTC render is pinned, not merely mutually consistent
+        if (native != null && native.contains("1723456789123"))
+          assert(native.contains("\"time\":\"2024-08-12T09:59:49Z\""))
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("jsonExprNative tolerates Int-typed long inputs (casts like the SQL surface)") {
+    val j = frame.limit(1).select(
+      Marshaller.jsonExprNative($"operation", $"relation", $"columns", $"oldColumns",
+        lit(1723456789).cast("int"), $"timeBasedKey", lit(7).cast("int"),
+        noMarshalOldValue = false).as("native"))
+      .collect().head.getAs[String]("native")
+    assert(j != null && j.contains("\"time_ms\":1723456789") && j.contains("\"lsn\":\"0/7\""))
+  }
 }

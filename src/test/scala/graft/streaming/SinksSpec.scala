@@ -56,12 +56,12 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("degenerate caps still make progress (no infinite chunk loop)") {
-    // record fits maxRecordBytes but exceeds maxBatchBytes: accepted as a
-    // singleton chunk rather than re-pended forever
+    // maxRecordBytes > maxBatchBytes would admit a record no batch can
+    // carry (the transport's hard batch limit rejects it at send time):
+    // rejected at construction instead
+    intercept[IllegalArgumentException](BatchCaps(100, 500, 1000))
+    // maxRecords = 0: first record still accepted, one record per chunk
     val recs = Seq(rec("k", "t", 1, 800), rec("k", "t", 2, 800))
-    val chunks = Chunker.greedyChunks(recs.iterator, BatchCaps(100, 500, 1000)).toSeq
-    assert(chunks.map(_.records.map(_.walStart)) == Seq(Vector(1L), Vector(2L)))
-    // maxRecords = 0: same rule, one record per chunk
     val chunks0 = Chunker.greedyChunks(recs.iterator, BatchCaps(0, Long.MaxValue, Long.MaxValue)).toSeq
     assert(chunks0.map(_.records.size) == Seq(1, 1))
   }
