@@ -3,7 +3,10 @@ package graft.sources.pg
 import java.io.{DataInputStream, DataOutputStream}
 import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
 import java.security.MessageDigest
+import java.security.cert.X509Certificate
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import javax.net.ssl.{SSLContext, SSLSocket, X509TrustManager}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -31,7 +34,11 @@ final case class PgError(sqlState: String, message: String)
   *
   * Scope matches the reference:
   *  - startup with `replication=database` (logical replication mode)
-  *  - trust / cleartext / md5 auth
+  *  - trust / cleartext / md5 / SCRAM-SHA-256 auth (RFC 5802/7677 with
+  *    server-signature verification — PG ≥ 14 defaults to scram) and
+  *    `sslMode` disable|prefer|require TLS via SSLRequest + SSLSocket
+  *    wrap ("require" matches libpq: encrypt, don't verify the chain;
+  *    pass `sslContext` for verify-ca/verify-full-style validation)
   *  - `IDENTIFY_SYSTEM`, `CREATE_REPLICATION_SLOT … LOGICAL
   *    test_decoding` idempotent on SQLSTATE 42710 (utils/utils.go:38-77,
   *    main/main.go:174-190), `DROP_REPLICATION_SLOT`
@@ -55,7 +62,11 @@ final class PgReplicationClient(
     statusIntervalMillis: Long = 10000L,
     connectTimeoutMillis: Int = 10000,
     readPollMillis: Int = 200,
-    frameReadTimeoutMillis: Int = 30000) {
+    frameReadTimeoutMillis: Int = 30000,
+    sslMode: String = "disable", // disable | prefer | require
+    sslContext: Option[SSLContext] = None) {
+
+  require(Set("disable", "prefer", "require")(sslMode), s"bad sslMode: $sslMode")
 
   private var socket: Socket = _
   private var in: DataInputStream = _
@@ -65,6 +76,10 @@ final class PgReplicationClient(
   private val stopRequested = new AtomicBoolean(false)
 
   @volatile private var connected = false
+  @volatile private var tlsActive = false
+
+  /** Whether the current connection negotiated TLS (observability/tests). */
+  def isTls: Boolean = tlsActive
 
   /** Idempotent: a second call on a live connection is a no-op. */
   def connect(): Unit = {
@@ -73,6 +88,7 @@ final class PgReplicationClient(
     socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMillis)
     socket.setTcpNoDelay(true)
+    if (sslMode != "disable") negotiateTls()
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
     writeStartup(out, Seq(
@@ -83,8 +99,47 @@ final class PgReplicationClient(
     authLoop()
   }
 
+  /** SSLRequest dance: one magic frame, one byte back. 'S' → TLS
+    * handshake over the same TCP connection (protocol resumes inside the
+    * tunnel); 'N' → plaintext, fatal under `require`.
+    */
+  private def negotiateTls(): Unit = {
+    val rawOut = new DataOutputStream(socket.getOutputStream)
+    writeSslRequest(rawOut)
+    val answer = socket.getInputStream.read()
+    answer match {
+      case 'S' =>
+        val ctx = sslContext.getOrElse(trustAllContext())
+        val ssl = ctx.getSocketFactory
+          .createSocket(socket, host, port, true).asInstanceOf[SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.startHandshake()
+        socket = ssl
+        tlsActive = true
+      case 'N' =>
+        if (sslMode == "require")
+          throw PgError("08P01", "server refused SSL but sslMode=require")
+      case -1 => throw new java.io.EOFException("connection closed during SSLRequest")
+      case b => throw PgError("08P01", s"unexpected SSLRequest response byte $b")
+    }
+  }
+
+  /** libpq `sslmode=require` semantics: encrypt without chain
+    * validation. Supply `sslContext` for real verification.
+    */
+  private def trustAllContext(): SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array(new X509TrustManager {
+      def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+    }), new java.security.SecureRandom())
+    ctx
+  }
+
   private def authLoop(): Unit = {
     var ready = false
+    var scram: ScramClient = null
     while (!ready) {
       val m = readMsg(in)
       m.tpe match {
@@ -106,6 +161,28 @@ final class PgReplicationClient(
               md.update(inner.getBytes("UTF-8")); md.update(salt)
               val b = new Builder().cstring("md5" + hex(md.digest()))
               writeMsg(out, Tpe.PasswordMessage, b.result())
+            case 10 => // AuthenticationSASL: mechanism list, pick SCRAM-SHA-256
+              var mechs = List.empty[String]
+              var mech = r.cstring()
+              while (mech.nonEmpty) { mechs ::= mech; mech = r.cstring() }
+              if (!mechs.contains(Scram.Mechanism))
+                throw PgError("0A000",
+                  s"server offers only [${mechs.mkString(", ")}]; ${Scram.Mechanism} required")
+              scram = new ScramClient(password.getOrElse(
+                throw PgError("28P01", "password required (SCRAM-SHA-256)")))
+              val first = scram.clientFirstMessage
+              writeMsg(out, Tpe.PasswordMessage,
+                new Builder().cstring(Scram.Mechanism)
+                  .int32(first.length).bytes(first).result())
+            case 11 => // AuthenticationSASLContinue: server-first
+              if (scram == null)
+                throw PgError("08P01", "SASLContinue without SASL start")
+              val serverFirst = new String(r.remaining(), "UTF-8")
+              writeMsg(out, Tpe.PasswordMessage, scram.handleServerFirst(serverFirst))
+            case 12 => // AuthenticationSASLFinal: verify the server's proof
+              if (scram == null)
+                throw PgError("08P01", "SASLFinal without SASL start")
+              scram.verifyServerFinal(new String(r.remaining(), "UTF-8"))
             case code =>
               throw PgError("0A000", s"unsupported auth method $code")
           }

@@ -69,6 +69,18 @@ object PgWire {
     out.flush()
   }
 
+  /** SSLRequest magic (1234.5679 in the protocol's major.minor encoding).
+    * Sent as an untyped `length=8, code` frame before startup; the server
+    * answers a single byte 'S' (proceed with TLS) or 'N'.
+    */
+  val SslRequestCode: Int = 80877103
+
+  def writeSslRequest(out: DataOutputStream): Unit = {
+    out.writeInt(8)
+    out.writeInt(SslRequestCode)
+    out.flush()
+  }
+
   /** Untyped startup frame: `length int32, version int32, k\0v\0..., \0`. */
   def writeStartup(out: DataOutputStream, params: Seq[(String, String)]): Unit = {
     val b = new Builder

@@ -25,10 +25,12 @@ final case class FakeConn(
 
 final class FakePgServer(
     xlog: Seq[(Long, String)], // (walStart, test_decoding line)
-    authMode: String = "trust", // trust | cleartext | md5
+    authMode: String = "trust", // trust | cleartext | md5 | scram
     expectedPassword: String = "pw",
     keepaliveAfterFrames: Boolean = true,
-    connScripts: Seq[FakeConn] = Nil) { // per-connection override; last repeats
+    connScripts: Seq[FakeConn] = Nil, // per-connection override; last repeats
+    tls: Boolean = false, // answer SSLRequest with 'S' and wrap the socket
+    tamperServerSignature: Boolean = false) { // corrupt SCRAM v= (MITM test)
 
   import scala.jdk.CollectionConverters._
 
@@ -96,15 +98,82 @@ final class FakePgServer(
     writeMsg(out, Tpe.DataRow, d.result())
   }
 
-  private def handle(sock: Socket): Unit = {
+  /** Server side of the SCRAM-SHA-256 exchange (RFC 5802 verifier):
+    * advertise the mechanism, salt-and-iterate the expected password,
+    * check H(proof ⊕ ClientSignature) == StoredKey, and emit the server
+    * signature (optionally corrupted, to test the client's MITM check).
+    * Returns false when auth failed and the connection should end.
+    */
+  private def runScramVerifier(in: DataInputStream, out: DataOutputStream): Boolean = {
+    import Scram._
+    writeMsg(out, Tpe.Authentication,
+      new Builder().int32(10).cstring(Mechanism).byte(0).result())
+    val init = new Reader(readMsg(in).payload)
+    if (init.cstring() != Mechanism) {
+      sendError(out, "28000", "unknown SASL mechanism"); return false
+    }
+    val clientFirst = new String(init.bytes(init.int32()), "UTF-8")
+    if (!clientFirst.startsWith("n,,")) {
+      sendError(out, "28000", "unsupported gs2 header"); return false
+    }
+    val bare = clientFirst.substring(3)
+    val cnonce = attrs(bare)('r')
+    val snonce = cnonce + "srvnonce123"
+    val salt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val iters = 4096
+    val serverFirst = s"r=$snonce,s=${b64(salt)},i=$iters"
+    writeMsg(out, Tpe.Authentication,
+      new Builder().int32(11).bytes(serverFirst.getBytes("UTF-8")).result())
+
+    val clientFinal = new String(readMsg(in).payload, "UTF-8")
+    lastAuthResponse = clientFinal
+    val fa = attrs(clientFinal)
+    val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+    val authMessage = s"$bare,$serverFirst,$withoutProof".getBytes("UTF-8")
+    val salted = hi(expectedPassword.getBytes("UTF-8"), salt, iters)
+    val storedKey = h(hmac(salted, "Client Key".getBytes("UTF-8")))
+    val recoveredKey = xor(unb64(fa('p')), hmac(storedKey, authMessage))
+    if (fa('r') != snonce ||
+        !java.security.MessageDigest.isEqual(h(recoveredKey), storedKey)) {
+      sendError(out, "28P01", "password authentication failed (SCRAM)")
+      return false
+    }
+    val sig = hmac(hmac(salted, "Server Key".getBytes("UTF-8")), authMessage)
+    if (tamperServerSignature) sig(0) = (sig(0) ^ 0x01).toByte
+    writeMsg(out, Tpe.Authentication,
+      new Builder().int32(12).bytes(s"v=${b64(sig)}".getBytes("UTF-8")).result())
+    writeMsg(out, Tpe.Authentication, new Builder().int32(0).result())
+    true
+  }
+
+  private def handle(sock0: Socket): Unit = {
     val script = scriptFor(connCount.getAndIncrement())
-    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
+    var sock = sock0
+    var in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
-      // Startup frame (untyped): len, version, params.
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4)
+      // First untyped frame: SSLRequest or startup.
+      var len = in.readInt()
+      var body = new Array[Byte](len - 4)
       in.readFully(body)
+      if (len == 8 && new Reader(body).int32() == SslRequestCode) {
+        if (tls) {
+          out.writeByte('S'); out.flush()
+          val ssl = TestTls.serverContext.getSocketFactory
+            .createSocket(sock, null, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          sock = ssl
+          in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+          out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
+        } else {
+          out.writeByte('N'); out.flush()
+        }
+        // the real startup frame follows on the (possibly wrapped) stream
+        len = in.readInt()
+        body = new Array[Byte](len - 4)
+        in.readFully(body)
+      }
       // auth handshake
       authMode match {
         case "trust" =>
@@ -126,6 +195,8 @@ final class FakePgServer(
             sendError(out, "28P01", "md5 response expected"); return
           }
           writeMsg(out, Tpe.Authentication, new Builder().int32(0).result())
+        case "scram" =>
+          if (!runScramVerifier(in, out)) return
       }
       writeMsg(out, Tpe.ParameterStatus,
         new Builder().cstring("server_version").cstring("16.0").result())
