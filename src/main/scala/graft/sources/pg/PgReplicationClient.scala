@@ -64,7 +64,9 @@ final class PgReplicationClient(
     readPollMillis: Int = 200,
     frameReadTimeoutMillis: Int = 30000,
     sslMode: String = "disable", // disable | prefer | require
-    sslContext: Option[SSLContext] = None) {
+    sslContext: Option[SSLContext] = None,
+    rapidHeartbeatThreshold: Int = 5,
+    rapidHeartbeatWindowMillis: Long = 100L) {
 
   require(Set("disable", "prefer", "require")(sslMode), s"bad sslMode: $sslMode")
 
@@ -77,6 +79,12 @@ final class PgReplicationClient(
 
   @volatile private var connected = false
   @volatile private var tlsActive = false
+  @volatile private var shutdownHeartbeats = false
+
+  /** True when the copy-both loop ended because the server requested
+    * reply keepalives at shutdown cadence (see [[startReplication]]).
+    */
+  def serverRequestedShutdown: Boolean = shutdownHeartbeats
 
   /** Whether the current connection negotiated TLS (observability/tests). */
   def isTls: Boolean = tlsActive
@@ -279,6 +287,9 @@ final class PgReplicationClient(
       }
     }
     var lastStatusAt = System.nanoTime()
+    var hbRequestCount = 0
+    var hbDeltaNanos = 0L
+    var lastHbRequestAt = System.nanoTime()
 
     /** Poll for a frame: only the FIRST byte read carries the short
       * poll timeout — once a type byte is consumed, the rest of the
@@ -331,8 +342,26 @@ final class PgReplicationClient(
               case CopyTag.PrimaryKeepalive =>
                 val walEnd = r.int64(); r.int64() // sendTime unused
                 val replyRequested = r.byte() != 0
-                if (replyRequested) maybeSendStatus(force = true)
-                else maybeSendStatus(force = false)
+                if (replyRequested) {
+                  maybeSendStatus(force = true)
+                  // Shutdown heuristic (reference client.go:448-465): a
+                  // server about to go away hammers reply-requested
+                  // keepalives; more than `threshold` of them with less
+                  // than `window` total spacing ⇒ treat as a shutdown
+                  // request and end the stream cleanly.
+                  val now = System.nanoTime()
+                  hbDeltaNanos += now - lastHbRequestAt
+                  hbRequestCount += 1
+                  if (hbRequestCount > rapidHeartbeatThreshold &&
+                      hbDeltaNanos < rapidHeartbeatWindowMillis * 1000000L) {
+                    shutdownHeartbeats = true
+                    streaming = false
+                  } else if (hbRequestCount > rapidHeartbeatThreshold) {
+                    hbRequestCount = 0
+                    hbDeltaNanos = 0L
+                  }
+                  lastHbRequestAt = now
+                } else maybeSendStatus(force = false)
               case _ => () // unknown copy sub-message: skip (forward compat)
             }
           case Tpe.CopyDone =>

@@ -21,7 +21,8 @@ final case class FakeConn(
     xlog: Seq[(Long, String)],
     errorAfterFrames: Int = -1, // send ErrorResponse then close
     dropAfterFrames: Int = -1, // close the socket with no error frame
-    xlogpos: String = "0/100")
+    xlogpos: String = "0/100",
+    rapidKeepalives: Int = 0) // back-to-back reply-requested keepalives after frames
 
 final class FakePgServer(
     xlog: Seq[(Long, String)], // (walStart, test_decoding line)
@@ -254,6 +255,16 @@ final class FakePgServer(
               }
               if (script.dropAfterFrames >= 0) {
                 return // hard TCP drop: no error frame at all
+              }
+              var rapid = 0
+              while (rapid < script.rapidKeepalives) {
+                val k = new Builder()
+                  .byte(CopyTag.PrimaryKeepalive)
+                  .int64(script.xlog.lastOption.map(_._1).getOrElse(0L))
+                  .int64(nowPgMicros())
+                  .byte(1) // reply requested, at shutdown cadence
+                writeMsg(out, Tpe.CopyData, k.result())
+                rapid += 1
               }
               if (keepaliveAfterFrames) {
                 val k = new Builder()

@@ -272,6 +272,46 @@ class PgReplicationSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("rapid reply-requested keepalives = server shutdown request: clean stop, no recovery") {
+    // 16 back-to-back reply-requested keepalives: even if the first
+    // batch of 6 straddles a slow frame (delta >= window, counter
+    // resets), the next 6 arrive within the window and trigger.
+    val conn = FakeConn(Seq(
+      0x100L -> "BEGIN 970",
+      0x110L -> "COMMIT 970"), rapidKeepalives = 16)
+    val srv = new FakePgServer(Nil, connScripts = Seq(conn),
+      keepaliveAfterFrames = false)
+    try {
+      val c = newClient(srv.port)
+      c.connect()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        c.startReplication("s", 0L)(_ => ())
+        done.countDown()
+      })
+      t.setDaemon(true); t.start()
+      // the loop must END ON ITS OWN (no requestStop) and flag why
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "copy-both loop should self-terminate on rapid heartbeats")
+      assert(c.serverRequestedShutdown)
+      c.close()
+
+      // a single reply-requested keepalive (the normal case) must NOT
+      // trigger: the plain copy-both test already streams through one —
+      // re-assert the flag stays false there
+      val srv2 = new FakePgServer(txnLines)
+      try {
+        val c2 = newClient(srv2.port)
+        c2.connect()
+        val t2 = new Thread(() => c2.startReplication("s", 0L)(_ => ()))
+        t2.setDaemon(true); t2.start()
+        assert(awaitTrue()(srv2.acks.size() > 0))
+        assert(!c2.serverRequestedShutdown)
+        c2.requestStop(); t2.join(5000); c2.close()
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("receiver recovers the line->LSN index across restarts") {
     val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
     val dir = Files.createTempDirectory("graft_pg_idx").toString
