@@ -529,13 +529,38 @@ object EntryQueries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin
 
-  /** LSH-bucketed embedding near-dups — rows-only (candidate recall is
-    * probabilistic by construction).
+  /** The seeded hyperplane matrix as a DuckDB list-of-lists literal —
+    * `Double.toString` emits the shortest decimal that round-trips, so
+    * the oracle's strtod recovers bit-identical planes. Same
+    * materialize-the-constants trick as the CRC-32 table and the
+    * stopword profiles.
+    */
+  private def planesLiteral(dim: Int, nBits: Int, bands: Int, seed: Long): String =
+    graft.functions.HyperplaneBuckets.planes(dim, nBits, bands, seed)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** LSH-bucketed embedding near-dups. The candidate set is seeded and
+    * deterministic, so the oracle recomputes the sign-bit buckets from
+    * the materialized plane matrix with `list_dot_product` — a full
+    * value oracle, not rows-only.
     */
   def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDuplicatesLsh(
       T(spark, dir, "embeddings"), "embedding", "vec_id",
       threshold = 0.3, nBits = 8)
+
+  val qDedupEmbeddingLshSql: String =
+    s"""WITH pl AS (SELECT ${planesLiteral(64, 8, 4, 42L)} AS p),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT id, v, band,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |      i -> CASE WHEN list_dot_product(v, p[band * 8 + i]) >= 0
+       |           THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER) AS bucket
+       |  FROM e, pl, (SELECT unnest([0, 1, 2, 3]) AS band) g),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.v AS v_a, b2.v AS v_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id)
+       |SELECT id_a, id_b, round(list_cosine_similarity(v_a, v_b), 6) AS cosine
+       |FROM pairs WHERE round(list_cosine_similarity(v_a, v_b), 6) >= 0.3""".stripMargin
 
   /** IVF ANN with exhaustive probing (nprobe = nlist): the IVF
     * plumbing (centroid fit, cell assignment, probe-join) in its exact
@@ -547,12 +572,36 @@ object EntryQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
-  /** LSH ANN — rows-only (approximate by construction). */
+  /** LSH ANN. Approximate vs brute force, but DETERMINISTIC given the
+    * seed — the oracle rebuilds the single-band signature from the
+    * materialized planes, probes the same bucket-plus-one-bit-flips
+    * set, and ranks identically: a full value oracle.
+    */
   def qSimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, dim = 64)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  val qSimilarityLshSql: String =
+    s"""WITH pl AS (SELECT ${planesLiteral(64, 8, 1, 42L)} AS p),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT id, v,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |      i -> CASE WHEN list_dot_product(v, p[i]) >= 0
+       |           THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER) AS bucket
+       |  FROM e, pl),
+       |q AS (SELECT id AS query_id, v AS qv, CAST(xor(bucket, m) AS INTEGER) AS bucket
+       |      FROM sig, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) u
+       |      WHERE id < 8),
+       |s AS (SELECT DISTINCT q.query_id, c.id AS neighbor_id,
+       |        round(list_cosine_similarity(q.qv, c.v), 6) AS sim_r
+       |      FROM q JOIN sig c ON q.bucket = c.bucket AND c.id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim_r,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_r
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** Product-quantization ANN: train M=8/K=16 codebooks, encode the
     * corpus to 8 codes/vector, search via asymmetric distance — the
@@ -804,6 +853,8 @@ object EntryQueries {
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLshSql,
+    "q_similarity_lsh" -> qSimilarityLshSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_sessionize" -> qSessionizeSql,
