@@ -40,7 +40,8 @@ object ProgressLedger {
     * @param written zero+ rows per txn: (timeBasedKey, count)
     */
   def contiguousAck(seen: DataFrame, written: DataFrame,
-                    bucketWidth: Long = 1L << 20): DataFrame = {
+                    bucketWidth: Long = 1L << 20,
+                    superFanout: Long = 1L << 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val writtenAgg = written.groupBy("timeBasedKey")
@@ -54,13 +55,18 @@ object ProgressLedger {
 
     // Prefix scan without a global sort and without evaluating `status`
     // twice (a scalar "first incomplete ord" subquery would recompute
-    // the whole join): bucket `ord` into contiguous ranges, do the
-    // ordered prefix scan WITHIN each bucket in parallel (window
-    // partitioned by bucket), reduce each bucket to one summary row,
-    // and combine the few summaries with a tiny single-partition
-    // window. Dense ord spaces (LSNs, order keys) give few buckets; a
-    // degenerate fully-sparse space degrades to the summary row count,
-    // never to a global sort of the transaction rows.
+    // the whole join). Three levels, none of which ever funnels the
+    // transaction rows through one partition:
+    //  1. bucket `ord` into contiguous ranges and prefix-scan WITHIN
+    //     each bucket in parallel (window partitioned by bucket);
+    //  2. group buckets into super-buckets and prefix-scan the bucket
+    //     summaries within each super-bucket in parallel (window
+    //     partitioned by super-bucket) — so a degenerate fully-sparse
+    //     ord space (bucket count ≈ txn count) still splits its
+    //     summary pass across superFanout-sized partitions;
+    //  3. fold the ≤ n/(bucketWidth·superFanout)-ish super summaries
+    //     with sort_array + aggregate() in ONE ordinary aggregation —
+    //     no unpartitioned WindowExec anywhere in the plan.
     val bucketed = status.withColumn("bucket", floor(col("ord") / bucketWidth))
     val wIn = Window.partitionBy("bucket").orderBy("ord")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -72,11 +78,35 @@ object ProgressLedger {
         min(when(col("complete"), 1).otherwise(0)).as("allComplete"))
 
     // A bucket contributes its in-bucket prefix ack iff every earlier
-    // bucket is fully complete.
-    val wOut = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    perBucket
-      .withColumn("okBefore", coalesce(min(col("allComplete")).over(wOut), lit(1)))
-      .agg(max(when(col("okBefore") === 1, col("prefixAck"))).as("ackLsn"))
+    // bucket is fully complete; split "earlier" into earlier-in-my-
+    // super-bucket (windowed here) and earlier-super-bucket (folded in
+    // the final aggregate).
+    val wSuper = Window.partitionBy("superBucket").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perSuper = perBucket
+      .withColumn("superBucket", floor(col("bucket") / superFanout))
+      .withColumn("okBefore", coalesce(min(col("allComplete")).over(wSuper), lit(1)))
+      .groupBy("superBucket")
+      .agg(
+        max(when(col("okBefore") === 1, col("prefixAck"))).as("superAck"),
+        min(col("allComplete")).as("superAll"))
+
+    // Final combine: collect the super summaries (ordered by id — the
+    // struct's first field) and walk them once with aggregate(): `ok`
+    // carries "every earlier super-bucket fully complete", `ack` the
+    // best contribution so far. greatest() skips NULLs, so an empty
+    // super contribution leaves `ack` unchanged.
+    perSuper
+      .agg(sort_array(collect_list(
+        struct(col("superBucket"), col("superAll"), col("superAck")))).as("ss"))
+      .select(
+        aggregate(col("ss"),
+          struct(lit(1).as("ok"), lit(null).cast("long").as("ack")),
+          (acc, x) => struct(
+            least(acc("ok"), x("superAll")).as("ok"),
+            when(acc("ok") === 1 && x("superAck").isNotNull,
+              greatest(acc("ack"), x("superAck"))).otherwise(acc("ack")).as("ack")),
+          acc => acc("ack")).as("ackLsn"))
   }
 }
 

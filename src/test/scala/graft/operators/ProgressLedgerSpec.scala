@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -73,5 +74,45 @@ class ProgressLedgerSpec extends AnyFunSuite {
     // nothing complete → NULL ack
     val ack0 = ProgressLedger.contiguousAck(seen, Seq.empty[(String, Long)].toDF("timeBasedKey", "count"))
     assert(ack0.as[Option[Long]].head().isEmpty)
+  }
+
+  test("contiguousAck on a sparse ord space: every txn its own bucket, many super-buckets") {
+    // bucketWidth=1 + superFanout=4 forces the degenerate shape the
+    // two-level combine exists for: 40 txns → 40 buckets → 10+ super
+    // summaries, prefix logic crossing super boundaries.
+    val n = 40
+    val seen = (0 until n).map { i =>
+      (i * 7L, s"$i-0", 1L, if (i == 25) 0L else 1000L + i) // txn 25 commit unseen
+    }.toDF("ord", "timeBasedKey", "totalMsgs", "commitWalStart")
+    val written = (0 until n).filter(_ != 30) // txn 30 unwritten
+      .map(i => (s"$i-0", 1L)).toDF("timeBasedKey", "count")
+
+    val ack = ProgressLedger.contiguousAck(seen, written,
+      bucketWidth = 1L, superFanout = 4L).as[Option[Long]].head()
+    assert(ack == Some(1000L + 24)) // txn 25 blocks everything after
+
+    // heal txn 25: frontier advances to just before unwritten txn 30
+    val seen2 = seen.withColumn("commitWalStart",
+      when(col("ord") === 25L * 7L, 1025L).otherwise(col("commitWalStart")))
+    val ack2 = ProgressLedger.contiguousAck(seen2, written,
+      bucketWidth = 1L, superFanout = 4L).as[Option[Long]].head()
+    assert(ack2 == Some(1000L + 29))
+
+    // first txn incomplete → nothing ackable at all
+    val written3 = written.where(col("timeBasedKey") =!= "0-0")
+    val ack3 = ProgressLedger.contiguousAck(seen, written3,
+      bucketWidth = 1L, superFanout = 4L).as[Option[Long]].head()
+    assert(ack3.isEmpty)
+
+    // no unpartitioned window anywhere (the old final combine moved all
+    // bucket summaries to a single partition and warned about it)
+    val optimized = ProgressLedger.contiguousAck(seen, written, 1L, 4L)
+      .queryExecution.optimizedPlan
+    val unpartitioned = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"plan must not contain an unpartitioned window:\n$optimized")
   }
 }
