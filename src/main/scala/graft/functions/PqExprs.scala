@@ -72,6 +72,61 @@ object PqEncode {
   }
 }
 
+/** `pq_lut(vec)` → array<double> of M·K entries: the query's lookup
+  * table — entry m·K + j is the dot product of the query's m-th
+  * subvector with centroid j of codebook m. Executor-side twin of the
+  * driver loop in `Similarity.pqTopK` (same loop order, bit-identical
+  * results), so a query set too large to collect can build its LUTs
+  * distributed. Input must already be L2-normalized.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any =
+    PqLut.compute(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqLut.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def compute(vec: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val len = vec.numElements() // dims past the end read as 0, like PqEncode
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var j = 0
+      while (j < ksub) {
+        val c = codebooks(s)(j)
+        var dot = 0.0d
+        var i = 0
+        while (i < dsub) {
+          dot += (if (base + i < len) vec.getDouble(base + i) else 0.0d) * c(i)
+          i += 1
+        }
+        lut(s * ksub + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+}
+
 /** `pq_adc_score(codes, lut)` → double: Σ_m lut[m·K + codes[m]] — the
   * asymmetric distance (here: approximate dot product) of an encoded
   * candidate against a query's flattened M×K lookup table.

@@ -258,8 +258,9 @@ object Similarity {
     var n = 0.0d
     var i = 0
     while (i < v.length) { n += v(i) * v(i); i += 1 }
-    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-    v.map(_ * inv)
+    // divide (don't multiply by the reciprocal): bit-identical to
+    // normalizeExpr, so driver-built and executor-built LUTs agree
+    if (n == 0) v else { val s = math.sqrt(n); v.map(_ / s) }
   }
 
   private def lloyd(points: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
@@ -342,6 +343,58 @@ object Similarity {
     import spark.implicits._
     val qDf = broadcast(lutRows.toSeq.toDF("query_id", "lut"))
 
+    val scored = encoded.select(col(idCol).as("neighbor_id"), col("pq_codes"))
+      .join(qDf, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(column(graft.functions.PqAdcScore(
+          expression(col("pq_codes")), expression(col("lut")), ksub)), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(scored, k)
+  }
+
+  /** Executor-side twin of [[ivfTopKPartitioned]] for query sets too
+    * large to collect: probe cells come from the native
+    * `nearest_cells` expression over the broadcast centroid matrix —
+    * the query DataFrame is never driver-materialized. The cell join
+    * prunes the partitioned store at runtime (dynamic partition
+    * pruning / AQE) instead of via a static PartitionFilter; use the
+    * driver path when queries fit in driver memory and you want the
+    * file listing itself pruned.
+    */
+  def ivfTopKPartitionedDistributed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell",
+        explode(GraftFunctions.nearest_cells(col("q_vec"), centroids, nprobe)))
+    val corpus = spark.read.parquet(path)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(scored, k)
+  }
+
+  /** Executor-side twin of [[pqTopK]]: each query's M×K lookup table is
+    * built by the native `pq_lut` expression against the broadcast
+    * codebooks — no driver collect, so the query set can be any size.
+    * Scores are bit-identical to the driver path (same normalization,
+    * same loop order).
+    */
+  def pqTopKDistributed(
+      encoded: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val ksub = codebooks(0).length
+    val qDf = queries.select(col(idCol).cast("long").as("query_id"),
+      column(graft.functions.PqLut(
+        expression(normalizeExpr(col(vecCol))), codebooks)).as("lut"))
     val scored = encoded.select(col(idCol).as("neighbor_id"), col("pq_codes"))
       .join(qDf, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim_r",

@@ -129,4 +129,37 @@ class SimilarityIvfSpec extends AnyFunSuite {
     val totalFiles = spark.read.parquet(path).select(input_file_name()).distinct().count()
     assert(filesRead < totalFiles, s"pruned scan read $filesRead of $totalFiles files")
   }
+
+  test("executor-side query paths match the driver-collect paths exactly") {
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 300L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // the query set is itself a partitioned DataFrame — the exact shape
+    // the driver-collect paths cannot take at scale
+    val queries = corpus.where(col("vec_id") < 20).repartition(7)
+
+    // --- IVF over the cell-partitioned store
+    val centroids = Similarity.fitCentroids(corpus, nlist = 6, vecCol = "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_dist").toString
+    Similarity.writeCellPartitioned(corpus, centroids, path)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    for (nprobe <- Seq(2, 6)) {
+      val driver = canon(Similarity.ivfTopKPartitioned(
+        spark, path, queries, k = 3, centroids, nprobe))
+      val dist = canon(Similarity.ivfTopKPartitionedDistributed(
+        spark, path, queries, k = 3, centroids, nprobe))
+      assert(dist == driver, s"IVF nprobe=$nprobe executor path diverged")
+    }
+
+    // --- PQ asymmetric-distance search
+    val codebooks = Similarity.pqTrain(corpus, m = 4, ksub = 16)
+    val encoded = Similarity.pqEncode(corpus, codebooks)
+    val pqDriver = canon(Similarity.pqTopK(encoded, queries, k = 5, codebooks))
+    val pqDist = canon(Similarity.pqTopKDistributed(encoded, queries, k = 5, codebooks))
+    assert(pqDist == pqDriver, "PQ executor path diverged")
+  }
 }
