@@ -57,16 +57,32 @@ object Bench {
         }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // n repetitions per query, interleaved (rep-major) so a machine
+    // hiccup lands on different queries each pass instead of biasing
+    // one; the reported time is the per-query MEDIAN, with all samples
+    // emitted for variance analysis.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try evalFully(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val all = names.map { case (name, _) =>
+      "\"" + name + "\":" + samples(name).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"samples":$all,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
