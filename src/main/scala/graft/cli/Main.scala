@@ -1,0 +1,269 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Partitioner, Router}
+import graft.sources.pg.{PgReplicationClient, PgWalReceiver}
+import graft.streaming.{CdcConfig, CdcPipeline, KafkaKeyMode}
+
+/** Runnable entry point mirroring the reference binary's command
+  * surface (main/main.go:557-763):
+  *
+  *   graft create    --slot s …            create a replication slot
+  *   graft drop      --slot s …            drop a replication slot
+  *   graft replicate <sink> [flags]        start logical replication
+  *
+  * Sinks: `stdout` (console), `s3` (date-partitioned gzip NDJSON files;
+  * point `--out-path` at an s3a:// URI on a real cluster), `kafka`
+  * (needs the spark-sql-kafka connector jar on the classpath).
+  *
+  * Flag names follow the reference where the concept maps
+  * (app/config/headers.go): `--slot --user --password --host --port
+  * --dbname --create-slot --workers --whitelist --blacklist
+  * --whitelist-regex --blacklist-regex --partition-method
+  * --partition-count --no-marshal-old-value --batcher-routing-method
+  * --batch-flush-max-age --client-buffer-size`. Spark-side additions:
+  * `--spool-dir --checkpoint --out-path --master --sslmode --once`.
+  * Value sources: flag > environment (`PGPASSWORD` for the password) >
+  * default — the reference's precedence, minus the YAML file.
+  */
+object Main {
+
+  final case class Cli(
+      command: String = "",
+      sink: String = "",
+      host: String = "127.0.0.1",
+      port: Int = 5432,
+      user: String = "postgres",
+      password: Option[String] = sys.env.get("PGPASSWORD"),
+      dbname: String = "postgres",
+      slot: String = "graft",
+      sslmode: String = "disable",
+      createSlot: Boolean = false,
+      workers: Int = 1,
+      whitelist: Seq[String] = Nil,
+      blacklist: Seq[String] = Nil,
+      whitelistRegex: Seq[String] = Nil,
+      blacklistRegex: Seq[String] = Nil,
+      partitionMethod: String = "none",
+      partitionCount: Int = 1,
+      noMarshalOldValue: Boolean = false,
+      routingMethod: String = "round-robin",
+      batchFlushMaxAgeMillis: Long = 1000L,
+      clientBufferSize: Int = 10000,
+      spoolDir: String = "",
+      checkpoint: String = "",
+      outPath: String = "",
+      kafkaBootstrap: String = "",
+      kafkaTopic: String = "",
+      kafkaKeyMode: String = "txn-time-based",
+      master: String = "local[*]",
+      once: Boolean = false)
+
+  def usage: String =
+    """usage: graft <create|drop|replicate> [sink] [--flag value ...]
+      |  graft create    --slot s --host h --port p --user u --dbname db
+      |  graft drop      --slot s ...
+      |  graft replicate <stdout|s3|kafka> --slot s --spool-dir d [--create-slot]
+      |      [--whitelist t ...] [--blacklist t ...] [--whitelist-regex r ...]
+      |      [--blacklist-regex r ...] [--partition-method none|tablename|transaction|transaction-bucket]
+      |      [--partition-count n] [--workers n] [--batcher-routing-method round-robin|partition]
+      |      [--no-marshal-old-value] [--batch-flush-max-age ms] [--client-buffer-size n]
+      |      [--sslmode disable|prefer|require] [--once]
+      |      s3:    --out-path p --checkpoint c
+      |      kafka: --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]""".stripMargin
+
+  def parse(args: Seq[String]): Either[String, Cli] = {
+    if (args.isEmpty) return Left("missing command")
+    var c = Cli(command = args.head)
+    if (!Set("create", "drop", "replicate")(c.command))
+      return Left(s"unknown command: ${c.command}")
+    var rest = args.tail.toList
+    if (c.command == "replicate") rest match {
+      case sink :: more if !sink.startsWith("-") => c = c.copy(sink = sink); rest = more
+      case _ => return Left("replicate needs a sink: stdout | s3 | kafka")
+    }
+    def boolFlag(name: String): Boolean = Set("--" + name, "-s")(name)
+    while (rest.nonEmpty) {
+      val (flag, value, tail) = rest match {
+        case f :: t if f.startsWith("--") && f.contains("=") =>
+          val i = f.indexOf('='); (f.substring(2, i), f.substring(i + 1), t)
+        case f :: v :: t if f.startsWith("--") && !Set("create-slot", "no-marshal-old-value", "once")(f.drop(2)) =>
+          (f.drop(2), v, t)
+        case f :: t if f.startsWith("--") => (f.drop(2), "", t)
+        case "-s" :: t => ("create-slot", "", t)
+        case f :: _ => return Left(s"unexpected argument: $f")
+      }
+      flag match {
+        case "host" => c = c.copy(host = value)
+        case "port" => c = c.copy(port = value.toInt)
+        case "user" => c = c.copy(user = value)
+        case "password" => c = c.copy(password = Some(value))
+        case "dbname" => c = c.copy(dbname = value)
+        case "slot" => c = c.copy(slot = value)
+        case "sslmode" => c = c.copy(sslmode = value)
+        case "create-slot" => c = c.copy(createSlot = true)
+        case "workers" => c = c.copy(workers = value.toInt)
+        case "whitelist" => c = c.copy(whitelist = c.whitelist :+ value)
+        case "blacklist" => c = c.copy(blacklist = c.blacklist :+ value)
+        case "whitelist-regex" => c = c.copy(whitelistRegex = c.whitelistRegex :+ value)
+        case "blacklist-regex" => c = c.copy(blacklistRegex = c.blacklistRegex :+ value)
+        case "partition-method" => c = c.copy(partitionMethod = value)
+        case "partition-count" => c = c.copy(partitionCount = value.toInt)
+        case "no-marshal-old-value" => c = c.copy(noMarshalOldValue = true)
+        case "batcher-routing-method" => c = c.copy(routingMethod = value)
+        case "batch-flush-max-age" => c = c.copy(batchFlushMaxAgeMillis = value.toLong)
+        case "client-buffer-size" => c = c.copy(clientBufferSize = value.toInt)
+        case "spool-dir" => c = c.copy(spoolDir = value)
+        case "checkpoint" => c = c.copy(checkpoint = value)
+        case "out-path" => c = c.copy(outPath = value)
+        case "kafka-bootstrap" => c = c.copy(kafkaBootstrap = value)
+        case "kafka-topic" => c = c.copy(kafkaTopic = value)
+        case "kafka-key-mode" => c = c.copy(kafkaKeyMode = value)
+        case "master" => c = c.copy(master = value)
+        case "once" => c = c.copy(once = true)
+        case other => return Left(s"unknown flag: --$other")
+      }
+      rest = tail
+    }
+    validate(c)
+  }
+
+  private def validate(c: Cli): Either[String, Cli] = {
+    val filters = Seq(c.whitelist, c.blacklist, c.whitelistRegex, c.blacklistRegex)
+      .count(_.nonEmpty)
+    if (filters > 1)
+      Left("whitelist, blacklist, whitelist-regex and blacklist-regex are mutually exclusive")
+    else if (!Set("none", "tablename", "transaction", "transaction-bucket")(c.partitionMethod))
+      Left(s"unknown partition-method: ${c.partitionMethod}")
+    else if (!Set("round-robin", "partition")(c.routingMethod))
+      Left(s"unknown batcher-routing-method: ${c.routingMethod}")
+    else if (c.command == "replicate" && !Set("stdout", "s3", "kafka")(c.sink))
+      Left(s"unknown sink: ${c.sink}")
+    else if (c.command == "replicate" && c.spoolDir.isEmpty)
+      Left("replicate requires --spool-dir")
+    else if (c.command == "replicate" && c.sink == "s3" &&
+      (c.outPath.isEmpty || c.checkpoint.isEmpty))
+      Left("s3 sink requires --out-path and --checkpoint")
+    else if (c.command == "replicate" && c.sink == "kafka" &&
+      (c.kafkaBootstrap.isEmpty || c.kafkaTopic.isEmpty))
+      Left("kafka sink requires --kafka-bootstrap and --kafka-topic")
+    else Right(c)
+  }
+
+  def cdcConfig(c: Cli): CdcConfig = {
+    val (tables, wl, regex) =
+      if (c.whitelist.nonEmpty) (c.whitelist, true, false)
+      else if (c.blacklist.nonEmpty) (c.blacklist, false, false)
+      else if (c.whitelistRegex.nonEmpty) (c.whitelistRegex, true, true)
+      else (c.blacklistRegex, false, true)
+    CdcConfig(
+      filterTables = tables, whitelist = wl, regexFilter = regex,
+      partitionMethod = c.partitionMethod match {
+        case "none" => Partitioner.NoKey
+        case "tablename" => Partitioner.TableName
+        case "transaction" => Partitioner.Transaction
+        case "transaction-bucket" => Partitioner.TransactionBucket(c.partitionCount)
+      },
+      noMarshalOldValue = c.noMarshalOldValue,
+      workers = c.workers,
+      routing = if (c.routingMethod == "partition") Router.Partition() else Router.RoundRobin,
+      triggerMillis = c.batchFlushMaxAgeMillis)
+  }
+
+  private def newClient(c: Cli): PgReplicationClient =
+    new PgReplicationClient(c.host, c.port, c.user, c.dbname, c.password,
+      sslMode = c.sslmode)
+
+  /** Run a parsed command. `sparkProvider` lets tests inject a shared
+    * session; production lazily builds one from `--master`.
+    */
+  def run(c: Cli, sparkProvider: Option[() => SparkSession] = None): Int = c.command match {
+    case "create" =>
+      val client = newClient(c)
+      client.connect()
+      try {
+        val fresh = client.createSlot(c.slot)
+        Console.out.println(
+          if (fresh) s"created slot ${c.slot}" else s"slot ${c.slot} already exists")
+        0
+      } finally client.close()
+
+    case "drop" =>
+      val client = newClient(c)
+      client.connect()
+      try { client.dropSlot(c.slot); Console.out.println(s"dropped slot ${c.slot}"); 0 }
+      finally client.close()
+
+    case "replicate" =>
+      if (c.createSlot) {
+        val admin = newClient(c)
+        admin.connect()
+        try admin.createSlot(c.slot) finally admin.close()
+      }
+      val receiver = new PgWalReceiver(() => newClient(c), c.spoolDir,
+        maxRecoveries = Int.MaxValue)
+      receiver.start(c.slot)
+      val spark = sparkProvider.map(_())
+        .getOrElse(SparkSession.builder()
+          .master(c.master)
+          .appName("graft-replicate")
+          .config("spark.sql.session.timeZone", "UTC")
+          .getOrCreate())
+      val cfg = cdcConfig(c)
+      try {
+        val src = CdcPipeline.fromWalSource(spark, c.spoolDir,
+          maxLinesPerTrigger = Some(c.clientBufferSize))
+        // BEGIN/COMMIT rows carry NULL json — transaction boundaries
+        // feed the ack ledger, not the sink (reference transporters
+        // only ship marshalled records)
+        val out = CdcPipeline.transform(src, cfg)
+          .where(org.apache.spark.sql.functions.col("json").isNotNull)
+        val writer = c.sink match {
+          case "stdout" =>
+            val w = CdcPipeline.toConsole(out, cfg)
+            if (c.checkpoint.nonEmpty) w.option("checkpointLocation", c.checkpoint) else w
+          case "s3" => CdcPipeline.toGzipFiles(out, c.outPath, c.checkpoint, cfg)
+          case "kafka" => CdcPipeline.toKafka(out, c.kafkaBootstrap, c.kafkaTopic,
+            c.kafkaKeyMode match {
+              case "txn-time-based" => KafkaKeyMode.TxnTimeBased
+              case "transaction" => KafkaKeyMode.Transaction
+              case "tablename" => KafkaKeyMode.TableName
+              case _ => KafkaKeyMode.Random
+            }, c.checkpoint, cfg)
+        }
+        val query = writer.start()
+        if (c.once) {
+          // drain-until-quiet: process everything spooled, and only
+          // exit once the receiver has gone idle for a few polls (the
+          // fake/live server may still be mid-stream on the first pass)
+          var last = -1L
+          var stablePolls = 0
+          while (stablePolls < 3) {
+            query.processAllAvailable()
+            val n = receiver.linesSpooled
+            if (n == last) stablePolls += 1 else { stablePolls = 0; last = n }
+            Thread.sleep(100)
+          }
+          query.processAllAvailable()
+        } else query.awaitTermination()
+        query.stop()
+        0
+      } finally receiver.stop()
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args.toSeq) match {
+      case Left(err) =>
+        Console.err.println(s"error: $err")
+        Console.err.println(usage)
+        sys.exit(2)
+      case Right(c) =>
+        try sys.exit(run(c))
+        catch {
+          case e: Throwable =>
+            Console.err.println(s"error: ${e.getMessage}")
+            sys.exit(1)
+        }
+    }
+}

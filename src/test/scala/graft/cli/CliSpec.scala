@@ -1,0 +1,113 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.pg.FakePgServer
+
+/** The runnable entry point, driven end-to-end against the fake PG
+  * server — the reference's `pg-bifrost create|drop|replicate <sink>`
+  * loop (main/main.go:557-763) over the Spark pipeline.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def awaitTrue(timeoutMillis: Long = 30000L)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
+    cond
+  }
+
+  test("flag parsing: defaults, lists, precedence, validation errors") {
+    val c = Main.parse(Seq("replicate", "s3",
+      "--slot", "s1", "--host", "h", "--port", "5433", "--password", "pw",
+      "--whitelist", "public.a", "--whitelist", "public.b",
+      "--partition-method", "transaction-bucket", "--partition-count", "8",
+      "--batcher-routing-method", "partition", "--workers", "4",
+      "--no-marshal-old-value", "--batch-flush-max-age", "250",
+      "--spool-dir", "/tmp/sp", "--out-path", "/tmp/o", "--checkpoint", "/tmp/c",
+      "--once")).toOption.get
+    assert(c.slot == "s1" && c.port == 5433 && c.whitelist == Seq("public.a", "public.b"))
+    assert(c.partitionMethod == "transaction-bucket" && c.partitionCount == 8)
+    assert(c.noMarshalOldValue && c.once && c.workers == 4)
+    val cfg = Main.cdcConfig(c)
+    assert(cfg.whitelist && cfg.filterTables == Seq("public.a", "public.b"))
+    assert(cfg.partitionMethod == graft.operators.Partitioner.TransactionBucket(8))
+    assert(cfg.routing == graft.operators.Router.Partition())
+    assert(cfg.triggerMillis == 250L)
+
+    // --key=value form and the -s shorthand
+    val c2 = Main.parse(Seq("replicate", "stdout", "--slot=x", "-s",
+      "--spool-dir=/tmp/sp")).toOption.get
+    assert(c2.slot == "x" && c2.createSlot && c2.sink == "stdout")
+
+    assert(Main.parse(Nil).isLeft)
+    assert(Main.parse(Seq("nonsense")).isLeft)
+    assert(Main.parse(Seq("replicate")).isLeft) // sink required
+    assert(Main.parse(Seq("replicate", "s3", "--spool-dir", "d")).isLeft) // out-path/checkpoint
+    assert(Main.parse(Seq("replicate", "stdout")).isLeft) // spool-dir
+    assert(Main.parse(Seq("create", "--bogus", "x")).isLeft)
+    // mutually exclusive filters (the reference errors too, main.go:430-445)
+    assert(Main.parse(Seq("replicate", "stdout", "--spool-dir", "d",
+      "--whitelist", "a", "--blacklist", "b")).isLeft)
+    assert(Main.parse(Seq("replicate", "stdout", "--spool-dir", "d",
+      "--partition-method", "wat")).isLeft)
+  }
+
+  test("create and drop drive slot DDL over the live protocol") {
+    val srv = new FakePgServer(Nil, authMode = "md5", expectedPassword = "pw")
+    try {
+      val base = Seq("--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw", "--slot", "cli_slot")
+      assert(Main.run(Main.parse("create" +: base).toOption.get) == 0)
+      assert(srv.slots.contains("cli_slot"))
+      // idempotent: 42710 handled
+      assert(Main.run(Main.parse("create" +: base).toOption.get) == 0)
+      assert(Main.run(Main.parse("drop" +: base).toOption.get) == 0)
+      assert(srv.slots.isEmpty)
+      // idempotent drop: 42704 swallowed
+      assert(Main.run(Main.parse("drop" +: base).toOption.get) == 0)
+    } finally srv.stop()
+  }
+
+  test("replicate s3 --once: socket -> spool -> transform -> gzip files, acks reach the server") {
+    val lines = Seq(
+      0x100L -> "BEGIN 700",
+      0x110L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'",
+      0x120L -> "table secret.keys: INSERT: id[integer]:9", // filtered out
+      0x130L -> "table public.users: UPDATE: id[integer]:1 name[text]:'b'",
+      0x140L -> "COMMIT 700")
+    val srv = new FakePgServer(lines, authMode = "scram", expectedPassword = "pw")
+    val spool = Files.createTempDirectory("graft_cli_spool").toString
+    val outDir = Files.createTempDirectory("graft_cli_out").toString
+    val ckpt = Files.createTempDirectory("graft_cli_ckpt").toString
+    try {
+      val c = Main.parse(Seq("replicate", "s3",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw",
+        "--slot", "cli_e2e", "--create-slot",
+        "--blacklist", "secret.keys",
+        "--partition-method", "tablename",
+        "--spool-dir", spool, "--out-path", outDir, "--checkpoint", ckpt,
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      assert(srv.slots.contains("cli_e2e"), "create-slot ran before replication")
+      val spark = TestSpark.spark
+      val jsons = spark.read.text(outDir + "/*/*/*/*/*.gz")
+        .collect().map(_.getString(0)).sorted
+      // INSERT + UPDATE only: the blacklist drops secret.keys, and
+      // BEGIN/COMMIT are boundaries, not sink records
+      assert(jsons.length == 2, s"expected 2 records:\n${jsons.mkString("\n")}")
+      assert(jsons.forall(_.contains("\"table\":\"public.users\"")))
+      assert(jsons.exists(_.contains("\"operation\":\"INSERT\"")) &&
+        jsons.exists(_.contains("\"operation\":\"UPDATE\"")))
+      // acks flowed back as real server LSNs
+      assert(awaitTrue()(!srv.acks.isEmpty))
+      assert(srv.acks.asScala.forall(a => a == 0L || lines.map(_._1).contains(a)))
+    } finally srv.stop()
+  }
+}
