@@ -129,6 +129,98 @@ class SinksSpec extends AnyFunSuite {
     assert(transport.totalRecords == 10)
   }
 
+  /** Per-record failure with probability p on EVERY send attempt — the
+    * itests' mock Kinesis with KINESIS_ERROR_PROBABILITY
+    * (itests/tests/kinesis/test_high_kinesis_errors: 0.4, multi-worker:
+    * 0.5). Successful records are appended in arrival order.
+    */
+  private final class FlakyTransport(p: Double, seed: Long) extends RecordTransport {
+    val sent = new scala.collection.mutable.ArrayBuffer[Seq[SinkRecord]]()
+    private val rnd = new scala.util.Random(seed)
+    override def send(records: Seq[SinkRecord]): SendResult = synchronized {
+      val failed = records.indices.filter(_ => rnd.nextDouble() < p)
+      val failedSet = failed.toSet
+      sent += records.zipWithIndex.collect { case (r, i) if !failedSet(i) => r }
+      SendResult(failed)
+    }
+    def landedWalStarts: Seq[Long] = synchronized(sent.flatten.map(_.walStart).toSeq)
+  }
+
+  test("error probability 0.4: 2500 records land exactly once, ledger counts intact (test_high_kinesis_errors)") {
+    val transport = new FlakyTransport(0.4, seed = 7)
+    val recs = (1 to 2500).map(i => rec(s"k${i % 7}", s"t${i / 50}", i, 20))
+    val written = ChunkedSink.writePartition(
+      recs.iterator, BatchCaps.kinesis, transport,
+      () => new Backoff(sleeper = _ => ()))
+    // no loss, no duplication — the itests' sorted-golden comparison
+    assert(transport.landedWalStarts.sorted == (1L to 2500L))
+    // every txn's written count reaches the ledger in full (acks advance)
+    assert(written.values.sum == 2500)
+    assert(written.forall { case (txn, n) => recs.count(_.timeBasedKey == txn) == n })
+  }
+
+  test("4 workers, error probability 0.5: 10000 records, no loss/dup across concurrent workers (test_multi_worker_high_kinesis_errors)") {
+    val n = 10000
+    val recs = (1 to n).map(i => rec(s"k${i % 13}", s"t${i / 100}", i, 20))
+    // key-affinity split, like BATCHER_ROUTING_METHOD=partition
+    val byWorker = recs.groupBy(r => math.abs(r.partitionKey.hashCode) % 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(byWorker.toSeq.map { case (w, slice) =>
+      Future {
+        val transport = new FlakyTransport(0.5, seed = 100 + w)
+        val written = ChunkedSink.writePartition(
+          slice.iterator, BatchCaps.kinesis, transport,
+          () => new Backoff(sleeper = _ => ()))
+        (transport.landedWalStarts, written)
+      }
+    }), 2.minutes)
+    val landed = results.flatMap(_._1)
+    assert(landed.sorted == (1L to n.toLong), "exactly-once across all workers")
+    val written = results.map(_._2).foldLeft(Map.empty[String, Int]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0) + v) }
+    }
+    assert(written.values.sum == n)
+    assert(written.forall { case (txn, c) => recs.count(_.timeBasedKey == txn) == c })
+  }
+
+  test("staggered epochs with partial failures: exactly-once through the foreach writer (test_staggered)") {
+    // txns arrive in uneven bursts across epochs (some epochs empty),
+    // one epoch is replayed by the engine, and the transport drops 30%
+    // of records per attempt — delivery must still be exactly-once with
+    // full ledger counts, the staggered itest shape plus fault injection.
+    val shared = new FlakyTransport(0.3, seed = 3)
+    val tracker = EpochTracker.fileBacked(
+      java.nio.file.Files.createTempDirectory("graft_stagger").toString)
+    val writer = ChunkedSink.foreachWriter(
+      BatchCaps(5, Long.MaxValue, Long.MaxValue), () => shared, tracker)
+
+    def row(i: Int): org.apache.spark.sql.Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array(s"k${i % 3}", s"t${i / 4}", i.toLong, s"""{"i":$i}"""),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partitionKey", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("timeBasedKey", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("walStart", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("json", org.apache.spark.sql.types.StringType))))
+
+    val epochs: Seq[(Long, Range)] =
+      Seq(0L -> (1 to 7), 1L -> (8 to 8), 2L -> (9 to 8), // burst, trickle, EMPTY
+          3L -> (9 to 20), 4L -> (21 to 24))
+    epochs.foreach { case (epoch, range) =>
+      assert(writer.open(0, epoch))
+      range.foreach(i => writer.process(row(i)))
+      writer.close(null)
+    }
+    // the engine replays epoch 3 (failure between sink write and offset
+    // commit): open must decline, nothing re-sent
+    assert(!writer.open(0, 3L))
+    writer.close(null)
+
+    assert(shared.landedWalStarts.sorted == (1L to 24L), "exactly-once across staggered epochs")
+  }
+
   test("sink key semantics match the reference") {
     assert(ChunkedSink.rabbitRoutingKey("public.users", "INSERT") == "public.users.INSERT")
     val r = rec("pk7", "t", 42, 1)
