@@ -484,15 +484,17 @@ object EntryQueries {
       |      FROM pairs p JOIN shd a ON a.doc_id = p.id_a JOIN shd b ON b.doc_id = p.id_b)
       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
 
-  /** MinHash-LSH near-dup pairs — rows-only (candidate set depends on
-    * Murmur3 signatures not reproducible in SQL; estimator quality is
-    * pinned by unit tests).
+  /** MinHash-LSH near-dup pairs — full value oracle: the Murmur3
+    * string hash and splitmix64 lane mixer are re-derived in DuckDB
+    * SQL from first principles ([[HashOracleSql]]), so the oracle
+    * reproduces the signatures bit-for-bit and re-blocks the same
+    * band buckets.
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
       threshold = 0.2)
 
-  /** SimHash near-dup pairs — rows-only for the same reason. */
+  /** SimHash near-dup pairs — full value oracle, same machinery. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
       maxHamming = 8)
@@ -850,6 +852,8 @@ object EntryQueries {
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_minhash" -> HashOracleSql.minhashSql,
+    "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
