@@ -61,7 +61,14 @@ object Bench {
     // hiccup lands on different queries each pass instead of biasing
     // one; the reported time is the per-query MEDIAN, with all samples
     // emitted for variance analysis.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS '$raw', using 3"); 3
+      }
+      math.max(1, n) // 0/negative would leave samples empty and break median
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

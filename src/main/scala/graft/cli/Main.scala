@@ -83,37 +83,53 @@ object Main {
       case sink :: more if !sink.startsWith("-") => c = c.copy(sink = sink); rest = more
       case _ => return Left("replicate needs a sink: stdout | s3 | kafka")
     }
-    def boolFlag(name: String): Boolean = Set("--" + name, "-s")(name)
+    val boolFlags = Set("create-slot", "no-marshal-old-value", "once")
     while (rest.nonEmpty) {
       val (flag, value, tail) = rest match {
         case f :: t if f.startsWith("--") && f.contains("=") =>
           val i = f.indexOf('='); (f.substring(2, i), f.substring(i + 1), t)
-        case f :: v :: t if f.startsWith("--") && !Set("create-slot", "no-marshal-old-value", "once")(f.drop(2)) =>
+        case f :: v :: t if f.startsWith("--") && !boolFlags(f.drop(2)) =>
           (f.drop(2), v, t)
-        case f :: t if f.startsWith("--") => (f.drop(2), "", t)
+        case f :: t if f.startsWith("--") && boolFlags(f.drop(2)) =>
+          (f.drop(2), "", t)
+        case f :: Nil if f.startsWith("--") =>
+          return Left(s"missing value for $f")
         case "-s" :: t => ("create-slot", "", t)
         case f :: _ => return Left(s"unexpected argument: $f")
       }
+      def int(v: String): Either[String, Int] =
+        try Right(v.toInt) catch { case _: NumberFormatException =>
+          Left(s"--$flag needs an integer, got '$v'") }
       flag match {
         case "host" => c = c.copy(host = value)
-        case "port" => c = c.copy(port = value.toInt)
+        case "port" => int(value) match {
+          case Right(v) => c = c.copy(port = v); case Left(e) => return Left(e)
+        }
         case "user" => c = c.copy(user = value)
         case "password" => c = c.copy(password = Some(value))
         case "dbname" => c = c.copy(dbname = value)
         case "slot" => c = c.copy(slot = value)
         case "sslmode" => c = c.copy(sslmode = value)
         case "create-slot" => c = c.copy(createSlot = true)
-        case "workers" => c = c.copy(workers = value.toInt)
+        case "workers" => int(value) match {
+          case Right(v) => c = c.copy(workers = v); case Left(e) => return Left(e)
+        }
         case "whitelist" => c = c.copy(whitelist = c.whitelist :+ value)
         case "blacklist" => c = c.copy(blacklist = c.blacklist :+ value)
         case "whitelist-regex" => c = c.copy(whitelistRegex = c.whitelistRegex :+ value)
         case "blacklist-regex" => c = c.copy(blacklistRegex = c.blacklistRegex :+ value)
         case "partition-method" => c = c.copy(partitionMethod = value)
-        case "partition-count" => c = c.copy(partitionCount = value.toInt)
+        case "partition-count" => int(value) match {
+          case Right(v) => c = c.copy(partitionCount = v); case Left(e) => return Left(e)
+        }
         case "no-marshal-old-value" => c = c.copy(noMarshalOldValue = true)
         case "batcher-routing-method" => c = c.copy(routingMethod = value)
-        case "batch-flush-max-age" => c = c.copy(batchFlushMaxAgeMillis = value.toLong)
-        case "client-buffer-size" => c = c.copy(clientBufferSize = value.toInt)
+        case "batch-flush-max-age" => int(value) match {
+          case Right(v) => c = c.copy(batchFlushMaxAgeMillis = v.toLong); case Left(e) => return Left(e)
+        }
+        case "client-buffer-size" => int(value) match {
+          case Right(v) => c = c.copy(clientBufferSize = v); case Left(e) => return Left(e)
+        }
         case "spool-dir" => c = c.copy(spoolDir = value)
         case "checkpoint" => c = c.copy(checkpoint = value)
         case "out-path" => c = c.copy(outPath = value)
@@ -148,6 +164,8 @@ object Main {
     else if (c.command == "replicate" && c.sink == "kafka" &&
       (c.kafkaBootstrap.isEmpty || c.kafkaTopic.isEmpty))
       Left("kafka sink requires --kafka-bootstrap and --kafka-topic")
+    else if (!Set("txn-time-based", "transaction", "tablename", "random")(c.kafkaKeyMode))
+      Left(s"unknown kafka-key-mode: ${c.kafkaKeyMode}")
     else Right(c)
   }
 
@@ -229,7 +247,7 @@ object Main {
               case "txn-time-based" => KafkaKeyMode.TxnTimeBased
               case "transaction" => KafkaKeyMode.Transaction
               case "tablename" => KafkaKeyMode.TableName
-              case _ => KafkaKeyMode.Random
+              case "random" => KafkaKeyMode.Random // validate() rejects others
             }, c.checkpoint, cfg)
         }
         val query = writer.start()

@@ -82,17 +82,24 @@ object Marshaller {
   /** RFC3339 timestamp; PG 9–11 report ServerTime=0, for which the
     * reference emits a fixed epoch-ish constant (marshaller.go:42,304-310).
     *
-    * `date_format` renders in the session timezone; shifting the
-    * instant by `to_utc_timestamp(_, current_timezone())` makes the
-    * rendered wall-clock UTC regardless of session tz — matching the
-    * native [[graft.functions.MarshalJson]], which is UTC-fixed.
+    * Rendered with an explicit UTC zone on the formatter itself
+    * (Catalyst's `DateFormatClass` carries a timeZoneId) — a
+    * `to_utc_timestamp(_, current_timezone())` shift would re-interpret
+    * wall-clock fields and lands one hour off for instants inside the
+    * session timezone's spring-forward DST gap. This is exact in any
+    * session tz, matching the UTC-fixed native
+    * [[graft.functions.MarshalJson]].
     */
-  private def timeExpr(serverTimeMs: Column): Column =
+  private def timeExpr(serverTimeMs: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal}
     when(serverTimeMs =!= 0,
-      date_format(
-        to_utc_timestamp(timestamp_millis(serverTimeMs), current_timezone()),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      column(DateFormatClass(
+        expression(timestamp_millis(serverTimeMs)),
+        Literal("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        Some("UTC"))))
       .otherwise("1970-01-01T00:00:01Z")
+  }
 
   /** Full output JSON for one change record; NULL for BEGIN/COMMIT
     * (they are never marshalled — marshaller.go:187-190).

@@ -365,12 +365,20 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, centroids: Array[Array[Double]], nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
     val q = queries
       .select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell",
         explode(GraftFunctions.nearest_cells(col("q_vec"), centroids, nprobe)))
+    // The distinct PROBED CELLS are bounded by nlist — independent of
+    // query count — so collecting them is always driver-safe, and the
+    // static isin pushes a PartitionFilter exactly like the driver
+    // path. Without this, a sort-merge cell join scans the full
+    // corpus (DPP only fires for broadcast joins by default).
+    val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq.sorted
     val corpus = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
     val scored = corpus.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))

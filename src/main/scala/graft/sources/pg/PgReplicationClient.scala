@@ -348,7 +348,11 @@ final class PgReplicationClient(
                   // server about to go away hammers reply-requested
                   // keepalives; more than `threshold` of them with less
                   // than `window` total spacing ⇒ treat as a shutdown
-                  // request and end the stream cleanly.
+                  // request and end the stream cleanly. The delta is
+                  // CUMULATIVE and resets only after a full batch,
+                  // exactly like the reference — so a burst right after
+                  // a long idle gap needs a second batch to trigger
+                  // (both systems; the fallback is plain EOF recovery).
                   val now = System.nanoTime()
                   hbDeltaNanos += now - lastHbRequestAt
                   hbRequestCount += 1

@@ -150,7 +150,14 @@ final class ScramClient(password: String, username: String = "",
     if (iters < 1 || iters > 1000000)
       throw PgError("28P01", s"SCRAM iteration count $iters out of range")
 
-    val salted = hi(saslPrep(password).getBytes(UTF_8), salt, iters)
+    // pg_saslprep falls back to the RAW password when SASLprep fails
+    // (the server computed its stored verifier the same way), so a
+    // prohibited-character password must not be rejected client-side —
+    // libpq authenticates it and so must we.
+    val prepped =
+      try saslPrep(password)
+      catch { case _: PgError => password }
+    val salted = hi(prepped.getBytes(UTF_8), salt, iters)
     val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
     val storedKey = h(clientKey)
     val withoutProof = s"c=biws,r=$fullNonce"

@@ -55,6 +55,16 @@ class CliSpec extends AnyFunSuite {
       "--whitelist", "a", "--blacklist", "b")).isLeft)
     assert(Main.parse(Seq("replicate", "stdout", "--spool-dir", "d",
       "--partition-method", "wat")).isLeft)
+    // a trailing value-taking flag must error, not swallow ""
+    assert(Main.parse(Seq("create", "--slot")) ==
+      Left("missing value for --slot"))
+    // numeric flags produce usage errors, not raw NumberFormatException
+    assert(Main.parse(Seq("create", "--port", "abc")).isLeft)
+    assert(Main.parse(Seq("create", "--port=")).isLeft)
+    // kafka key mode is validated like every other enum flag
+    assert(Main.parse(Seq("replicate", "kafka", "--spool-dir", "d",
+      "--kafka-bootstrap", "b", "--kafka-topic", "t",
+      "--kafka-key-mode", "table-name")).isLeft)
   }
 
   test("create and drop drive slot DDL over the live protocol") {

@@ -113,6 +113,31 @@ class MarshalNativeParitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("parity holds for an instant inside the session tz's DST spring-forward gap") {
+    // 2024-03-10T02:30:00Z — 02:30 does not exist on America/New_York
+    // wall clocks that day. A to_utc_timestamp-style re-interpretation
+    // shifts it to 03:30; a formatter pinned to UTC must not.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      import org.apache.spark.sql.functions._
+      val line = lit("table public.t: INSERT: id[integer]:1")
+      val row = spark.range(1).select(
+        GraftFunctions.parse_test_decoding(line).as("p"),
+        lit(1710037800000L).as("serverTimeMs"))
+        .select(
+          Marshaller.jsonExpr(col("p.operation"), col("p.relation"), col("p.columns"),
+            col("p.oldColumns"), col("serverTimeMs"), lit("t-0"), lit(2L),
+            noMarshalOldValue = false).as("catalyst"),
+          Marshaller.jsonExprNative(col("p.operation"), col("p.relation"), col("p.columns"),
+            col("p.oldColumns"), col("serverTimeMs"), lit("t-0"), lit(2L),
+            noMarshalOldValue = false).as("native"))
+        .head()
+      assert(row.getAs[String]("catalyst").contains("\"time\":\"2024-03-10T02:30:00Z\""))
+      assert(row.getAs[String]("catalyst") == row.getAs[String]("native"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("jsonExprNative tolerates Int-typed long inputs (casts like the SQL surface)") {
     val j = frame.limit(1).select(
       Marshaller.jsonExprNative($"operation", $"relation", $"columns", $"oldColumns",

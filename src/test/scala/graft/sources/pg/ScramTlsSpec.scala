@@ -74,6 +74,21 @@ class ScramTlsSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("SCRAM prohibited-character password falls back to the raw string (pg_saslprep behavior)") {
+    // an astral-plane char makes saslPrep throw; PG's pg_saslprep then
+    // uses the raw password — the server's verifier was built the same
+    // way, so auth must succeed, as it does via libpq
+    val pw = "hunter😀"
+    assert(intercept[PgError](Scram.saslPrep(pw)).sqlState == "28P01")
+    val srv = new FakePgServer(Nil, authMode = "scram", expectedPassword = pw)
+    try {
+      val c = newClient(srv.port, Some(pw))
+      c.connect()
+      assert(c.identifySystem()._1 == "7000000000000000001")
+      c.close()
+    } finally srv.stop()
+  }
+
   test("SCRAM wrong password → 28P01; missing password → 28P01") {
     val srv = new FakePgServer(Nil, authMode = "scram", expectedPassword = "right")
     try {
