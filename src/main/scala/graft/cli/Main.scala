@@ -73,11 +73,61 @@ object Main {
       |      s3:    --out-path p --checkpoint c
       |      kafka: --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]""".stripMargin
 
-  def parse(args: Seq[String]): Either[String, Cli] = {
+  /** Reference value precedence (main/main.go:561-566) minus the YAML
+    * file: command-line flag > environment variable > default. Env
+    * names match the reference's EnvVar tags (main.go:76-106,639-741):
+    * REPLICATION_SLOT, PGUSER/PGPASSWORD/PGHOST/PGPORT/PGDATABASE,
+    * CREATE_SLOT, WORKERS, CLIENT_BUFFER_SIZE, BATCH_FLUSH_MAX_AGE,
+    * BATCHER_ROUTING_METHOD, PARTITION_METHOD, PARTITION_COUNT,
+    * WHITELIST[_REGEX], BLACKLIST[_REGEX] (comma-separated),
+    * NO_MARSHAL_OLD_VALUE.
+    */
+  def parse(args: Seq[String], env: Map[String, String] = sys.env): Either[String, Cli] = {
     if (args.isEmpty) return Left("missing command")
     var c = Cli(command = args.head)
     if (!Set("create", "drop", "replicate")(c.command))
       return Left(s"unknown command: ${c.command}")
+    // --- environment layer (overridden by any explicit flag below) ---
+    def envInt(k: String): Either[String, Option[Int]] = env.get(k) match {
+      case None => Right(None)
+      case Some(v) =>
+        try Right(Some(v.toInt))
+        catch { case _: NumberFormatException => Left(s"$k needs an integer, got '$v'") }
+    }
+    def list(v: String): Seq[String] = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    env.get("REPLICATION_SLOT").foreach(v => c = c.copy(slot = v))
+    env.get("PGUSER").foreach(v => c = c.copy(user = v))
+    env.get("PGHOST").foreach(v => c = c.copy(host = v))
+    env.get("PGDATABASE").foreach(v => c = c.copy(dbname = v))
+    envInt("PGPORT") match {
+      case Right(o) => o.foreach(v => c = c.copy(port = v)); case Left(e) => return Left(e)
+    }
+    if (env.get("CREATE_SLOT").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+      c = c.copy(createSlot = true)
+    envInt("WORKERS") match {
+      case Right(o) => o.foreach(v => c = c.copy(workers = v)); case Left(e) => return Left(e)
+    }
+    envInt("CLIENT_BUFFER_SIZE") match {
+      case Right(o) => o.foreach(v => c = c.copy(clientBufferSize = v)); case Left(e) => return Left(e)
+    }
+    envInt("BATCH_FLUSH_MAX_AGE") match {
+      case Right(o) => o.foreach(v => c = c.copy(batchFlushMaxAgeMillis = v.toLong)); case Left(e) => return Left(e)
+    }
+    envInt("PARTITION_COUNT") match {
+      case Right(o) => o.foreach(v => c = c.copy(partitionCount = v)); case Left(e) => return Left(e)
+    }
+    env.get("BATCHER_ROUTING_METHOD").foreach(v => c = c.copy(routingMethod = v))
+    env.get("PARTITION_METHOD").foreach(v => c = c.copy(partitionMethod = v))
+    env.get("WHITELIST").foreach(v => c = c.copy(whitelist = list(v)))
+    env.get("BLACKLIST").foreach(v => c = c.copy(blacklist = list(v)))
+    env.get("WHITELIST_REGEX").foreach(v => c = c.copy(whitelistRegex = list(v)))
+    env.get("BLACKLIST_REGEX").foreach(v => c = c.copy(blacklistRegex = list(v)))
+    if (env.get("NO_MARSHAL_OLD_VALUE").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+      c = c.copy(noMarshalOldValue = true)
+    env.get("PGPASSWORD").foreach(v => c = c.copy(password = Some(v)))
+    // a flag REPLACES an env-sourced list (reference altsrc precedence),
+    // then further occurrences of the same flag append
+    var envLists = Set("whitelist", "blacklist", "whitelist-regex", "blacklist-regex")
     var rest = args.tail.toList
     if (c.command == "replicate") rest match {
       case sink :: more if !sink.startsWith("-") => c = c.copy(sink = sink); rest = more
@@ -114,10 +164,18 @@ object Main {
         case "workers" => int(value) match {
           case Right(v) => c = c.copy(workers = v); case Left(e) => return Left(e)
         }
-        case "whitelist" => c = c.copy(whitelist = c.whitelist :+ value)
-        case "blacklist" => c = c.copy(blacklist = c.blacklist :+ value)
-        case "whitelist-regex" => c = c.copy(whitelistRegex = c.whitelistRegex :+ value)
-        case "blacklist-regex" => c = c.copy(blacklistRegex = c.blacklistRegex :+ value)
+        case "whitelist" =>
+          c = c.copy(whitelist = (if (envLists("whitelist")) Nil else c.whitelist) :+ value)
+          envLists -= "whitelist"
+        case "blacklist" =>
+          c = c.copy(blacklist = (if (envLists("blacklist")) Nil else c.blacklist) :+ value)
+          envLists -= "blacklist"
+        case "whitelist-regex" =>
+          c = c.copy(whitelistRegex = (if (envLists("whitelist-regex")) Nil else c.whitelistRegex) :+ value)
+          envLists -= "whitelist-regex"
+        case "blacklist-regex" =>
+          c = c.copy(blacklistRegex = (if (envLists("blacklist-regex")) Nil else c.blacklistRegex) :+ value)
+          envLists -= "blacklist-regex"
         case "partition-method" => c = c.copy(partitionMethod = value)
         case "partition-count" => int(value) match {
           case Right(v) => c = c.copy(partitionCount = v); case Left(e) => return Left(e)

@@ -67,6 +67,26 @@ class CliSpec extends AnyFunSuite {
       "--kafka-key-mode", "table-name")).isLeft)
   }
 
+  test("env layer: flag > environment > default, reference EnvVar names") {
+    val env = Map(
+      "REPLICATION_SLOT" -> "env_slot", "PGUSER" -> "env_u", "PGHOST" -> "env_h",
+      "PGPORT" -> "5444", "PGDATABASE" -> "env_db", "PGPASSWORD" -> "env_pw",
+      "WORKERS" -> "8", "PARTITION_METHOD" -> "transaction",
+      "WHITELIST" -> "public.a,public.b", "CREATE_SLOT" -> "true")
+    // env alone fills everything
+    val c = Main.parse(Seq("replicate", "stdout", "--spool-dir", "d"), env).toOption.get
+    assert(c.slot == "env_slot" && c.user == "env_u" && c.host == "env_h" &&
+      c.port == 5444 && c.dbname == "env_db" && c.password.contains("env_pw"))
+    assert(c.workers == 8 && c.partitionMethod == "transaction" && c.createSlot)
+    assert(c.whitelist == Seq("public.a", "public.b"))
+    // a flag overrides its env value; a list flag REPLACES the env list
+    val c2 = Main.parse(Seq("replicate", "stdout", "--spool-dir", "d",
+      "--slot", "flag_slot", "--whitelist", "public.z"), env).toOption.get
+    assert(c2.slot == "flag_slot" && c2.whitelist == Seq("public.z"))
+    // malformed numeric env is a usage error, not an exception
+    assert(Main.parse(Seq("create"), Map("PGPORT" -> "abc")).isLeft)
+  }
+
   test("create and drop drive slot DDL over the live protocol") {
     val srv = new FakePgServer(Nil, authMode = "md5", expectedPassword = "pw")
     try {

@@ -312,6 +312,24 @@ class PgReplicationSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("idle stream: standby status keeps flowing at the forced cadence (test_large_sleep analog)") {
+    // no frames, no server keepalives — the client's own 10s cadence
+    // (100ms here) must still emit status updates so wal_sender_timeout
+    // never kills an idle session (reference client.go:44,286-298)
+    val srv = new FakePgServer(Nil, keepaliveAfterFrames = false)
+    try {
+      val c = newClient(srv.port)
+      c.connect()
+      val t = new Thread(() => c.startReplication("s", 0L)(_ => ()))
+      t.setDaemon(true); t.start()
+      assert(awaitTrue()(srv.acks.size() >= 3), "expected repeated idle-cadence acks")
+      c.requestStop(); t.join(5000)
+      // all idle acks carry the same (zero) LSN, monotone trivially
+      assert(srv.acks.asScala.forall(_ == 0L))
+      c.close()
+    } finally srv.stop()
+  }
+
   test("receiver recovers the line->LSN index across restarts") {
     val srv = new FakePgServer(txnLines.take(4), keepaliveAfterFrames = false)
     val dir = Files.createTempDirectory("graft_pg_idx").toString
