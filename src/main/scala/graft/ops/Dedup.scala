@@ -272,4 +272,68 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the pair graph, each node labeled with the
+    * minimum id in its component (the canonical document). This is the
+    * step that turns pair detection into an actual dedup decision —
+    * transitivity matters: A~B and B~C must collapse to ONE survivor
+    * even when A~C was never emitted as a pair.
+    *
+    * Distributed min-label propagation: each iteration every node
+    * adopts the minimum label among itself and its neighbors — one
+    * hash join + one aggregation per round, converging in O(component
+    * diameter) rounds. Near-dup clusters are shallow (boilerplate
+    * families, mirror chains), so the loop exits after 2–4 rounds on
+    * real data; `maxIters` bounds the pathological long-chain case,
+    * and the driver only ever inspects a one-row convergence count.
+    * At 100 TB the per-round cost is a shuffle on node ids — the same
+    * scaling as the candidate join that produced the pairs.
+    *
+    * Input: (`id_a`, `id_b`) pair rows (any extra columns ignored).
+    * Output: (`doc_id`, `cluster_id`) for every node that appears in
+    * at least one pair; singleton documents are absent (their cluster
+    * is trivially themselves).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // symmetric edge list, cached: reused by every iteration
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"),
+        least(col("m"), col("src")).as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighbor labels: node <- min(label of its neighbors, own label)
+      val next = sym
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .where(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Apply cluster resolution: drop every non-canonical member, keep
+    * canonical docs and untouched singletons — the end-to-end dedup.
+    */
+  def dropDuplicateClusters(df: DataFrame, pairs: DataFrame,
+                            idCol: String): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

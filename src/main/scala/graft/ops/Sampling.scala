@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across retries and
+  * re-partitions — a failed stage re-executes with different rows kept,
+  * which corrupts exactly-once accounting and makes experiments
+  * unrepeatable. Hash sampling keys the keep/drop decision on a STABLE
+  * column: the same row always lands on the same side, any engine can
+  * reproduce the sample (the DuckDB oracle re-derives it from md5),
+  * and the sample composes with incremental ingestion — new data
+  * joins the same sample universe without reshuffling old decisions.
+  *
+  * Scale: a per-row predicate, no shuffle, fully codegen'd; the
+  * stratified variant broadcasts only the strata→rate map.
+  */
+object Sampling {
+
+  /** Bucket 0..buckets-1 from the md5 of the key — the same
+    * first-8-hex-chars construction as `Partitioner.Md5`, so the
+    * decision is portable across engines (md5 is universal).
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Keep rows whose hash bucket falls below `keep` of `buckets` —
+    * a deterministic `keep/buckets` sample.
+    */
+  def hashSample(df: DataFrame, keyCol: String,
+                 keep: Int, buckets: Int = 100): DataFrame = {
+    require(keep >= 0 && keep <= buckets, s"keep=$keep outside 0..$buckets")
+    df.where(hashBucket(col(keyCol), buckets) < keep)
+  }
+
+  /** Per-stratum deterministic sampling: each stratum keeps
+    * `rates(stratum)` of `buckets` (strata absent from the map keep
+    * `defaultKeep`). The rate map rides as a literal map expression —
+    * broadcast-sized by construction (strata are enum-like).
+    */
+  def stratifiedHashSample(
+      df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Int], defaultKeep: Int,
+      buckets: Int = 100): DataFrame = {
+    require((defaultKeep +: rates.values.toSeq).forall(k => k >= 0 && k <= buckets),
+      s"rates outside 0..$buckets")
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val keep = coalesce(element_at(rateMap, col(strataCol).cast("string")), lit(defaultKeep))
+    df.where(hashBucket(col(keyCol), buckets) < keep)
+  }
+}

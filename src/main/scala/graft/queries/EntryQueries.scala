@@ -464,8 +464,9 @@ object EntryQueries {
       T(spark, dir, "documents"), "text", "doc_id",
       shingleSize = 3, threshold = 0.2, maxShingleFreq = 10)
 
-  val qDedupNgramSql: String =
-    """WITH toks AS (
+  /** CTE body shared by the ngram oracle and the cluster oracle. */
+  private val dedupNgramCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
       |  FROM documents),
       |sh AS (
@@ -481,8 +482,46 @@ object EntryQueries {
       |j AS (SELECT p.id_a, p.id_b,
       |        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |              / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-      |      FROM pairs p JOIN shd a ON a.doc_id = p.id_a JOIN shd b ON b.doc_id = p.id_b)
-      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
+      |      FROM pairs p JOIN shd a ON a.doc_id = p.id_a JOIN shd b ON b.doc_id = p.id_b)""".stripMargin
+
+  val qDedupNgramSql: String =
+    s"WITH $dedupNgramCtes\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2"
+
+  /** Duplicate-cluster resolution: connected components over the ngram
+    * near-dup pairs, each doc labeled with the minimum id of its
+    * component (the surviving canonical). Transitivity is the point:
+    * A~B and B~C collapse to one canonical even without an A~C pair.
+    * Oracle: recursive label-reachability closure over the same pairs.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(qDedupNgram(spark, dir))
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $dedupNgramCtes,
+       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
+  /** Deterministic stratified sampling over `source` strata: per-row
+    * md5-bucket decision (reproducible across engines and retries, the
+    * q_partition_bucket_md5 construction) with per-stratum keep rates.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedHashSample(
+      T(spark, dir, "documents").select("doc_id", "source"),
+      strataCol = "source", keyCol = "doc_id",
+      rates = Map("web" -> 50, "wiki" -> 100), defaultKeep = 20)
+
+  val qSampleStratifiedSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS BIGINT)
+      |      < CASE source WHEN 'web' THEN 50 WHEN 'wiki' THEN 100 ELSE 20 END""".stripMargin
 
   /** MinHash-LSH near-dup pairs — full value oracle: the Murmur3
     * string hash and splitmix64 lane mixer are re-derived in DuckDB
@@ -814,6 +853,8 @@ object EntryQueries {
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
+    "q_dedup_clusters" -> qDedupClusters _,
+    "q_sample_stratified" -> qSampleStratified _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
@@ -852,6 +893,8 @@ object EntryQueries {
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_dedup_minhash" -> HashOracleSql.minhashSql,
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_similarity_topk" -> qSimilarityTopkSql,

@@ -151,4 +151,54 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 5L)))
     assert(lsh.subsetOf(exact)) // verification prevents false positives
   }
+
+  test("duplicateClusters: transitive chains collapse to the minimum id") {
+    // components: {1,2,3,4} (a chain — 1~4 never paired directly),
+    // {10,11}, and a long chain {20..26} exercising >2 iterations
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert((20L to 26L).forall(labels(_) == 20L))
+    assert(labels.size == 4 + 2 + 7) // only paired nodes appear
+
+    // end-to-end drop: one survivor per cluster, singletons untouched
+    val docs = (1L to 30L).toDF("doc_id")
+    val kept = Dedup.dropDuplicateClusters(docs, pairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(4L))
+    assert(kept.contains(10L) && !kept.contains(11L))
+    assert(kept.contains(20L) && (21L to 26L).forall(!kept.contains(_)))
+    assert(kept.contains(30L)) // never paired -> survives
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and stratified") {
+    val df = spark.range(0, 10000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "web").otherwise("wiki").as("source"))
+
+    val s1 = Sampling.hashSample(df, "doc_id", keep = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, "doc_id", keep = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same key -> same decision, always")
+    assert(math.abs(s1.size - 3000) < 300, s"rate off: ${s1.size}")
+    // nested property: a smaller sample of the same universe is a
+    // subset of the larger one (buckets are ordered)
+    val s3 = Sampling.hashSample(df, "doc_id", keep = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+
+    val strat = Sampling.stratifiedHashSample(df, "source", "doc_id",
+      rates = Map("web" -> 90), defaultKeep = 10)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(strat("web") - 3000) < 300, s"web: ${strat("web")}")
+    assert(math.abs(strat("wiki") - 667) < 150, s"wiki: ${strat("wiki")}")
+
+    intercept[IllegalArgumentException](
+      Sampling.hashSample(df, "doc_id", keep = 101))
+  }
 }
