@@ -296,14 +296,21 @@ object Dedup {
     * is trivially themselves).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    // symmetric edge list, cached: reused by every iteration
+    // materialize the pair list ONCE: the symmetric union would
+    // otherwise evaluate the (expensive) upstream dedup pipeline twice
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("doc_id"),
         least(col("m"), col("src")).as("cluster_id"))
+      .cache()
+    // labels only ever DECREASE, so an unchanged sum ⟺ a fixpoint —
+    // one cheap aggregation per round instead of a change-detection join
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).head.getLong(0)
+    var prevSum = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -316,13 +323,15 @@ object Dedup {
         .select(col("doc_id"),
           least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .where(col("cluster_id") =!= col("prev")).limit(1).count()
+      val nextSum = checksum(next)
+      labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     labels
   }
 
