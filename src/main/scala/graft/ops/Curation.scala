@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: benchmark decontamination,
+  * intra-document repetition metrics, and PII redaction.
+  *
+  * Scale notes (the 100 TB story):
+  *  - decontamination joins the (huge) train-side n-gram stream against
+  *    a BROADCAST of the eval corpus' distinct n-gram hashes — eval sets
+  *    are benchmark-sized (thousands of docs), so the only large shuffle
+  *    is the per-doc distinct over 64-bit gram hashes, never a
+  *    gram-string exchange and never a shuffle of the eval side;
+  *  - repetition metrics are pure per-row column expressions (sorted
+  *    run-length analysis over the document's own n-gram list) — zero
+  *    shuffles, pipelined with the scan;
+  *  - PII redaction is a fold of per-row `regexp_count`/`regexp_replace`
+  *    stages — zero shuffles, codegen'd.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- //
+  // Decontamination (eval-set n-gram overlap)                        //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document contamination report: for every train document that
+    * shares at least one word `n`-gram with the eval corpus, the number
+    * of distinct shared n-grams. Documents shorter than `n` tokens
+    * contribute their whole text as a single shingle (see
+    * [[Dedup.wordShingles]]), so short eval strings still match
+    * verbatim copies.
+    *
+    * Grams travel as 64-bit `xxhash64` values: the distinct-gram count
+    * is unchanged (modulo a 2^-64 collision) and the shuffle carries 8
+    * bytes per gram instead of the n-word string.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    val trainGrams = train
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val evalGrams = eval
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("g"))
+      .distinct()
+    trainGrams
+      .join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
+  /** The filtering form: train rows with every eval n-gram overlap
+    * removed (left-anti against the contamination report).
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8): DataFrame =
+    train.join(
+      contaminationReport(train, eval, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------- //
+  // Repetition metrics (Gopher-style quality signals)                //
+  // ---------------------------------------------------------------- //
+
+  /** `struct(top, dup)` over a document's word `n`-grams, computed
+    * per-row with no shuffle: `top` is the occurrence count of the most
+    * frequent n-gram, `dup` the total number of occurrences of n-grams
+    * appearing at least twice. Implemented as a single pass over the
+    * SORTED gram list (equal grams are adjacent, so frequency = run
+    * length) — O(k log k) per document in the document's own memory.
+    */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val grams = sort_array(Dedup.wordShingles(text, n))
+    val st = aggregate(
+      grams,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("top"), lit(0L).as("dup")),
+      (acc, g) => {
+        val same = acc.getField("prev") <=> g
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        // a run reaching 2 contributes both occurrences; each further
+        // extension contributes one more
+        val dup = acc.getField("dup") + when(!same, 0L)
+          .when(acc.getField("run") === 1L, 2L).otherwise(1L)
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("top"), run).as("top"), dup.as("dup"))
+      },
+      acc => struct(acc.getField("top").as("top"), acc.getField("dup").as("dup")))
+    when(size(grams) === 0, struct(lit(0L).as("top"), lit(0L).as("dup"))).otherwise(st)
+  }
+
+  /** Per-document repetition report: distinct-token ratio plus, for
+    * each n in `ns`, the fraction of n-gram positions occupied by the
+    * single most frequent n-gram (`top{n}_frac` — boilerplate loops)
+    * and by any n-gram occurring at least twice (`dup{n}_frac` —
+    * general redundancy). Deterministic, SQL-reproducible variants of
+    * the MassiveText/Gopher repetition filters (char-coverage replaced
+    * by gram-position coverage).
+    */
+  def repetitionReport(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    val base = df.select(
+      col(idCol),
+      col(textCol),
+      when(size(toks) === 0, 0.0d)
+        .otherwise(round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 6)).as("distinct_token_ratio"))
+    ns.foldLeft(base) { (d, n) =>
+      val st = repetitionStats(col(textCol), n)
+      val k = size(Dedup.wordShingles(col(textCol), n)).cast("double")
+      d.withColumn(s"top${n}_frac",
+          when(k === 0.0d, 0.0d)
+            .otherwise(round(st.getField("top").cast("double") / k, 6)))
+        .withColumn(s"dup${n}_frac",
+          when(k === 0.0d, 0.0d)
+            .otherwise(round(st.getField("dup").cast("double") / k, 6)))
+    }.drop(textCol)
+  }
+
+  // ---------------------------------------------------------------- //
+  // PII redaction                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** One redaction rule: occurrences of `pattern` are counted and then
+    * replaced by `replacement`. Patterns are restricted to the
+    * Java-regex/RE2 common subset so the DuckDB oracle reproduces them
+    * verbatim (no backreferences, no lookaround).
+    */
+  final case class PiiRule(name: String, pattern: String, replacement: String)
+
+  /** Email, then IPv4, then phone — ordered so the broader digit-run
+    * phone pattern only sees text that earlier rules left behind.
+    */
+  val defaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiRule("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IPV4>"),
+    PiiRule("phone", "\\+?\\d[\\d-]{6,}\\d", "<PHONE>"))
+
+  /** Adds `redacted` plus one `n_<rule>` count column per rule. Rules
+    * apply sequentially, each counting and replacing on the output of
+    * the previous one, so counts are non-overlapping by construction.
+    */
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      rules: Seq[PiiRule] = defaultPiiRules): DataFrame =
+    rules.foldLeft(df.withColumn("redacted", col(textCol))) { (d, r) =>
+      d.withColumn(s"n_${r.name}",
+          regexp_count(col("redacted"), lit(r.pattern)).cast("long"))
+        .withColumn("redacted",
+          regexp_replace(col("redacted"), r.pattern, r.replacement))
+    }
+}

@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -831,6 +831,120 @@ object EntryQueries {
       |    '"props":{"new":{"v":"' || props_esc || '","t":"jsonb","q":"true"}}}}' AS json
       |FROM e""".stripMargin
 
+  /** Benchmark decontamination: documents with `doc_id % 50 == 0` play
+    * the eval set; every other document sharing a word 4-gram with it
+    * is reported with its distinct shared-gram count. The oracle
+    * re-derives the same n-grams with DuckDB list slicing and joins on
+    * gram CONTENT (the Spark side joins on xxhash64 of the gram — the
+    * distinct-match counts are identical).
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    Curation.contaminationReport(
+      docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(50)) === 0),
+      "text", "doc_id", n = 4)
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(generate_series(1, len(t) - 3),
+      |                i -> array_to_string(t[i:i+3], ' ')) END) AS g
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 != 0)
+      |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+      |FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""".stripMargin
+
+  /** Gopher-style repetition metrics, zero-shuffle per-row (sorted
+    * run-length analysis). The oracle recomputes each document's gram
+    * frequencies with quadratic list ops — fine at oracle scale.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionReport(T(spark, dir, "documents"), "text", "doc_id", Seq(2, 3))
+
+  val qRepetitionSql: String = {
+    def gramsFor(n: Int) =
+      s"""CASE WHEN len(t) <= $n THEN [array_to_string(t, ' ')]
+         |     ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+         |            i -> array_to_string(t[i:i+${n - 1}], ' ')) END""".stripMargin
+    def statsFor(n: Int) =
+      s"""round(CAST(list_max(c$n) AS DOUBLE) / len(g$n), 6) AS top${n}_frac,
+         |  round(CAST(list_sum(list_transform(c$n, c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE) / len(g$n), 6) AS dup${n}_frac""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, t, ${gramsFor(2)} AS g2, ${gramsFor(3)} AS g3 FROM toks),
+       |c AS (
+       |  SELECT doc_id, t, g2, g3,
+       |    list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))) AS c2,
+       |    list_transform(list_distinct(g3), d -> len(list_filter(g3, x -> x = d))) AS c3
+       |  FROM g)
+       |SELECT doc_id,
+       |  CASE WHEN len(t) = 0 THEN 0.0
+       |       ELSE round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS distinct_token_ratio,
+       |  ${statsFor(2)},
+       |  ${statsFor(3)}
+       |FROM c""".stripMargin
+  }
+
+  /** PII redaction over constructed support notes (the synthetic corpus
+    * carries no PII, so emails/IPs/phones are derived deterministically
+    * from customer keys IN the query — identically in both engines);
+    * every third/fifth/seventh row omits a category for negatives.
+    */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val note = concat(
+      lit("contact "), col("c_mktsegment"),
+      when(pmod(col("c_custkey"), lit(3)) =!= 0,
+        concat(lit(" <user"), col("c_custkey"), lit("@example.com>"))).otherwise(lit("")),
+      when(pmod(col("c_custkey"), lit(7)) =!= 0,
+        concat(lit(" from 10."), pmod(col("c_custkey"), lit(200)), lit("."),
+          col("c_nationkey"), lit("."), pmod(col("c_custkey"), lit(250)))).otherwise(lit("")),
+      when(pmod(col("c_custkey"), lit(5)) =!= 0,
+        concat(lit(" tel +1-555-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
+    Curation.redactPii(
+      T(spark, dir, "customer").select(col("c_custkey"), note.as("note")), "note")
+      .select(col("c_custkey"), col("redacted"),
+        col("n_email"), col("n_ipv4"), col("n_phone"))
+  }
+
+  val qPiiRedactSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey,
+      |    'contact ' || c_mktsegment
+      |    || CASE WHEN c_custkey % 3 != 0
+      |            THEN ' <user' || c_custkey || '@example.com>' ELSE '' END
+      |    || CASE WHEN c_custkey % 7 != 0
+      |            THEN ' from 10.' || (c_custkey % 200) || '.' || c_nationkey || '.' || (c_custkey % 250) ELSE '' END
+      |    || CASE WHEN c_custkey % 5 != 0
+      |            THEN ' tel +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END AS note
+      |  FROM customer),
+      |s1 AS (SELECT c_custkey,
+      |    CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    regexp_replace(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r
+      |  FROM base),
+      |s2 AS (SELECT c_custkey, n_email,
+      |    CAST(len(regexp_extract_all(r, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |    regexp_replace(r, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS r
+      |  FROM s1),
+      |s3 AS (SELECT c_custkey, n_email, n_ipv4,
+      |    CAST(len(regexp_extract_all(r, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phone,
+      |    regexp_replace(r, '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS redacted
+      |  FROM s2)
+      |SELECT c_custkey, redacted, n_email, n_ipv4, n_phone FROM s3""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -855,6 +969,9 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_decontaminate" -> qDecontaminate _,
+    "q_repetition" -> qRepetition _,
+    "q_pii_redact" -> qPiiRedact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
@@ -895,6 +1012,9 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_pii_redact" -> qPiiRedactSql,
     "q_dedup_minhash" -> HashOracleSql.minhashSql,
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
