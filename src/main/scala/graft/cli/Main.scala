@@ -24,8 +24,10 @@ import graft.streaming.{CdcConfig, CdcPipeline, KafkaKeyMode}
   * --partition-count --no-marshal-old-value --batcher-routing-method
   * --batch-flush-max-age --client-buffer-size`. Spark-side additions:
   * `--spool-dir --checkpoint --out-path --master --sslmode --once`.
-  * Value sources: flag > environment (`PGPASSWORD` for the password) >
-  * default — the reference's precedence, minus the YAML file.
+  * Value sources: flag > environment > `--config` YAML file > default —
+  * the reference's altsrc precedence (main/main.go:567, yaml keys are
+  * the flag names; the default `config.yaml` is read only if present,
+  * an explicitly-passed `--config` path must exist).
   */
 object Main {
 
@@ -65,6 +67,7 @@ object Main {
       |  graft create    --slot s --host h --port p --user u --dbname db
       |  graft drop      --slot s ...
       |  graft replicate <stdout|s3|kafka> --slot s --spool-dir d [--create-slot]
+      |      [--config file.yaml] (yaml keys = flag names; flag > env > yaml > default)
       |      [--whitelist t ...] [--blacklist t ...] [--whitelist-regex r ...]
       |      [--blacklist-regex r ...] [--partition-method none|tablename|transaction|transaction-bucket]
       |      [--partition-count n] [--workers n] [--batcher-routing-method round-robin|partition]
@@ -82,12 +85,123 @@ object Main {
     * WHITELIST[_REGEX], BLACKLIST[_REGEX] (comma-separated),
     * NO_MARSHAL_OLD_VALUE.
     */
+  private val listFlags = Set("whitelist", "blacklist", "whitelist-regex", "blacklist-regex")
+
+  private def getList(c: Cli, flag: String): Seq[String] = flag match {
+    case "whitelist" => c.whitelist
+    case "blacklist" => c.blacklist
+    case "whitelist-regex" => c.whitelistRegex
+    case "blacklist-regex" => c.blacklistRegex
+  }
+
+  private def setList(c: Cli, flag: String, items: Seq[String]): Cli = flag match {
+    case "whitelist" => c.copy(whitelist = items)
+    case "blacklist" => c.copy(blacklist = items)
+    case "whitelist-regex" => c.copy(whitelistRegex = items)
+    case "blacklist-regex" => c.copy(blacklistRegex = items)
+  }
+
+  /** One scalar setting, shared by the YAML and flag layers (yaml keys
+    * ARE the flag names, as with the reference's altsrc). Booleans
+    * accept an empty value (bare-flag presence) as true.
+    */
+  private def applySetting(c: Cli, flag: String, value: String): Either[String, Cli] = {
+    def int(v: String): Either[String, Int] =
+      try Right(v.toInt) catch { case _: NumberFormatException =>
+        Left(s"--$flag needs an integer, got '$v'") }
+    def bool(v: String): Either[String, Boolean] = v.trim.toLowerCase match {
+      case "" | "1" | "true" | "yes" => Right(true)
+      case "0" | "false" | "no" => Right(false)
+      case other => Left(s"--$flag needs a boolean, got '$other'")
+    }
+    flag match {
+      case "host" => Right(c.copy(host = value))
+      case "port" => int(value).map(v => c.copy(port = v))
+      case "user" => Right(c.copy(user = value))
+      case "password" => Right(c.copy(password = Some(value)))
+      case "dbname" => Right(c.copy(dbname = value))
+      case "slot" => Right(c.copy(slot = value))
+      case "sslmode" => Right(c.copy(sslmode = value))
+      case "create-slot" => bool(value).map(v => c.copy(createSlot = v))
+      case "workers" => int(value).map(v => c.copy(workers = v))
+      case "partition-method" => Right(c.copy(partitionMethod = value))
+      case "partition-count" => int(value).map(v => c.copy(partitionCount = v))
+      case "no-marshal-old-value" => bool(value).map(v => c.copy(noMarshalOldValue = v))
+      case "batcher-routing-method" => Right(c.copy(routingMethod = value))
+      case "batch-flush-max-age" => int(value).map(v => c.copy(batchFlushMaxAgeMillis = v.toLong))
+      case "client-buffer-size" => int(value).map(v => c.copy(clientBufferSize = v))
+      case "spool-dir" => Right(c.copy(spoolDir = value))
+      case "checkpoint" => Right(c.copy(checkpoint = value))
+      case "out-path" => Right(c.copy(outPath = value))
+      case "kafka-bootstrap" => Right(c.copy(kafkaBootstrap = value))
+      case "kafka-topic" => Right(c.copy(kafkaTopic = value))
+      case "kafka-key-mode" => Right(c.copy(kafkaKeyMode = value))
+      case "master" => Right(c.copy(master = value))
+      case "once" => bool(value).map(v => c.copy(once = v))
+      case other => Left(s"unknown flag: --$other")
+    }
+  }
+
   def parse(args: Seq[String], env: Map[String, String] = sys.env): Either[String, Cli] = {
     if (args.isEmpty) return Left("missing command")
     var c = Cli(command = args.head)
     if (!Set("create", "drop", "replicate")(c.command))
       return Left(s"unknown command: ${c.command}")
-    // --- environment layer (overridden by any explicit flag below) ---
+
+    var rest = args.tail.toList
+    if (c.command == "replicate") rest match {
+      case sink :: more if !sink.startsWith("-") => c = c.copy(sink = sink); rest = more
+      case _ => return Left("replicate needs a sink: stdout | s3 | kafka")
+    }
+
+    // --- config-file layer (lowest-precedence value source). The
+    // --config flag itself is extracted before anything else; the
+    // reference's default `config.yaml` is loaded only when present,
+    // while an explicitly-named file must exist.
+    var explicitCfg: Option[String] = None
+    locally {
+      var kept = List.empty[String]
+      var t = rest
+      while (t.nonEmpty) t = t match {
+        case "--config" :: v :: tl => explicitCfg = Some(v); tl
+        case "--config" :: Nil => return Left("missing value for --config")
+        case f :: tl if f.startsWith("--config=") =>
+          explicitCfg = Some(f.drop("--config=".length)); tl
+        case f :: tl => kept = f :: kept; tl
+        case Nil => Nil
+      }
+      rest = kept.reverse
+    }
+    val cfgFile = new java.io.File(explicitCfg.getOrElse("config.yaml"))
+    if (explicitCfg.isDefined && !cfgFile.isFile)
+      return Left(s"config file not found: ${cfgFile.getPath}")
+    if (cfgFile.isFile) {
+      val text =
+        try {
+          val src = scala.io.Source.fromFile(cfgFile, "UTF-8")
+          try src.mkString finally src.close()
+        } catch { case e: java.io.IOException =>
+          return Left(s"cannot read ${cfgFile.getPath}: ${e.getMessage}") }
+      YamlConfig.parse(text) match {
+        case Left(e) => return Left(s"${cfgFile.getPath}: $e")
+        case Right(pairs) =>
+          for ((k, vs) <- pairs) {
+            if (k == "config")
+              return Left(s"${cfgFile.getPath}: 'config' cannot be set from the config file")
+            if (listFlags(k)) {
+              c = setList(c, k,
+                vs.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+            } else if (vs.size != 1) {
+              return Left(s"${cfgFile.getPath}: '$k' does not take a list")
+            } else applySetting(c, k, vs.head) match {
+              case Right(n) => c = n
+              case Left(e) => return Left(s"${cfgFile.getPath}: $e")
+            }
+          }
+      }
+    }
+
+    // --- environment layer (overrides the file, overridden by flags) ---
     def envInt(k: String): Either[String, Option[Int]] = env.get(k) match {
       case None => Right(None)
       case Some(v) =>
@@ -125,14 +239,11 @@ object Main {
     if (env.get("NO_MARSHAL_OLD_VALUE").exists(v => v == "1" || v.equalsIgnoreCase("true")))
       c = c.copy(noMarshalOldValue = true)
     env.get("PGPASSWORD").foreach(v => c = c.copy(password = Some(v)))
-    // a flag REPLACES an env-sourced list (reference altsrc precedence),
-    // then further occurrences of the same flag append
-    var envLists = Set("whitelist", "blacklist", "whitelist-regex", "blacklist-regex")
-    var rest = args.tail.toList
-    if (c.command == "replicate") rest match {
-      case sink :: more if !sink.startsWith("-") => c = c.copy(sink = sink); rest = more
-      case _ => return Left("replicate needs a sink: stdout | s3 | kafka")
-    }
+
+    // --- flag layer (highest precedence). The first occurrence of a
+    // list flag REPLACES any yaml/env-sourced list (reference altsrc
+    // precedence); further occurrences of the same flag append.
+    var preseededLists = listFlags
     val boolFlags = Set("create-slot", "no-marshal-old-value", "once")
     while (rest.nonEmpty) {
       val (flag, value, tail) = rest match {
@@ -147,56 +258,13 @@ object Main {
         case "-s" :: t => ("create-slot", "", t)
         case f :: _ => return Left(s"unexpected argument: $f")
       }
-      def int(v: String): Either[String, Int] =
-        try Right(v.toInt) catch { case _: NumberFormatException =>
-          Left(s"--$flag needs an integer, got '$v'") }
-      flag match {
-        case "host" => c = c.copy(host = value)
-        case "port" => int(value) match {
-          case Right(v) => c = c.copy(port = v); case Left(e) => return Left(e)
-        }
-        case "user" => c = c.copy(user = value)
-        case "password" => c = c.copy(password = Some(value))
-        case "dbname" => c = c.copy(dbname = value)
-        case "slot" => c = c.copy(slot = value)
-        case "sslmode" => c = c.copy(sslmode = value)
-        case "create-slot" => c = c.copy(createSlot = true)
-        case "workers" => int(value) match {
-          case Right(v) => c = c.copy(workers = v); case Left(e) => return Left(e)
-        }
-        case "whitelist" =>
-          c = c.copy(whitelist = (if (envLists("whitelist")) Nil else c.whitelist) :+ value)
-          envLists -= "whitelist"
-        case "blacklist" =>
-          c = c.copy(blacklist = (if (envLists("blacklist")) Nil else c.blacklist) :+ value)
-          envLists -= "blacklist"
-        case "whitelist-regex" =>
-          c = c.copy(whitelistRegex = (if (envLists("whitelist-regex")) Nil else c.whitelistRegex) :+ value)
-          envLists -= "whitelist-regex"
-        case "blacklist-regex" =>
-          c = c.copy(blacklistRegex = (if (envLists("blacklist-regex")) Nil else c.blacklistRegex) :+ value)
-          envLists -= "blacklist-regex"
-        case "partition-method" => c = c.copy(partitionMethod = value)
-        case "partition-count" => int(value) match {
-          case Right(v) => c = c.copy(partitionCount = v); case Left(e) => return Left(e)
-        }
-        case "no-marshal-old-value" => c = c.copy(noMarshalOldValue = true)
-        case "batcher-routing-method" => c = c.copy(routingMethod = value)
-        case "batch-flush-max-age" => int(value) match {
-          case Right(v) => c = c.copy(batchFlushMaxAgeMillis = v.toLong); case Left(e) => return Left(e)
-        }
-        case "client-buffer-size" => int(value) match {
-          case Right(v) => c = c.copy(clientBufferSize = v); case Left(e) => return Left(e)
-        }
-        case "spool-dir" => c = c.copy(spoolDir = value)
-        case "checkpoint" => c = c.copy(checkpoint = value)
-        case "out-path" => c = c.copy(outPath = value)
-        case "kafka-bootstrap" => c = c.copy(kafkaBootstrap = value)
-        case "kafka-topic" => c = c.copy(kafkaTopic = value)
-        case "kafka-key-mode" => c = c.copy(kafkaKeyMode = value)
-        case "master" => c = c.copy(master = value)
-        case "once" => c = c.copy(once = true)
-        case other => return Left(s"unknown flag: --$other")
+      if (listFlags(flag)) {
+        c = setList(c, flag,
+          (if (preseededLists(flag)) Nil else getList(c, flag)) :+ value)
+        preseededLists -= flag
+      } else applySetting(c, flag, value) match {
+        case Right(n) => c = n
+        case Left(e) => return Left(e)
       }
       rest = tail
     }

@@ -87,6 +87,70 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parse(Seq("create"), Map("PGPORT" -> "abc")).isLeft)
   }
 
+  test("config-file layer: flag > env > yaml > default, altsrc-style") {
+    val dir = Files.createTempDirectory("graftcli").toFile
+    dir.deleteOnExit()
+    def write(name: String, body: String): String = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, body.getBytes("UTF-8"))
+      f.getPath
+    }
+    val cfg = write("config.yaml",
+      """# pg connection
+        |slot: yaml_slot
+        |port: 6000
+        |workers: 7
+        |create-slot: true
+        |whitelist:
+        |  - public.a
+        |  - public.b   # trailing comment
+        |partition-method: tablename
+        |spool-dir: '/tmp/spool'
+        |""".stripMargin)
+
+    // yaml alone fills values and satisfies validation (spool-dir)
+    val c1 = Main.parse(Seq("replicate", "stdout", "--config", cfg), Map.empty).toOption.get
+    assert(c1.slot == "yaml_slot" && c1.port == 6000 && c1.workers == 7 && c1.createSlot)
+    assert(c1.whitelist == Seq("public.a", "public.b"))
+    assert(c1.partitionMethod == "tablename" && c1.spoolDir == "/tmp/spool")
+
+    // env overrides yaml
+    val c2 = Main.parse(Seq("replicate", "stdout", s"--config=$cfg"),
+      Map("REPLICATION_SLOT" -> "env_slot", "WHITELIST" -> "public.c")).toOption.get
+    assert(c2.slot == "env_slot" && c2.whitelist == Seq("public.c"))
+    assert(c2.port == 6000) // yaml value survives where env is silent
+
+    // a flag overrides both; the first list flag REPLACES the yaml list
+    val c3 = Main.parse(Seq("replicate", "stdout", "--config", cfg,
+      "--slot", "flag_slot", "--whitelist", "public.z"),
+      Map("REPLICATION_SLOT" -> "env_slot")).toOption.get
+    assert(c3.slot == "flag_slot" && c3.whitelist == Seq("public.z"))
+
+    // inline lists and boolean false
+    val cfg2 = write("inline.yaml",
+      """blacklist-regex: [^public\.tmp_.*$, ^public\.scratch$]
+        |once: false
+        |""".stripMargin)
+    val c4 = Main.parse(Seq("create", "--config", cfg2), Map.empty).toOption.get
+    assert(c4.blacklistRegex == Seq("^public\\.tmp_.*$", "^public\\.scratch$"))
+    assert(!c4.once)
+
+    // errors are loud: missing explicit file, unknown key, bad int,
+    // mutually-exclusive lists assembled across layers
+    assert(Main.parse(Seq("create", "--config", s"$dir/nope.yaml"), Map.empty)
+      .left.toOption.get.contains("not found"))
+    assert(Main.parse(Seq("create", "--config", write("bad1.yaml", "bogus-key: 1\n")),
+      Map.empty).left.toOption.get.contains("unknown flag"))
+    assert(Main.parse(Seq("create", "--config", write("bad2.yaml", "port: abc\n")),
+      Map.empty).left.toOption.get.contains("integer"))
+    assert(Main.parse(Seq("replicate", "stdout", "--config", cfg,
+      "--blacklist", "public.x"), Map.empty)
+      .left.toOption.get.contains("mutually exclusive"))
+    // 'config' key inside the file is rejected (no recursive includes)
+    assert(Main.parse(Seq("create", "--config",
+      write("bad3.yaml", "config: other.yaml\n")), Map.empty).isLeft)
+  }
+
   test("create and drop drive slot DDL over the live protocol") {
     val srv = new FakePgServer(Nil, authMode = "md5", expectedPassword = "pw")
     try {
