@@ -69,7 +69,12 @@ object Bench {
       }
       math.max(1, n) // 0/negative would leave samples empty and break median
     }
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    // times just those queries (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- names) {

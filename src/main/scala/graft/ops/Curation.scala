@@ -31,9 +31,13 @@ object Curation {
     * [[Dedup.wordShingles]]), so short eval strings still match
     * verbatim copies.
     *
-    * Grams travel as 64-bit `xxhash64` values: the distinct-gram count
-    * is unchanged (modulo a 2^-64 collision) and the shuffle carries 8
-    * bytes per gram instead of the n-word string.
+    * Grams travel as 64-bit hashes ([[Dedup.shingle_hashes]], one
+    * native pass per document that also dedups within the doc): the
+    * distinct-gram count is unchanged (modulo a 2^-64 collision) and
+    * nothing larger than 8 bytes per gram ever leaves the scan
+    * projection. The broadcast eval join filters BEFORE any exchange,
+    * so the only shuffle — the final per-doc count — carries matched
+    * grams only, never the full train gram stream.
     */
   def contaminationReport(
       train: DataFrame,
@@ -42,13 +46,12 @@ object Curation {
       idCol: String = "doc_id",
       n: Int = 8): DataFrame = {
     val trainGrams = train
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
-      .select(col(idCol), xxhash64(col("gram")).as("g"))
-      .distinct()
+      .select(col(idCol), explode(Dedup.shingle_hashes(col(textCol), n)).as("g"))
     val evalGrams = eval
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
-      .select(xxhash64(col("gram")).as("g"))
+      .select(explode(Dedup.shingle_hashes(col(textCol), n)).as("g"))
       .distinct()
+    // shingle_hashes emits each doc's DISTINCT grams, so after the
+    // broadcast filter a plain count() is already the distinct count
     trainGrams
       .join(broadcast(evalGrams), "g")
       .groupBy(idCol)
@@ -106,29 +109,36 @@ object Curation {
     * general redundancy). Deterministic, SQL-reproducible variants of
     * the MassiveText/Gopher repetition filters (char-coverage replaced
     * by gram-position coverage).
+    *
+    * All statistics come from ONE native
+    * [[graft.functions.RepetitionProfile]] call per row (tokenize once,
+    * count every gram order in a compiled pass) — the declarative
+    * [[repetitionStats]] fold is kept as the semantic reference but is
+    * interpreted per gram and ~70× slower.
     */
   def repetitionReport(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
-    val base = df.select(
-      col(idCol),
-      col(textCol),
-      when(size(toks) === 0, 0.0d)
-        .otherwise(round(size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double"), 6)).as("distinct_token_ratio"))
-    ns.foldLeft(base) { (d, n) =>
-      val st = repetitionStats(col(textCol), n)
-      val k = size(Dedup.wordShingles(col(textCol), n)).cast("double")
-      d.withColumn(s"top${n}_frac",
-          when(k === 0.0d, 0.0d)
-            .otherwise(round(st.getField("top").cast("double") / k, 6)))
-        .withColumn(s"dup${n}_frac",
-          when(k === 0.0d, 0.0d)
-            .otherwise(round(st.getField("dup").cast("double") / k, 6)))
-    }.drop(textCol)
+    val prof = column(graft.functions.RepetitionProfile(expression(toks), ns))
+    val p = col("_profile")
+    val fracs = ns.flatMap { n =>
+      // short/empty docs carry one whole-text shingle, so cnt >= 1 always
+      val k = p.getField(s"cnt$n").cast("double")
+      Seq(
+        round(p.getField(s"top$n").cast("double") / k, 6).as(s"top${n}_frac"),
+        round(p.getField(s"dup$n").cast("double") / k, 6).as(s"dup${n}_frac"))
+    }
+    df.select(col(idCol), prof.as("_profile"))
+      .select(
+        col(idCol) +:
+        when(p.getField("tok_cnt") === 0L, 0.0d)
+          .otherwise(round(p.getField("tok_distinct").cast("double") /
+            p.getField("tok_cnt").cast("double"), 6)).as("distinct_token_ratio") +:
+        fracs: _*)
   }
 
   // ---------------------------------------------------------------- //

@@ -41,8 +41,9 @@ class CurationSpec extends AnyFunSuite {
     val plan = Curation.contaminationReport(train, evalSet, "text", "doc_id", n = 3)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
-    // the join key is the 64-bit gram hash, not the gram string
-    assert(plan.contains("xxhash64"))
+    // the join key is the 64-bit gram hash (native single-pass
+    // shingler), not the gram string
+    assert(plan.contains("shingle_hashes"))
   }
 
   test("contamination is case/whitespace insensitive via normalization") {
