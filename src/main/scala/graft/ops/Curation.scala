@@ -174,4 +174,74 @@ object Curation {
         .withColumn("redacted",
           regexp_replace(col("redacted"), r.pattern, r.replacement))
     }
+
+  // ---------------------------------------------------------------- //
+  // Quality gate (composed filter with drop-reason audit)            //
+  // ---------------------------------------------------------------- //
+
+  /** The composed corpus filter: evaluates every quality rule in ONE
+    * pass per document and emits the metrics, a `keep` verdict, and
+    * `failed_rules` — the comma-joined names of the rules the document
+    * violated, in fixed rule order. Production corpus builds need the
+    * audit trail (why was this document dropped, and how many fell to
+    * each rule), not just the surviving rows; `keep`-filtering this
+    * output IS the filter.
+    *
+    * All gram/token statistics come from one native
+    * [[graft.functions.RepetitionProfile]] call; the mean token length
+    * is derived from the whitespace-collapsed text length (tokens are
+    * single-space-joined there, so `chars = Σ len + (t − 1)`) — no
+    * per-token interpreted fold anywhere.
+    *
+    * Thresholds compare against the ROUNDED (6-place) metrics that are
+    * also emitted, so the decision is bit-reproducible in any engine.
+    */
+  def qualityGate(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 10,
+      maxTokens: Int = 5000,
+      minDistinctRatio: Double = 0.3,
+      maxDup2Frac: Double = 0.5,
+      meanTokenLenRange: (Double, Double) = (2.0, 12.0),
+      maxPunctRatio: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    val prof = column(graft.functions.RepetitionProfile(expression(toks), Seq(2)))
+    // whitespace-collapsed (but case-preserving) text: its length is
+    // sum(token lengths) + (tokens - 1)
+    val collapsed = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val p = col("_profile")
+    val tokCnt = p.getField("tok_cnt")
+    val metrics = df
+      .select(col(idCol), col(textCol), prof.as("_profile"))
+      .select(
+        col(idCol),
+        tokCnt.as("token_cnt"),
+        when(tokCnt === 0L, 0.0d)
+          .otherwise(round(p.getField("tok_distinct").cast("double") /
+            tokCnt.cast("double"), 6)).as("distinct_token_ratio"),
+        round(p.getField("dup2").cast("double") /
+          p.getField("cnt2").cast("double"), 6).as("dup2_frac"),
+        when(tokCnt === 0L, 0.0d)
+          .otherwise(round((length(collapsed) - tokCnt + 1L).cast("double") /
+            tokCnt.cast("double"), 6)).as("mean_token_len"),
+        when(length(col(textCol)) === 0, 0.0d)
+          .otherwise(round(
+            (length(col(textCol)) -
+              length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double") /
+            length(col(textCol)).cast("double"), 6)).as("punct_ratio"))
+    val failed = concat_ws(",",
+      when(col("token_cnt") < minTokens, "too_short"),
+      when(col("token_cnt") > maxTokens, "too_long"),
+      when(col("distinct_token_ratio") < minDistinctRatio, "low_diversity"),
+      when(col("dup2_frac") > maxDup2Frac, "repetitive"),
+      when(!col("mean_token_len").between(meanTokenLenRange._1, meanTokenLenRange._2),
+        "word_shape"),
+      when(col("punct_ratio") > maxPunctRatio, "high_punct"))
+    metrics
+      .withColumn("failed_rules", failed)
+      .withColumn("keep", col("failed_rules") === "")
+  }
 }

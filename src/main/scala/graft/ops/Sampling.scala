@@ -51,4 +51,42 @@ object Sampling {
     val keep = coalesce(element_at(rateMap, col(strataCol).cast("string")), lit(defaultKeep))
     df.where(hashBucket(col(keyCol), buckets) < keep)
   }
+
+  /** Downsample to a target domain MIXTURE (DoReMi/Pile-style domain
+    * weighting at ingest): given relative weights over the strata,
+    * emit the largest sample achievable WITHOUT upsampling whose
+    * composition matches the weights — the stratum with the scarcest
+    * supply relative to its weight is kept whole and every other
+    * stratum is hash-downsampled pro rata. Strata absent from the
+    * weight map are dropped.
+    *
+    * The per-stratum keep rates are derived IN the plan: one tiny
+    * aggregation for the per-stratum counts, a one-row broadcast for
+    * the binding-stratum scale, and a broadcast join of the resulting
+    * parts-per-million thresholds back onto the data — no driver
+    * collect, no full-data shuffle; the keep decision itself is the
+    * same per-row md5 predicate as [[hashSample]] (reproducible
+    * across engines, retries, and incremental re-runs).
+    *
+    * Rates are materialized as ppm (md5 bucket of 1 000 000), so the
+    * realized mixture tracks the target to ±0.1 % per stratum.
+    */
+  def domainMix(df: DataFrame, strataCol: String, keyCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wMap = map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", element_at(wMap, col(strataCol).cast("string")))
+      .where(col("w").isNotNull)
+    val scale = counts.agg(min(col("n") / col("w")).as("scale"))
+    val rates = counts.crossJoin(broadcast(scale)).select(
+      col(strataCol),
+      least(lit(1000000L),
+        floor(col("scale") * col("w") / col("n") * 1000000d)).as("ppm"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashBucket(col(keyCol), 1000000).cast("long") < col("ppm"))
+      .select(df.columns.map(col): _*)
+  }
 }

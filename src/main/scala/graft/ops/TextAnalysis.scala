@@ -120,6 +120,43 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Per-document top-`k` TF-IDF keywords over the corpus.
+    *
+    * Three-stage plan, each stage the canonical distributed shape:
+    * (doc, token) term frequencies by one hash aggregation; document
+    * frequencies by a second aggregation over the (already-distinct)
+    * TF pairs — vocabulary-sized, so DF joins back on the token key as
+    * a regular shuffle join (a 100 TB corpus has a vocabulary far too
+    * large to broadcast); the corpus size rides as a one-row broadcast.
+    * The final per-document top-k is a `row_number` window that
+    * Spark's `WindowGroupLimit` pre-reduces before the exchange, so
+    * no doc's full vocabulary crosses the wire.
+    *
+    * Scores are `tf · ln((N+1)/(df+1))`, rounded to 6 places BEFORE
+    * ranking (ties broken by token) so the ranking is reproducible in
+    * any engine regardless of last-ulp `ln` differences.
+    */
+  def tfidfTopK(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      explode(tokens(normalize(col(textCol)))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + lit(1.0d)) / (col("df") + lit(1.0d))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Convenience transform attaching the full analysis column set. */
   def analyze(textCol: String = "text"): DataFrame => DataFrame = df => {
     val t = col(textCol)

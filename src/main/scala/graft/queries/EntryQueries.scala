@@ -945,6 +945,108 @@ object EntryQueries {
       |  FROM s2)
       |SELECT c_custkey, redacted, n_email, n_ipv4, n_phone FROM s3""".stripMargin
 
+  /** Domain-mixture downsampling: resample `documents` to a 50/25/
+    * 12.5/12.5 mix over four sources (the rest dropped), keep rates
+    * derived in-plan from the observed counts. The oracle re-derives
+    * the same ppm thresholds from SQL aggregates and replays the md5
+    * keep predicate.
+    */
+  private val domainMixWeights =
+    Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125)
+
+  def qSampleDomainMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.domainMix(
+      T(spark, dir, "documents").select("doc_id", "source"),
+      strataCol = "source", keyCol = "doc_id",
+      weights = domainMixWeights.toMap)
+
+  val qSampleDomainMixSql: String = {
+    val wCase = domainMixWeights
+      .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE source ", " ", " ELSE NULL END")
+    """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n, WCASE AS w FROM n),
+      |s AS (SELECT min(n / w) AS scale FROM w WHERE w IS NOT NULL),
+      |r AS (SELECT source, least(1000000, CAST(floor(scale * w / n * 1000000) AS BIGINT)) AS ppm
+      |      FROM w, s WHERE w IS NOT NULL)
+      |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+      |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 1000000 AS BIGINT) < ppm""".stripMargin
+      .replace("WCASE", wCase)
+  }
+
+  /** Per-document top-5 TF-IDF keywords; scores rounded to 6 places
+    * BEFORE ranking (token tie-break) so the ranking survives
+    * last-ulp `ln` differences between engines.
+    */
+  def qTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(T(spark, dir, "documents"), "text", "doc_id", k = 5)
+
+  val qTfidfTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    round(tf * ln((n_docs + CAST(1.0 AS DOUBLE)) / (df + CAST(1.0 AS DOUBLE))), 6) AS tfidf
+      |  FROM tf JOIN dfq USING (token), n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+      |      FROM scored)
+      |SELECT doc_id, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Composed quality gate with drop-reason audit; thresholds chosen
+    * to split the synthetic corpus (tokens 10–99, distinct ratios
+    * 0.28–1.0, dup2 0–0.27 at sf0.01) into a keep/drop mix.
+    */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityGate(T(spark, dir, "documents"), "text", "doc_id",
+      minTokens = 20, maxTokens = 5000,
+      minDistinctRatio = 0.45, maxDup2Frac = 0.12)
+
+  val qQualityGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text, t,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(generate_series(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+1], ' ')) END AS g2
+      |  FROM toks),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS token_cnt,
+      |    CASE WHEN len(t) = 0 THEN 0.0
+      |         ELSE round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS distinct_token_ratio,
+      |    round(CAST(list_sum(list_transform(
+      |            list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))),
+      |            c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE) / len(g2), 6) AS dup2_frac,
+      |    CASE WHEN len(t) = 0 THEN 0.0
+      |         ELSE round(CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) - len(t) + 1 AS DOUBLE) / len(t), 6) END AS mean_token_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6) END AS punct_ratio
+      |  FROM g),
+      |f AS (
+      |  SELECT *, concat_ws(',',
+      |      CASE WHEN token_cnt < 20 THEN 'too_short' END,
+      |      CASE WHEN token_cnt > 5000 THEN 'too_long' END,
+      |      CASE WHEN distinct_token_ratio < 0.45 THEN 'low_diversity' END,
+      |      CASE WHEN dup2_frac > 0.12 THEN 'repetitive' END,
+      |      CASE WHEN mean_token_len NOT BETWEEN 2.0 AND 12.0 THEN 'word_shape' END,
+      |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END) AS failed_rules
+      |  FROM m)
+      |SELECT doc_id, token_cnt, distinct_token_ratio, dup2_frac, mean_token_len,
+      |  punct_ratio, failed_rules, failed_rules = '' AS keep
+      |FROM f""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -969,6 +1071,9 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_sample_domain_mix" -> qSampleDomainMix _,
+    "q_tfidf_topk" -> qTfidfTopk _,
+    "q_quality_gate" -> qQualityGate _,
     "q_decontaminate" -> qDecontaminate _,
     "q_repetition" -> qRepetition _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1012,6 +1117,9 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_domain_mix" -> qSampleDomainMixSql,
+    "q_tfidf_topk" -> qTfidfTopkSql,
+    "q_quality_gate" -> qQualityGateSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_repetition" -> qRepetitionSql,
     "q_pii_redact" -> qPiiRedactSql,

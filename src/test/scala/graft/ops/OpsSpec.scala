@@ -201,4 +201,73 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.hashSample(df, "doc_id", keep = 101))
   }
+
+  test("domainMix hits the target mixture without upsampling") {
+    // 6000 a / 3000 b / 1000 c, target 1:1:2 -> c binds (1000/2 = 500
+    // units), so the mix keeps ~500 a, ~500 b, all 1000 c
+    val df = spark.range(0, 10000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "a").when(col("id") % 10 < 9, "b")
+        .otherwise("c").as("source"))
+    val mixed = Sampling.domainMix(df, "source", "doc_id",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+    val byDomain = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain("c") == 1000L, "binding stratum is kept whole")
+    assert(math.abs(byDomain("a") - 500) < 100, s"a: ${byDomain("a")}")
+    assert(math.abs(byDomain("b") - 500) < 100, s"b: ${byDomain("b")}")
+
+    // deterministic: same input -> identical sample
+    val again = Sampling.domainMix(df, "source", "doc_id",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+
+    // unweighted strata are dropped entirely
+    val noC = Sampling.domainMix(df, "source", "doc_id",
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(noC.where(col("source") === "c").count() == 0L)
+
+    intercept[IllegalArgumentException](
+      Sampling.domainMix(df, "source", "doc_id", Map("a" -> -1.0)))
+  }
+
+  test("tfidfTopK ranks corpus-rare tokens above ubiquitous ones") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(5))).toList
+    // "common" is in every doc -> idf = ln(4/4) = 0 -> never top-ranked
+    val top1 = out.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    assert(top1(1L) == "rare1")
+    assert(top1(2L) == "rare2")
+    assert(out.forall { case (_, tok, rank) => tok != "common" || rank > 1 })
+    // per-doc cap respected
+    assert(out.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("qualityGate: one-pass metrics, keep verdict and failure audit") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+           "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"), // clean
+      (2L, "spam spam spam spam spam spam spam spam spam spam " +
+           "spam spam spam spam spam spam spam spam spam spam spam"), // repetitive
+      (3L, "tiny doc")) // too short
+      .toDF("doc_id", "text")
+    val out = Curation.qualityGate(df, "text", "doc_id",
+        minTokens = 20, minDistinctRatio = 0.45, maxDup2Frac = 0.12)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[String]("failed_rules") == "")
+
+    assert(!out(2L).getAs[Boolean]("keep"))
+    val r2 = out(2L).getAs[String]("failed_rules").split(",").toSet
+    assert(r2.contains("low_diversity") && r2.contains("repetitive"))
+
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[String]("failed_rules") == "too_short")
+  }
 }
