@@ -86,6 +86,33 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(2L).getAs[Double]("top2_frac") - 1.0 / 7) < 1e-6)
   }
 
+  test("native RepetitionProfile matches the declarative fold on varied docs") {
+    // adversarial shapes: runs, alternations, short docs, whitespace
+    // noise, unicode, single token, exactly-n tokens
+    val docs = Seq(
+      "a a a a a a", "a b a b a b a", "x y z x y z x", "one",
+      "  padded   whitespace  doc  ", "α β γ α β γ α β", "t1 t2",
+      "w1 w2 w3", "same same", "lots of words none of which repeat at all",
+      "").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val declarative = df.select($"doc_id",
+          Curation.repetitionStats($"text", n).as("st"))
+        .select($"doc_id", $"st.top", $"st.dup")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val native = Curation.repetitionReport(df, "text", "doc_id", Seq(n))
+      // re-derive top/dup from the fractions: frac * cnt must round-trip
+      val k = org.apache.spark.sql.functions.size(
+        Dedup.wordShingles($"text", n)).cast("double")
+      val nat = df.join(native, "doc_id")
+        .select($"doc_id",
+          round(col(s"top${n}_frac") * k).cast("long"),
+          round(col(s"dup${n}_frac") * k).cast("long"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(nat == declarative, s"n=$n mismatch")
+    }
+  }
+
   test("repetition metrics are 0 for empty text") {
     val df = Seq((1L, "")).toDF("doc_id", "text")
     val r = Curation.repetitionReport(df, "text", "doc_id", Seq(2)).head()
