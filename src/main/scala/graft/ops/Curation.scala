@@ -71,6 +71,44 @@ object Curation {
       contaminationReport(train, eval, textCol, idCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** FUZZY contamination: near-duplicate (train, eval) pairs by exact
+    * shingle-set Jaccard — catches lightly-edited benchmark copies the
+    * exact n-gram overlap report under-weighs. Exact, not LSH: the
+    * eval side is benchmark-sized, so full verification is affordable
+    * and the result has no recall caveat.
+    *
+    * One pass, one shuffle: because [[Dedup.shingle_hashes]] emits each
+    * doc's DISTINCT shingles, the per-pair match count from the
+    * broadcast inverted-index join IS `|A ∩ B|`, and `|A ∪ B| =
+    * |A| + |B| − |A ∩ B|` with the set sizes riding the exploded rows
+    * as integers — so Jaccard falls out of the candidate aggregation
+    * itself, with no join-back and no shingle arrays on the wire. The
+    * train side never shuffles anything but matched-pair rows.
+    */
+  def fuzzyContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val trInv = train.select(col(idCol).as("train_id"),
+        Dedup.shingle_hashes(col(textCol), shingleSize).as("hs"))
+      .select(col("train_id"), size(col("hs")).as("na"),
+        explode(col("hs")).as("shingle"))
+    val evInv = eval.select(col(idCol).as("eval_id"),
+        Dedup.shingle_hashes(col(textCol), shingleSize).as("hs"))
+      .select(col("eval_id"), size(col("hs")).as("nb"),
+        explode(col("hs")).as("shingle"))
+    trInv.join(broadcast(evInv), Seq("shingle"))
+      .groupBy(col("train_id"), col("eval_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("shared"), col("jaccard"))
+  }
+
   // ---------------------------------------------------------------- //
   // Repetition metrics (Gopher-style quality signals)                //
   // ---------------------------------------------------------------- //

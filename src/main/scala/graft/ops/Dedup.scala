@@ -76,6 +76,30 @@ object Dedup {
   private def TestAnalysisFingerprint(textCol: String): Column =
     TextAnalysis.fingerprint(col(textCol))
 
+  /** Incremental ingest dedup: drop every new document whose content
+    * fingerprint is already in the ingested corpus' fingerprint index,
+    * then dedup the survivors among themselves (min id wins). This is
+    * the daily-batch production pattern — the historical corpus is
+    * represented ONLY by its fingerprint column (8–32 bytes/doc, the
+    * thing you'd keep in a compact index table at 100 TB), never
+    * rescanned. Two hash-partitioned operations on the fingerprint:
+    * one anti join, one window dedup; AQE sizes both.
+    */
+  def incrementalExactDedup(
+      newDocs: DataFrame,
+      knownFingerprints: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      fingerprintCol: String = "fingerprint"): DataFrame = {
+    val known = knownFingerprints
+      .select(col(fingerprintCol).as("__fp")).distinct()
+    exactDrop(
+      newDocs.withColumn("__fp", TestAnalysisFingerprint(textCol))
+        .join(known, Seq("__fp"), "left_anti")
+        .drop("__fp"),
+      textCol, idCol)
+  }
+
   /** MinHash-LSH candidate duplicate pairs.
     *
     * shingle → signature (native expression, no shuffle) → split the

@@ -863,6 +863,67 @@ object EntryQueries {
       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
       |FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""".stripMargin
 
+  /** Fuzzy (near-duplicate) contamination: exact shingle-set Jaccard
+    * between every train/eval pair sharing a shingle — the intersection
+    * count falls out of the broadcast inverted-index aggregation, no
+    * join-back. Oracle: brute-force list_intersect over the same
+    * distinct shingle sets.
+    */
+  def qDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    Curation.fuzzyContamination(
+      docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(50)) === 0),
+      "text", "doc_id", shingleSize = 3, threshold = 0.2)
+  }
+
+  val qDecontaminateFuzzySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |shd AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' ')) END) AS shingles
+      |  FROM toks),
+      |tr AS (SELECT * FROM shd WHERE doc_id % 50 != 0),
+      |ev AS (SELECT * FROM shd WHERE doc_id % 50 = 0),
+      |j AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+      |        CAST(len(list_intersect(tr.shingles, ev.shingles)) AS BIGINT) AS shared,
+      |        round(CAST(len(list_intersect(tr.shingles, ev.shingles)) AS DOUBLE)
+      |              / (len(tr.shingles) + len(ev.shingles)
+      |                 - len(list_intersect(tr.shingles, ev.shingles))), 6) AS jaccard
+      |      FROM tr, ev)
+      |SELECT train_id, eval_id, shared, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
+
+  /** Incremental ingest dedup: docs with `doc_id % 10 = 0` stand in
+    * for the already-ingested corpus (represented ONLY by their
+    * fingerprint index); the rest are the new batch, deduped against
+    * the index and then within themselves.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val known = Dedup.exactGroups(
+      docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id")
+    Dedup.incrementalExactDedup(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0).select("doc_id", "text"),
+      known, "text", "doc_id")
+      .select("doc_id")
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM documents),
+      |known AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0),
+      |fresh AS (SELECT * FROM fp WHERE doc_id % 10 != 0
+      |          AND f NOT IN (SELECT f FROM known)),
+      |w AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fresh)
+      |SELECT doc_id FROM w WHERE doc_id = k""".stripMargin
+
   /** Gopher-style repetition metrics, zero-shuffle per-row (sorted
     * run-length analysis). The oracle recomputes each document's gram
     * frequencies with quadratic list ops — fine at oracle scale.
@@ -1075,6 +1136,8 @@ object EntryQueries {
     "q_tfidf_topk" -> qTfidfTopk _,
     "q_quality_gate" -> qQualityGate _,
     "q_decontaminate" -> qDecontaminate _,
+    "q_decontaminate_fuzzy" -> qDecontaminateFuzzy _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_repetition" -> qRepetition _,
     "q_pii_redact" -> qPiiRedact _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -1121,6 +1184,8 @@ object EntryQueries {
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_quality_gate" -> qQualityGateSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_fuzzy" -> qDecontaminateFuzzySql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_repetition" -> qRepetitionSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_dedup_minhash" -> HashOracleSql.minhashSql,

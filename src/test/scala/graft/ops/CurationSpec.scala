@@ -53,6 +53,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rep == Map(1L -> 2L))
   }
 
+  test("fuzzyContamination: Jaccard from the inverted-index agg, no join-back") {
+    val tr = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // near-copy of eval 100
+      (2L, "one two three four five six"), // disjoint
+      (3L, "alpha beta gamma x y z")) // small overlap
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "alpha beta gamma delta epsilon end")).toDF("doc_id", "text")
+    val out = Curation.fuzzyContamination(tr, ev, "text", "doc_id",
+        shingleSize = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: shingles {abg, bgd, gde, dez}; eval {abg, bgd, gde, dee}
+    // -> shared 3, union 5, jaccard 0.6
+    assert(out((1L, 100L)) == (3L, 0.6))
+    assert(!out.contains((2L, 100L)))
+    assert(!out.contains((3L, 100L))) // 1 shared / 7 union = 0.14 < 0.2
+
+    // plan: eval inverted index broadcasts; train side has no exchange
+    // before the candidate aggregation's own shuffle
+    val plan = Curation.fuzzyContamination(tr, ev, "text", "doc_id")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+  }
+
   // ------------------------------------------------------------ //
   // Repetition metrics                                           //
   // ------------------------------------------------------------ //

@@ -175,6 +175,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(30L)) // never paired -> survives
   }
 
+  test("incrementalExactDedup drops known fingerprints then dedups the batch") {
+    val known = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already  INGESTED   doc"), // normalizes to a known fingerprint
+      (2L, "fresh content a"),
+      (3L, "fresh content a"), // in-batch duplicate of 2
+      (4L, "fresh content b")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(
+      batch, Dedup.exactGroups(known, "text", "doc_id"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L))
+  }
+
   test("hash sampling is deterministic, rate-accurate, and stratified") {
     val df = spark.range(0, 10000).select(
       col("id").as("doc_id"),
