@@ -214,6 +214,51 @@ object Curation {
     }
 
   // ---------------------------------------------------------------- //
+  // Corpus mixture report                                            //
+  // ---------------------------------------------------------------- //
+
+  /** The "corpus card" aggregate: per stratum (source/domain), document
+    * and token volumes, distinct-content count (exact-dup rate), and
+    * mean doc length / quality — the summary every dataset release
+    * ships and every mixture decision starts from.
+    *
+    * One hash-partitioned aggregation over per-row codegen'd metrics.
+    * The quality mean is summed as DECIMAL(18,4), not double: decimal
+    * addition is exact and therefore order-independent, so the result
+    * is bit-reproducible regardless of partitioning (a double sum's
+    * last ulps depend on partition order).
+    */
+  def corpusReport(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      strataCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    val perDoc = df.select(
+      col(strataCol),
+      TextAnalysis.tokenCount(t).cast("long").as("__ntok"),
+      TextAnalysis.fingerprint(t).as("__fp"),
+      TextAnalysis.qualityScore(t).cast("decimal(18,4)").as("__q"))
+    perDoc.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        count_distinct(col("__fp")).as("n_distinct"),
+        sum(col("__q")).as("__qsum"))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(lit(1.0d) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_doc_tokens"),
+        round(col("__qsum").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_quality"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Quality gate (composed filter with drop-reason audit)            //
   // ---------------------------------------------------------------- //
 

@@ -84,9 +84,36 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(scale)).select(
       col(strataCol),
       least(lit(1000000L),
-        floor(col("scale") * col("w") / col("n") * 1000000d)).as("ppm"))
+        floor(col("scale") * col("w") / col("n") * 1000000d)).as("__ppm"))
     df.join(broadcast(rates), Seq(strataCol))
-      .where(hashBucket(col(keyCol), 1000000).cast("long") < col("ppm"))
+      .where(hashBucket(col(keyCol), 1000000).cast("long") < col("__ppm"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** Deterministic global shuffle for training order: ranks every row
+    * by the md5 of `(seed, key)` — the canonical "shuffle the corpus
+    * before epoch N" step, reproducible across engines, retries, and
+    * re-partitions (`rand()`-orderings are none of those). Different
+    * seeds give independent permutations for different epochs.
+    *
+    * Scale: the total order is a range-partitioned distributed sort
+    * (the hash is uniform, so range partitions are balanced regardless
+    * of key skew), and rank assignment is `zipWithIndex` — one extra
+    * count-per-partition job, then per-partition offsets. NOT a global
+    * `row_number` window, which would funnel the corpus through a
+    * single task. (The RDD hop is the documented legitimate use:
+    * per-partition imperative indexing that Catalyst cannot express.)
+    */
+  def shuffleRank(df: DataFrame, keyCol: String, seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val h = md5(concat(lit(seed.toString), lit(":"), col(keyCol).cast("string")))
+    val sorted = df.withColumn("__h", h).orderBy(col("__h"), col(keyCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField("shuffle_rank", LongType, nullable = false))
+    val ranked = sorted.drop("__h").rdd.zipWithIndex().map {
+      case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(ranked, schema)
   }
 }

@@ -863,6 +863,54 @@ object EntryQueries {
       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
       |FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""".stripMargin
 
+  /** Per-source corpus card: volumes, exact-dup rate, mean length and
+    * quality; the quality mean sums DECIMAL so it is order-independent
+    * across engines and partitionings.
+    */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    Curation.corpusReport(T(spark, dir, "documents"), "text", "doc_id", "source")
+
+  val qCorpusReportSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, n_tok, fp, CAST(round(
+      |    CAST((CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+      |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+      |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3 AS DOUBLE), 4) AS DECIMAL(18,4)) AS quality
+      |  FROM x)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+      |  round(CAST(1 AS DOUBLE) - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+      |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_doc_tokens,
+      |  round(CAST(sum(quality) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+      |FROM q GROUP BY source""".stripMargin
+
+  /** Deterministic epoch shuffle: every doc ranked by md5(seed:key) —
+    * reproducible training order; rank assigned by a distributed
+    * range-partitioned sort + zipWithIndex, never a global window.
+    */
+  def qShuffleRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shuffleRank(
+      T(spark, dir, "documents").select("doc_id"), "doc_id", seed = 7L)
+
+  val qShuffleRankSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
+      |FROM documents""".stripMargin
+
   /** Fuzzy (near-duplicate) contamination: exact shingle-set Jaccard
     * between every train/eval pair sharing a shingle — the intersection
     * count falls out of the broadcast inverted-index aggregation, no
@@ -1137,6 +1185,8 @@ object EntryQueries {
     "q_quality_gate" -> qQualityGate _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy _,
+    "q_corpus_report" -> qCorpusReport _,
+    "q_shuffle_rank" -> qShuffleRank _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_repetition" -> qRepetition _,
     "q_pii_redact" -> qPiiRedact _,
@@ -1185,6 +1235,8 @@ object EntryQueries {
     "q_quality_gate" -> qQualityGateSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzySql,
+    "q_corpus_report" -> qCorpusReportSql,
+    "q_shuffle_rank" -> qShuffleRankSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_repetition" -> qRepetitionSql,
     "q_pii_redact" -> qPiiRedactSql,
