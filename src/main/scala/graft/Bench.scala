@@ -88,13 +88,18 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The recorder keeps only a ~2000-char tail of stdout and parses the
+    // JSON line out of that window, so the line must stay COMPACT: 3-dp
+    // medians only. Full samples go to stderr for variance analysis.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val all = names.map { case (name, _) =>
-      "\"" + name + "\":" + samples(name).mkString("[", ",", "]")
+      "\"" + name + "\":" + samples(name).map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"samples":$all,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-samples] {"reps":$reps,"samples":$all}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
