@@ -37,7 +37,9 @@ object Main {
       host: String = "127.0.0.1",
       port: Int = 5432,
       user: String = "postgres",
-      password: Option[String] = sys.env.get("PGPASSWORD"),
+      // default None — PGPASSWORD is sourced ONLY in the env layer of
+      // parse(), from ITS env map, so an injected env stays hermetic
+      password: Option[String] = None,
       dbname: String = "postgres",
       slot: String = "graft",
       sslmode: String = "disable",

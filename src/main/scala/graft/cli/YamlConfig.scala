@@ -68,9 +68,10 @@ object YamlConfig {
           pendingKey = Some(key); pendingLine = lineNo
         } else if (value.startsWith("[")) {
           if (!value.endsWith("]")) return Left(s"line $lineNo: unterminated inline list")
-          val items = value.substring(1, value.length - 1).split(",")
-            .map(s => unquote(s.trim)).filter(_.nonEmpty).toVector
-          out += key -> items
+          splitInline(value.substring(1, value.length - 1)) match {
+            case Left(err)    => return Left(s"line $lineNo: $err")
+            case Right(items) => out += key -> items.map(unquote).filter(_.nonEmpty)
+          }
         } else {
           out += key -> Vector(unquote(value))
         }
@@ -78,6 +79,31 @@ object YamlConfig {
     }
     flush() match { case Left(e) => return Left(e); case Right(_) => () }
     Right(out.result())
+  }
+
+  /** Split an inline list body on commas OUTSIDE quotes, so quoted
+    * items containing commas (regex quantifiers like `'^tmp_{1,3}$'`
+    * are the common case) survive as one item.
+    */
+  private def splitInline(body: String): Either[String, Vector[String]] = {
+    val items = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (quote != 0) {
+        if (ch == quote) quote = 0
+        cur.append(ch)
+      } else ch match {
+        case '"' | '\'' => quote = ch; cur.append(ch)
+        case ','        => items += cur.result().trim; cur.clear()
+        case _          => cur.append(ch)
+      }
+      i += 1
+    }
+    if (quote != 0) Left(s"unterminated $quote-quote in inline list")
+    else { items += cur.result().trim; Right(items.result()) }
   }
 
   /** Cut a trailing comment: `#` at line start, or ` #` outside quotes. */

@@ -317,9 +317,13 @@ object Dedup {
     * Input: (`id_a`, `id_b`) pair rows (any extra columns ignored).
     * Output: (`doc_id`, `cluster_id`) for every node that appears in
     * at least one pair; singleton documents are absent (their cluster
-    * is trivially themselves).
+    * is trivially themselves). Empty pair input yields an empty result.
+    * If propagation still hasn't converged at `maxIters` (component
+    * diameter too deep), the partial labels are returned with a WARN —
+    * or, under `strict = true`, an `IllegalStateException`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        strict: Boolean = false): DataFrame = {
     // materialize the pair list ONCE: the symmetric union would
     // otherwise evaluate the (expensive) upstream dedup pipeline twice
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
@@ -331,9 +335,11 @@ object Dedup {
         least(col("m"), col("src")).as("cluster_id"))
       .cache()
     // labels only ever DECREASE, so an unchanged sum ⟺ a fixpoint —
-    // one cheap aggregation per round instead of a change-detection join
+    // one cheap aggregation per round instead of a change-detection join.
+    // coalesce: sum over ZERO label rows is one NULL row (empty pair
+    // input — a normal clean-corpus outcome), which must read as 0, not NPE
     def checksum(df: DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).head.getLong(0)
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head.getLong(0)
     var prevSum = checksum(labels)
     var converged = false
     var iter = 0
@@ -356,6 +362,14 @@ object Dedup {
     }
     sym.unpersist()
     edges.unpersist()
+    if (!converged) {
+      // component diameter exceeded maxIters: labels are only partially
+      // propagated, so extra survivors would leak through silently
+      val msg = s"duplicateClusters did not converge within $maxIters iterations; " +
+        "labels are partial (raise maxIters, or components are pathologically deep)"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

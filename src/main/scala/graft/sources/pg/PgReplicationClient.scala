@@ -96,7 +96,13 @@ final class PgReplicationClient(
     socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMillis)
     socket.setTcpNoDelay(true)
+    // bound EVERY pre-streaming read (SSLRequest byte, TLS handshake,
+    // auth exchange) — a server that accepts TCP but never answers must
+    // fail connect() within the timeout, not hang it forever. The
+    // streaming loop re-arms its own poll timeouts in startReplication.
+    socket.setSoTimeout(connectTimeoutMillis)
     if (sslMode != "disable") negotiateTls()
+    socket.setSoTimeout(connectTimeoutMillis) // re-arm on the TLS-wrapped socket
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
     writeStartup(out, Seq(
@@ -105,6 +111,7 @@ final class PgReplicationClient(
       "replication" -> "database",
       "application_name" -> "graft"))
     authLoop()
+    socket.setSoTimeout(0) // streaming sets its own; admin commands block
   }
 
   /** SSLRequest dance: one magic frame, one byte back. 'S' → TLS

@@ -85,6 +85,10 @@ class CliSpec extends AnyFunSuite {
     assert(c2.slot == "flag_slot" && c2.whitelist == Seq("public.z"))
     // malformed numeric env is a usage error, not an exception
     assert(Main.parse(Seq("create"), Map("PGPORT" -> "abc")).isLeft)
+    // an injected env WITHOUT PGPASSWORD must not leak the host's value:
+    // the password default is None and only parse()'s env map fills it
+    assert(Main.Cli().password.isEmpty)
+    assert(Main.parse(Seq("create"), Map.empty).toOption.get.password.isEmpty)
   }
 
   test("config-file layer: flag > env > yaml > default, altsrc-style") {

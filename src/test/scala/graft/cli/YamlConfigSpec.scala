@@ -35,6 +35,18 @@ class YamlConfigSpec extends AnyFunSuite {
       "slot" -> Seq("s")))
   }
 
+  test("inline lists keep quoted commas whole (regex quantifiers)") {
+    val Right(kv) = YamlConfig.parse(
+      """blacklist-regex: ['^tmp_{1,3}$', "^a{2,}b$", plain]
+        |empty: []
+        |""".stripMargin): @unchecked
+    assert(kv == Seq(
+      "blacklist-regex" -> Seq("^tmp_{1,3}$", "^a{2,}b$", "plain"),
+      "empty" -> Seq()))
+    val Left(e) = YamlConfig.parse("x: ['unclosed, oops]\n"): @unchecked
+    assert(e.contains("unterminated"))
+  }
+
   test("errors carry line numbers and reject unsupported constructs") {
     def err(s: String): String = YamlConfig.parse(s).left.toOption.get
     assert(err("whitelist:\n").contains("has no value"))

@@ -175,6 +175,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(30L)) // never paired -> survives
   }
 
+  test("duplicateClusters: empty pair input is a no-op, not a crash") {
+    // a corpus with zero near-duplicate pairs is the NORMAL production
+    // outcome — the empty-sum NULL must read as converged-empty
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(noPairs).count() == 0L)
+    val docs = (1L to 5L).toDF("doc_id")
+    val kept = Dedup.dropDuplicateClusters(docs, noPairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept == (1L to 5L).toSet) // input unchanged
+  }
+
+  test("duplicateClusters: strict mode throws when maxIters cuts propagation short") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 1, strict = true).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // non-strict returns partial labels (documented behavior, WARN logged)
+    assert(Dedup.duplicateClusters(chain, maxIters = 1).count() == 8L)
+  }
+
   test("incrementalExactDedup drops known fingerprints then dedups the batch") {
     val known = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
     val batch = Seq(

@@ -72,6 +72,24 @@ class PgReplicationSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("silent server: connect() fails within the timeout instead of hanging") {
+    // a listener that accepts TCP and then says NOTHING — both the
+    // auth exchange and the SSLRequest byte must be read under a
+    // deadline, or connect() blocks forever on a half-dead server
+    val silent = new java.net.ServerSocket(0)
+    try {
+      for (mode <- Seq("disable", "require")) {
+        val c = new PgReplicationClient("127.0.0.1", silent.getLocalPort,
+          "u", "db", None, connectTimeoutMillis = 300, sslMode = mode)
+        val t0 = System.nanoTime()
+        intercept[java.net.SocketTimeoutException](c.connect())
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+        assert(elapsedMs < 10000L, s"sslMode=$mode took ${elapsedMs}ms")
+        c.close()
+      }
+    } finally silent.close()
+  }
+
   test("copy-both loop: XLogData decode, keepalive reply, standby-status acks") {
     val srv = new FakePgServer(txnLines)
     val received = new ArrayBuffer[XLogData]()
