@@ -646,15 +646,64 @@ object EntryQueries {
 
   /** Product-quantization ANN: train M=8/K=16 codebooks, encode the
     * corpus to 8 codes/vector, search via asymmetric distance — the
-    * compressed-storage scale path (rows-only: approximate by
-    * construction; cluster-recall and self-similarity pinned by spec).
+    * compressed-storage scale path. Full value oracle: training is
+    * deterministic within a run, so the trained codebooks are cached
+    * here and MATERIALIZED into the DuckDB SQL as a literal (the same
+    * constants trick as the hyperplane and CRC-32 oracles) — the oracle
+    * re-derives normalize → encode (first-min argmin, matching
+    * PqEncode's strict `<`) → ADC scoring → top-k from first principles.
     */
   def qSimilarityPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     val codebooks = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    pqTrainedCodebooks = Some(codebooks)
     val encoded = Similarity.pqEncode(emb, codebooks)
     Similarity.pqTopK(encoded, emb.where(col("vec_id") < 8), k = 5, codebooks)
       .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Codebooks from the latest [[qSimilarityPq]] run. Verify runs every
+    * query BEFORE dumping oracle_sql.json, so the cache is warm by dump
+    * time; if the query ever failed, the entry is omitted and the
+    * driver falls back to its rows-only check.
+    */
+  @volatile private var pqTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None
+
+  /** The PQ oracle: codebooks as a DuckDB list-of-list-of-lists literal
+    * (`Double.toString` round-trips bit-exactly through strtod), then
+    * the full PQ pipeline in SQL. `list_position(d, list_min(d))`
+    * returns the FIRST index of the minimum — the same lower-index
+    * tie-break as PqEncode's strict `<` update.
+    */
+  private def qSimilarityPqSql(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length          // 8 subspaces
+    val dsub = cb(0)(0).length // 8 dims each
+    val lit = cb.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH cb AS (SELECT $lit AS c),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+       |n0 AS (SELECT id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM e),
+       |n AS (SELECT id, CASE WHEN nrm = 0 THEN raw
+       |         ELSE list_transform(raw, x -> x / nrm) END AS v FROM n0),
+       |enc AS (SELECT id, v, list_transform(generate_series(1, $m), sp ->
+       |    list_position(
+       |      list_transform(c[sp], ct -> list_sum(list_transform(generate_series(1, $dsub),
+       |        i -> (v[(sp - 1) * $dsub + i] - ct[i]) * (v[(sp - 1) * $dsub + i] - ct[i])))),
+       |      list_min(
+       |      list_transform(c[sp], ct -> list_sum(list_transform(generate_series(1, $dsub),
+       |        i -> (v[(sp - 1) * $dsub + i] - ct[i]) * (v[(sp - 1) * $dsub + i] - ct[i])))))))
+       |  AS codes FROM n, cb),
+       |q AS (SELECT id AS query_id, v AS qv FROM n WHERE id < 8),
+       |s AS (SELECT q.query_id, t.id AS neighbor_id,
+       |    round(list_sum(list_transform(generate_series(1, $m), sp ->
+       |      list_dot_product(list_slice(q.qv, (sp - 1) * $dsub + 1, sp * $dsub),
+       |                       c[sp][t.codes[sp]]))), 6) AS sim_r
+       |  FROM q, enc t, cb WHERE t.id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim_r,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_r
+       |FROM r WHERE rank <= 5""".stripMargin
   }
 
   def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
@@ -1208,7 +1257,14 @@ object EntryQueries {
     "q_topk_orders" -> qTopkOrders _,
     "q_cdc_pipeline" -> qCdcPipeline _)
 
-  val oracleSql: Map[String, String] = Map(
+  /** `def`, not `val`: the PQ entry is built from codebooks cached by
+    * the query run (Verify runs queries first, then dumps this map).
+    */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++
+      pqTrainedCodebooks.map(cb => "q_similarity_pq" -> qSimilarityPqSql(cb))
+
+  private val staticOracleSql: Map[String, String] = Map(
     "q_parse_roundtrip" -> qParseRoundtripSql,
     "q_filter_whitelist" -> qFilterWhitelistSql,
     "q_filter_regex_blacklist" -> qFilterRegexBlacklistSql,
