@@ -304,73 +304,129 @@ object Dedup {
     * transitivity matters: A~B and B~C must collapse to ONE survivor
     * even when A~C was never emitted as a pair.
     *
-    * Distributed min-label propagation: each iteration every node
-    * adopts the minimum label among itself and its neighbors — one
-    * hash join + one aggregation per round, converging in O(component
-    * diameter) rounds. Near-dup clusters are shallow (boilerplate
-    * families, mirror chains), so the loop exits after 2–4 rounds on
-    * real data; `maxIters` bounds the pathological long-chain case,
-    * and the driver only ever inspects a one-row convergence count.
-    * At 100 TB the per-round cost is a shuffle on node ids — the same
-    * scaling as the candidate join that produced the pairs.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    * round rewrites the edge set with two grouped joins and converges
+    * in O(log d) rounds (d = component diameter) to a forest of stars
+    * centered at each component's minimum id — unlike plain min-label
+    * propagation, which needs O(d) rounds and melts on a mirror chain
+    * of depth 1000. Every round is fully distributed (hash shuffles on
+    * node ids, the same scaling as the candidate join that produced
+    * the pairs); the driver only ever sees a one-row checksum.
     *
     * Input: (`id_a`, `id_b`) pair rows (any extra columns ignored).
     * Output: (`doc_id`, `cluster_id`) for every node that appears in
     * at least one pair; singleton documents are absent (their cluster
     * is trivially themselves). Empty pair input yields an empty result.
-    * If propagation still hasn't converged at `maxIters` (component
-    * diameter too deep), the partial labels are returned with a WARN —
-    * or, under `strict = true`, an `IllegalStateException`.
+    * If the edge set still hasn't reached its star fixpoint at
+    * `maxIters` (astronomically deep components), the partial labels
+    * are returned with a WARN — or, under `strict = true`, an
+    * `IllegalStateException`.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-                        strict: Boolean = false): DataFrame = {
-    // materialize the pair list ONCE: the symmetric union would
-    // otherwise evaluate the (expensive) upstream dedup pipeline twice
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = sym.groupBy("src").agg(min(col("dst")).as("m"))
-      .select(col("src").as("doc_id"),
-        least(col("m"), col("src")).as("cluster_id"))
-      .cache()
-    // labels only ever DECREASE, so an unchanged sum ⟺ a fixpoint —
-    // one cheap aggregation per round instead of a change-detection join.
-    // coalesce: sum over ZERO label rows is one NULL row (empty pair
-    // input — a normal clean-corpus outcome), which must read as 0, not NPE
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head.getLong(0)
-    var prevSum = checksum(labels)
-    var converged = false
+                        strict: Boolean = false): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIters, strict)._1
+
+  /** [[duplicateClusters]] plus the number of star rounds executed —
+    * exposed so specs can pin the O(log d) convergence bound.
+    */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame, maxIters: Int = 20,
+      strict: Boolean = false): (DataFrame, Int) = {
+    // materialize the pair list ONCE: everything downstream would
+    // otherwise re-evaluate the (expensive) upstream dedup pipeline
+    val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    // every node that appears in any pair (including degenerate
+    // self-pairs) must receive a label row in the output
+    val nodes = raw.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().cache()
+    // canonical undirected edges: u < v, no self-loops, no duplicates
+    var edges = raw
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().cache()
+
+    // large-star: group the symmetric edge list by node; each node
+    // links its LARGER neighbors to the minimum of its neighborhood.
+    // Keeps edge count non-increasing while halving long chains.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // emitted (dst, m) always has m <= src < dst: already canonical
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("m").as("u"), col("dst").as("v"))
+        .distinct()
+    }
+
+    // small-star: group by the larger endpoint; link all smaller
+    // neighbors (and the center itself) to the neighborhood minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      val members = e.join(mins, "v")
+        .where(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val centers = mins.select(col("m").as("u"), col("v"))
+      members.union(centers).distinct()
+    }
+
+    // fixpoint test: the star forest is stable under both operations,
+    // so an unchanged (count, hash-xor) pair ⟺ converged. The xor of
+    // per-edge 64-bit hashes is order-independent and overflow-free
+    // (ANSI mode rejects a wrapping sum); an aliased collision would
+    // need two DISTINCT edge sets with equal counts AND equal xors
+    // (~2^-64). coalesce: the aggregate over ZERO edges is one NULL
+    // row (empty pair input — a normal clean-corpus outcome), which
+    // must read as 0, not NPE.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L // no edges: trivially a (empty) star forest
     var iter = 0
     while (!converged && iter < maxIters) {
-      // neighbor labels: node <- min(label of its neighbors, own label)
-      val next = sym
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-        .join(labels, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("nbr_min"), col("cluster_id")).as("cluster_id"))
-        .cache()
-      val nextSum = checksum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // localCheckpoint (not cache): each round's plan references the
+      // previous round ~9 times, so an uncut lineage grows 9^rounds and
+      // OOMs the driver just STRINGIFYING the plan. Checkpointing makes
+      // every round a constant-size plan over a materialized leaf;
+      // dropped rounds are reclaimed by the ContextCleaner.
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
-    sym.unpersist()
+
+    // at the star fixpoint every non-root appears as `v` of exactly one
+    // edge whose `u` is the component minimum; roots and self-pair-only
+    // nodes label themselves. Before convergence (maxIters hit) this
+    // reads the partial per-node minimum — documented partial labels.
+    val memberLabels = edges.groupBy(col("v").as("doc_id"))
+      .agg(min(col("u")).as("member_min"))
+    val labels = nodes.join(memberLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("member_min"), col("doc_id")).as("cluster_id"))
+      .cache()
+    labels.count() // materialize before dropping the upstream caches
+    raw.unpersist()
+    nodes.unpersist()
     edges.unpersist()
     if (!converged) {
-      // component diameter exceeded maxIters: labels are only partially
+      // star fixpoint not reached: labels are only partially
       // propagated, so extra survivors would leak through silently
       val msg = s"duplicateClusters did not converge within $maxIters iterations; " +
         "labels are partial (raise maxIters, or components are pathologically deep)"
       if (strict) throw new IllegalStateException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
+    (labels, iter)
   }
 
   /** Apply cluster resolution: drop every non-canonical member, keep

@@ -662,10 +662,13 @@ object EntryQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
-  /** Codebooks from the latest [[qSimilarityPq]] run. Verify runs every
-    * query BEFORE dumping oracle_sql.json, so the cache is warm by dump
-    * time; if the query ever failed, the entry is omitted and the
-    * driver falls back to its rows-only check.
+  /** Codebooks from the latest [[qSimilarityPq]] plan build. Verify
+    * builds every query BEFORE dumping oracle_sql.json, so the cache is
+    * warm by dump time. The cache is set right after TRAINING (eager,
+    * driver-side) — if training throws, the entry is omitted; if the
+    * lazy encode/top-k execution fails later at write time, the entry
+    * is still emitted, which is harmless: the driver also sees the
+    * missing result parquet and records the failure.
     */
   @volatile private var pqTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None
 
@@ -688,16 +691,16 @@ object EntryQueries {
        |enc AS (SELECT id, v, list_transform(generate_series(1, $m), sp ->
        |    list_position(
        |      list_transform(c[sp], ct -> list_sum(list_transform(generate_series(1, $dsub),
-       |        i -> (v[(sp - 1) * $dsub + i] - ct[i]) * (v[(sp - 1) * $dsub + i] - ct[i])))),
+       |        i -> (coalesce(v[(sp - 1) * $dsub + i], 0.0) - ct[i]) * (coalesce(v[(sp - 1) * $dsub + i], 0.0) - ct[i])))),
        |      list_min(
        |      list_transform(c[sp], ct -> list_sum(list_transform(generate_series(1, $dsub),
-       |        i -> (v[(sp - 1) * $dsub + i] - ct[i]) * (v[(sp - 1) * $dsub + i] - ct[i])))))))
+       |        i -> (coalesce(v[(sp - 1) * $dsub + i], 0.0) - ct[i]) * (coalesce(v[(sp - 1) * $dsub + i], 0.0) - ct[i])))))))
        |  AS codes FROM n, cb),
        |q AS (SELECT id AS query_id, v AS qv FROM n WHERE id < 8),
        |s AS (SELECT q.query_id, t.id AS neighbor_id,
        |    round(list_sum(list_transform(generate_series(1, $m), sp ->
-       |      list_dot_product(list_slice(q.qv, (sp - 1) * $dsub + 1, sp * $dsub),
-       |                       c[sp][t.codes[sp]]))), 6) AS sim_r
+       |      list_sum(list_transform(generate_series(1, $dsub),
+       |        i -> coalesce(q.qv[(sp - 1) * $dsub + i], 0.0) * c[sp][t.codes[sp]][i])))), 6) AS sim_r
        |  FROM q, enc t, cb WHERE t.id <> q.query_id),
        |r AS (SELECT query_id, neighbor_id, sim_r,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank

@@ -175,6 +175,18 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(30L)) // never paired -> survives
   }
 
+  test("duplicateClusters: long chain converges in O(log diameter) rounds") {
+    // a path graph of 256 nodes (diameter 255) is the worst case for
+    // plain min-label propagation (255 rounds); the alternating
+    // large-star/small-star rewrite must finish in ~log2(255)=8 rounds
+    // plus a small constant (incl. the final no-change detection round)
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain, maxIters = 20)
+    assert(rounds <= 12, s"expected <=12 star rounds for diameter 255, got $rounds")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == 256 && (1L to 256L).forall(m(_) == 1L))
+  }
+
   test("duplicateClusters: empty pair input is a no-op, not a crash") {
     // a corpus with zero near-duplicate pairs is the NORMAL production
     // outcome — the empty-sum NULL must read as converged-empty
