@@ -59,16 +59,29 @@ object Bench {
 
     // n repetitions per query, interleaved (rep-major) so a machine
     // hiccup lands on different queries each pass instead of biasing
-    // one; the reported time is the per-query MEDIAN, with all samples
-    // emitted for variance analysis.
+    // one; the reported time is the per-query TRIMMED MEAN (min and max
+    // samples dropped) — round 5 recorded a phantom 7.7× "regression"
+    // because a contention spike landed inside a 3-rep median window.
+    // All samples are emitted for variance analysis.
     val reps = {
-      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5")
       val n = try raw.toInt catch {
         case _: NumberFormatException =>
-          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS '$raw', using 3"); 3
+          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS '$raw', using 5"); 5
       }
-      math.max(1, n) // 0/negative would leave samples empty and break median
+      math.max(1, n) // 0/negative would leave samples empty and break stats
     }
+    // regression-gate self-test hook: SPARK_GRAFT_BENCH_SLEEP=q_name:ms
+    // injects a real measured slowdown into one query, so the gate's
+    // detect→isolate→reproduce path can be exercised end-to-end
+    // (the driver never sets it)
+    val seededSleep: Map[String, Long] = sys.env.get("SPARK_GRAFT_BENCH_SLEEP")
+      .map(_.split(",").flatMap { kv =>
+        kv.split(":") match {
+          case Array(q, ms) => scala.util.Try(q.trim -> ms.trim.toLong).toOption
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
     // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
     // times just those queries (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -79,7 +92,10 @@ object Bench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try evalFully(fn(spark, sfDir))
+      try {
+        evalFully(fn(spark, sfDir))
+        seededSleep.get(name).foreach(Thread.sleep)
+      }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
@@ -87,18 +103,31 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map { case (name, _) => name -> median(samples(name)) }
+    // trimmed mean: drop the single min and max sample (when >=3 reps),
+    // average the rest — one contention spike can no longer move the
+    // recorded number, unlike a median over 3 where it shifts the
+    // middle sample
+    def trimmedMean(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      val t = if (s.size >= 3) s.slice(1, s.size - 1) else s
+      t.sum / t.size
+    }
+    val results = names.map { case (name, _) => name -> trimmedMean(samples(name)) }
     // The recorder keeps only a ~2000-char tail of stdout and parses the
     // JSON line out of that window, so the line must stay COMPACT: 3-dp
-    // medians only. Full samples go to stderr for variance analysis.
+    // trimmed means only. Full samples + medians go to stderr for
+    // variance analysis and cross-round comparison.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val all = names.map { case (name, _) =>
       "\"" + name + "\":" + samples(name).map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val meds = names.map { case (name, _) =>
+      "\"" + name + "\":" + f3(median(samples(name)))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    System.err.println(s"""[bench-samples] {"reps":$reps,"samples":$all}""")
+    System.err.println(s"""[bench-samples] {"reps":$reps,"stat":"trimmed_mean","samples":$all,"medians":$meds}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Bench regression gate with isolation re-runs.
+
+Compares per-query times of a new bench JSON against a prior round's.
+Any query slower by more than --threshold (default 1.5x) is a SUSPECT;
+suspects are re-run in ISOLATION (SPARK_GRAFT_BENCH_ONLY=<suspects>)
+before being believed — round 5 recorded a phantom 7.7x "regression"
+(q_parse_roundtrip 0.656s -> 5.046s) caused purely by machine
+contention inside the shared 48-query run, while the same query in
+isolation ran at 0.99s. Only a regression that REPRODUCES in the
+isolation run fails the gate. Mirrors the reference's perf-regression
+CI gate (itests/common.bash:259-287: >5% mem / >50% CPU pprof diff
+fails the build), adapted to wall-clock with a re-measure step.
+
+Usage:
+  python3 tools/bench_gate.py OLD.json NEW.json [--threshold 1.5]
+      [--min-sec 0.5] [--no-isolate] [--out BENCH_GATE.json]
+
+The isolation re-run is ONE extra Bench invocation restricted to the
+suspect set (comma list) — a mostly-idle JVM rather than 48 queries
+fighting for 32 cores. SPARK_GRAFT_BENCH_SLEEP passes through, so a
+seeded slowdown (Bench's self-test hook) reproduces and fails the gate
+while contention phantoms dismiss.
+
+Exit 0: no reproduced regressions (phantoms are reported + dismissed).
+Exit 1: at least one regression reproduced in isolation.
+Queries faster than --min-sec in the OLD round are skipped: sub-0.5s
+timings are JIT/GC dominated and gate on noise, not plans.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        doc = json.load(f)
+    # the round driver wraps Bench's stdout line under "parsed"
+    # (BENCH_r{N}.json); a raw Bench line is also accepted
+    if isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    sf = doc.get("sf", "/root/testdata/sf0.1")
+    if not isinstance(sf, str):
+        sf = f"/root/testdata/sf{sf}"
+    return doc.get("queries", {}), sf
+
+
+def run_isolated(suspects, sf_dir, repo_root):
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(sorted(suspects))
+    # 3 reps is enough for a quiet re-measure; trimmed mean still drops
+    # the min/max samples
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        cwd=repo_root, env=env, capture_output=True, text=True, timeout=3600)
+    m = None
+    for line in out.stdout.splitlines():
+        hit = re.search(r'\{"metric".*\}', line)
+        if hit:
+            m = hit.group(0)
+    if m is None:
+        sys.stderr.write("[gate] isolation run produced no bench JSON line\n")
+        sys.stderr.write(out.stdout[-2000:] + "\n")
+        return None
+    return json.loads(m).get("queries", {})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument("--no-isolate", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    old_q, _ = load_queries(args.old)
+    new_q, new_sf = load_queries(args.new)
+
+    suspects = {}
+    for name, new_t in new_q.items():
+        old_t = old_q.get(name)
+        if old_t is None or old_t < args.min_sec:
+            continue
+        if new_t > args.threshold * old_t:
+            suspects[name] = {"old": old_t, "new": new_t,
+                              "ratio": round(new_t / old_t, 2)}
+
+    report = {"threshold": args.threshold, "min_sec": args.min_sec,
+              "suspects": suspects, "reproduced": {}, "dismissed": {}}
+
+    if suspects and not args.no_isolate:
+        iso = run_isolated(suspects.keys(), new_sf, repo_root)
+        if iso is None:
+            # cannot adjudicate: treat every suspect as reproduced
+            # rather than waving regressions through
+            report["reproduced"] = suspects
+        else:
+            for name, s in suspects.items():
+                iso_t = iso.get(name)
+                s["isolated"] = iso_t
+                if iso_t is not None and iso_t > args.threshold * s["old"]:
+                    report["reproduced"][name] = s
+                else:
+                    report["dismissed"][name] = s
+    elif suspects:
+        # --no-isolate: detection-only dry run; suspects are reported
+        # but nothing is adjudicated, so nothing fails the gate
+        report["dismissed"] = dict(suspects)
+
+    verdict = "FAIL" if report["reproduced"] else "PASS"
+    report["verdict"] = verdict
+    out = json.dumps(report, indent=2, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    print(out)
+    print(f"[gate] {verdict}: {len(suspects)} suspect(s), "
+          f"{len(report['reproduced'])} reproduced, "
+          f"{len(report['dismissed'])} dismissed")
+    return 1 if report["reproduced"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
