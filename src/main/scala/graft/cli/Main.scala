@@ -61,6 +61,12 @@ object Main {
       kafkaBootstrap: String = "",
       kafkaTopic: String = "",
       kafkaKeyMode: String = "txn-time-based",
+      kinesisStream: String = "",
+      awsRegion: String = "",
+      endpoint: String = "",
+      rabbitmqUrl: String = "",
+      exchangeName: String = "",
+      rabbitBatchSize: Int = 5000, // rabbitmq/config.go:47-50 default
       master: String = "local[*]",
       once: Boolean = false)
 
@@ -68,15 +74,17 @@ object Main {
     """usage: graft <create|drop|replicate> [sink] [--flag value ...]
       |  graft create    --slot s --host h --port p --user u --dbname db
       |  graft drop      --slot s ...
-      |  graft replicate <stdout|s3|kafka> --slot s --spool-dir d [--create-slot]
+      |  graft replicate <stdout|s3|kafka|kinesis|rabbitmq> --slot s --spool-dir d [--create-slot]
       |      [--config file.yaml] (yaml keys = flag names; flag > env > yaml > default)
       |      [--whitelist t ...] [--blacklist t ...] [--whitelist-regex r ...]
       |      [--blacklist-regex r ...] [--partition-method none|tablename|transaction|transaction-bucket]
       |      [--partition-count n] [--workers n] [--batcher-routing-method round-robin|partition]
       |      [--no-marshal-old-value] [--batch-flush-max-age ms] [--client-buffer-size n]
       |      [--sslmode disable|prefer|require] [--once]
-      |      s3:    --out-path p --checkpoint c
-      |      kafka: --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]""".stripMargin
+      |      s3:       --out-path p --checkpoint c
+      |      kafka:    --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]
+      |      kinesis:  --kinesis-stream s [--aws-region r] [--endpoint e]
+      |      rabbitmq: --rabbitmq-url u --exchange-name x [--rabbitmq-batch-size n]""".stripMargin
 
   /** Reference value precedence (main/main.go:561-566) minus the YAML
     * file: command-line flag > environment variable > default. Env
@@ -138,6 +146,12 @@ object Main {
       case "kafka-bootstrap" => Right(c.copy(kafkaBootstrap = value))
       case "kafka-topic" => Right(c.copy(kafkaTopic = value))
       case "kafka-key-mode" => Right(c.copy(kafkaKeyMode = value))
+      case "kinesis-stream" => Right(c.copy(kinesisStream = value))
+      case "aws-region" => Right(c.copy(awsRegion = value))
+      case "endpoint" => Right(c.copy(endpoint = value))
+      case "rabbitmq-url" => Right(c.copy(rabbitmqUrl = value))
+      case "exchange-name" => Right(c.copy(exchangeName = value))
+      case "rabbitmq-batch-size" => int(value).map(v => c.copy(rabbitBatchSize = v))
       case "master" => Right(c.copy(master = value))
       case "once" => bool(value).map(v => c.copy(once = v))
       case other => Left(s"unknown flag: --$other")
@@ -241,6 +255,16 @@ object Main {
     if (env.get("NO_MARSHAL_OLD_VALUE").exists(v => v == "1" || v.equalsIgnoreCase("true")))
       c = c.copy(noMarshalOldValue = true)
     env.get("PGPASSWORD").foreach(v => c = c.copy(password = Some(v)))
+    // sink-specific EnvVar names (kinesis/config.go:39-65,
+    // rabbitmq/config.go:37-50)
+    env.get("BIFROST_KINESIS_STREAM").foreach(v => c = c.copy(kinesisStream = v))
+    env.get("AWS_REGION").foreach(v => c = c.copy(awsRegion = v))
+    env.get("ENDPOINT").foreach(v => c = c.copy(endpoint = v))
+    env.get("BIFROST_RABBITMQ_URL").foreach(v => c = c.copy(rabbitmqUrl = v))
+    env.get("BIFROST_RABBITMQ_EXCHANGE_NAME").foreach(v => c = c.copy(exchangeName = v))
+    envInt("BIFROST_RABBITMQ_BATCH_SIZE") match {
+      case Right(o) => o.foreach(v => c = c.copy(rabbitBatchSize = v)); case Left(e) => return Left(e)
+    }
 
     // --- flag layer (highest precedence). The first occurrence of a
     // list flag REPLACES any yaml/env-sourced list (reference altsrc
@@ -282,7 +306,8 @@ object Main {
       Left(s"unknown partition-method: ${c.partitionMethod}")
     else if (!Set("round-robin", "partition")(c.routingMethod))
       Left(s"unknown batcher-routing-method: ${c.routingMethod}")
-    else if (c.command == "replicate" && !Set("stdout", "s3", "kafka")(c.sink))
+    else if (c.command == "replicate" &&
+      !Set("stdout", "s3", "kafka", "kinesis", "rabbitmq")(c.sink))
       Left(s"unknown sink: ${c.sink}")
     else if (c.command == "replicate" && c.spoolDir.isEmpty)
       Left("replicate requires --spool-dir")
@@ -292,6 +317,11 @@ object Main {
     else if (c.command == "replicate" && c.sink == "kafka" &&
       (c.kafkaBootstrap.isEmpty || c.kafkaTopic.isEmpty))
       Left("kafka sink requires --kafka-bootstrap and --kafka-topic")
+    else if (c.command == "replicate" && c.sink == "kinesis" && c.kinesisStream.isEmpty)
+      Left("kinesis sink requires --kinesis-stream")
+    else if (c.command == "replicate" && c.sink == "rabbitmq" &&
+      (c.rabbitmqUrl.isEmpty || c.exchangeName.isEmpty))
+      Left("rabbitmq sink requires --rabbitmq-url and --exchange-name")
     else if (!Set("txn-time-based", "transaction", "tablename", "random")(c.kafkaKeyMode))
       Left(s"unknown kafka-key-mode: ${c.kafkaKeyMode}")
     else Right(c)
@@ -341,6 +371,15 @@ object Main {
       try { client.dropSlot(c.slot); Console.out.println(s"dropped slot ${c.slot}"); 0 }
       finally client.close()
 
+    case "replicate" if Set("kinesis", "rabbitmq")(c.sink) &&
+        graft.streaming.TransportRegistry.resolve(c.sink).isEmpty =>
+      // the AWS / AMQP client SDKs are not bundled: fail fast with the
+      // wiring instruction instead of spooling WAL we can't deliver
+      Console.err.println(s"error: no ${c.sink} transport registered; " +
+        "register a RecordTransport factory via TransportRegistry (driver and executors) " +
+        s"backed by your ${if (c.sink == "kinesis") "AWS Kinesis" else "AMQP"} client")
+      1
+
     case "replicate" =>
       if (c.createSlot) {
         val admin = newClient(c)
@@ -377,6 +416,44 @@ object Main {
               case "tablename" => KafkaKeyMode.TableName
               case "random" => KafkaKeyMode.Random // validate() rejects others
             }, c.checkpoint, cfg)
+          case "kinesis" | "rabbitmq" =>
+            import graft.streaming.{BatchCaps, EpochTracker, TransportRegistry, TransportSpec}
+            val sinkName = c.sink
+            val spec = TransportSpec(sinkName, Map(
+              "kinesis-stream" -> c.kinesisStream,
+              "aws-region" -> c.awsRegion,
+              "endpoint" -> c.endpoint,
+              "rabbitmq-url" -> c.rabbitmqUrl,
+              "exchange-name" -> c.exchangeName).filter(_._2.nonEmpty))
+            val caps =
+              if (sinkName == "kinesis") BatchCaps.kinesis
+              else BatchCaps.rabbitmq.copy(maxRecords = c.rabbitBatchSize)
+            // RabbitMQ routes by `<table>.<operation>`
+            // (rabbitmq/transporter/transporter.go:310-316); Kinesis
+            // keeps the partitioner's key (batch key-affinity,
+            // kinesis/batch/batch.go:75-89)
+            val routed =
+              if (sinkName == "rabbitmq")
+                out.withColumn("partitionKey",
+                  org.apache.spark.sql.functions.concat(
+                    org.apache.spark.sql.functions.col("table"),
+                    org.apache.spark.sql.functions.lit("."),
+                    org.apache.spark.sql.functions.col("operation")))
+              else out
+            // replay guard lives with the checkpoint: same durability
+            // domain, reset together
+            val tracker =
+              if (c.checkpoint.nonEmpty)
+                EpochTracker.fileBacked(s"${c.checkpoint}/epochs", sinkName)
+              else EpochTracker.none
+            // the closure ships only (sinkName, spec): the client is
+            // resolved from the registry at partition-open time
+            val w = CdcPipeline.toTransport(routed, caps,
+              () => TransportRegistry.resolve(sinkName)
+                .getOrElse(throw new IllegalStateException(
+                  s"no $sinkName transport registered on this executor"))(spec),
+              cfg, tracker)
+            if (c.checkpoint.nonEmpty) w.option("checkpointLocation", c.checkpoint) else w
         }
         val query = writer.start()
         if (c.once) {

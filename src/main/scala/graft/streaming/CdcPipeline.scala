@@ -136,23 +136,57 @@ object CdcPipeline {
       .withColumn("hour", date_format(col("__t"), "HH"))
       .drop("__t")
 
+  /** Transport-backed sink (Kinesis O11 / RabbitMQ O13): every record
+    * flows through [[ChunkedSink.foreachWriter]] — greedy chunking
+    * under the per-sink caps, partial-failure retry under exponential
+    * backoff, and the epoch-replay guard for exactly-once across
+    * micro-batch replays. The RPC edge is a [[RecordTransport]]
+    * factory, resolved per-partition at `open` time.
+    */
+  def toTransport(df: DataFrame, caps: BatchCaps,
+                  transportFactory: () => RecordTransport,
+                  cfg: CdcConfig,
+                  tracker: EpochTracker = EpochTracker.none): DataStreamWriter[Row] =
+    df.writeStream
+      .foreach(ChunkedSink.foreachWriter(caps, transportFactory, tracker))
+      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+
+  /** The kafka writer's full contract — key/value projection for the
+    * chosen [[KafkaKeyMode]] plus every option handed to the
+    * `DataStreamWriter` — separated from the (connector-jar-dependent)
+    * `writeStream` call so specs can assert it without the jar:
+    * topic, bootstrap servers, checkpoint, and the reference's 1 MB
+    * record cap (kafka/config.go:43-64) as the producer's
+    * `max.request.size`.
+    */
+  final case class KafkaSinkPlan(projected: DataFrame, options: Map[String, String])
+
+  def kafkaSinkPlan(df: DataFrame, bootstrap: String, topic: String,
+                    keyMode: KafkaKeyMode, checkpoint: String): KafkaSinkPlan =
+    KafkaSinkPlan(
+      df.select(
+        KafkaKeyMode.keyExpr(keyMode).cast("string").as("key"),
+        col("json").cast("string").as("value")),
+      Map(
+        "kafka.bootstrap.servers" -> bootstrap,
+        "topic" -> topic,
+        "checkpointLocation" -> checkpoint,
+        "kafka.max.request.size" -> BatchCaps.kafka.maxRecordBytes.toString))
+
   /** Kafka sink wiring (O14): built-in connector with the reference's
     * partition-key modes (kafka/batch/batch.go:83-104). Not runnable in
-    * this build environment (no spark-sql-kafka connector jar) but the
-    * configuration contract is complete.
+    * this build environment (no spark-sql-kafka connector jar), but the
+    * full writer contract is [[kafkaSinkPlan]], which is spec-asserted.
     */
   def toKafka(df: DataFrame, bootstrap: String, topic: String,
               keyMode: KafkaKeyMode, checkpoint: String,
-              cfg: CdcConfig): DataStreamWriter[Row] =
-    df.select(
-      KafkaKeyMode.keyExpr(keyMode).cast("string").as("key"),
-      col("json").cast("string").as("value"))
-      .writeStream
+              cfg: CdcConfig): DataStreamWriter[Row] = {
+    val plan = kafkaSinkPlan(df, bootstrap, topic, keyMode, checkpoint)
+    plan.projected.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(plan.options)
       .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+  }
 }
 
 /** Kafka partition-key modes (reference kafka/batch/batch.go:83-104). */

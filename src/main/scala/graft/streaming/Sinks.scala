@@ -127,6 +127,32 @@ trait RecordTransport extends Serializable {
   def send(records: Seq[SinkRecord]): SendResult
 }
 
+/** Everything a transport factory needs to build a client: the sink
+  * name plus the CLI's sink-specific options under their reference
+  * flag names (`kinesis-stream`, `aws-region`, `endpoint`,
+  * `rabbitmq-url`, `exchange-name`).
+  */
+final case class TransportSpec(sink: String, options: Map[String, String])
+
+/** Process-local registry of [[RecordTransport]] factories, keyed by
+  * sink name. The AWS Kinesis and AMQP client SDKs are not bundled
+  * with this library — a deployment registers its client factory here
+  * (driver AND executors, e.g. from a `SparkPlugin`), and the CLI's
+  * foreach writer resolves it lazily at partition-`open` time: the
+  * task closure carries only the sink name + spec, never a client.
+  * This is the seam the reference's transport factory provides
+  * (transport/factory/factory.go:34-108), minus the vendored SDKs.
+  */
+object TransportRegistry {
+  private val factories =
+    new java.util.concurrent.ConcurrentHashMap[String, TransportSpec => RecordTransport]()
+  def register(sink: String)(f: TransportSpec => RecordTransport): Unit =
+    factories.put(sink, f)
+  def resolve(sink: String): Option[TransportSpec => RecordTransport] =
+    Option(factories.get(sink))
+  def unregister(sink: String): Unit = factories.remove(sink)
+}
+
 /** Collects sends in memory; can fail the first `failFirst` attempts
   * and fail arbitrary indices once, to exercise the retry paths.
   */

@@ -208,4 +208,96 @@ class CliSpec extends AnyFunSuite {
       assert(srv.acks.asScala.forall(a => a == 0L || lines.map(_._1).contains(a)))
     } finally srv.stop()
   }
+
+  private val transportLines = Seq(
+    0x100L -> "BEGIN 700",
+    0x110L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'",
+    0x120L -> "table secret.keys: INSERT: id[integer]:9", // filtered out
+    0x130L -> "table public.users: UPDATE: id[integer]:1 name[text]:'b'",
+    0x140L -> "COMMIT 700")
+
+  test("replicate kinesis --once: registered transport delivers through a failed first send") {
+    import graft.streaming.{InMemoryTransport, TransportRegistry}
+    val srv = new FakePgServer(transportLines, authMode = "md5", expectedPassword = "pw")
+    val spool = Files.createTempDirectory("graft_cli_kin_spool").toString
+    val ckpt = Files.createTempDirectory("graft_cli_kin_ckpt").toString
+    // fault injection: the first PutRecords attempt fails wholesale and
+    // must be retried under backoff — the kinesis itest analog
+    val transport = new InMemoryTransport(failFirst = 1)
+    @volatile var seenSpec: Option[graft.streaming.TransportSpec] = None
+    TransportRegistry.register("kinesis") { spec => seenSpec = Some(spec); transport }
+    try {
+      val c = Main.parse(Seq("replicate", "kinesis",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw",
+        "--slot", "cli_kin", "--create-slot",
+        "--blacklist", "secret.keys",
+        "--kinesis-stream", "wal-stream", "--aws-region", "us-east-1",
+        "--spool-dir", spool, "--checkpoint", ckpt,
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      val recs = transport.sent.flatten // delivered AFTER the failed attempt
+      val payloads = recs.map(r => new String(r.payload, "UTF-8"))
+      assert(payloads.count(_.contains("\"table\":\"public.users\"")) == 2)
+      assert(!payloads.exists(_.contains("secret.keys")), "blacklist reached the sink")
+      assert(seenSpec.exists(s => s.sink == "kinesis" &&
+        s.options("kinesis-stream") == "wal-stream" &&
+        s.options("aws-region") == "us-east-1"))
+      assert(awaitTrue()(!srv.acks.isEmpty), "acks flow with a transport sink")
+    } finally {
+      TransportRegistry.unregister("kinesis")
+      srv.stop()
+    }
+  }
+
+  test("replicate rabbitmq --once: routing key is <table>.<operation>") {
+    import graft.streaming.{InMemoryTransport, TransportRegistry}
+    val srv = new FakePgServer(transportLines, authMode = "md5", expectedPassword = "pw")
+    val spool = Files.createTempDirectory("graft_cli_rmq_spool").toString
+    val ckpt = Files.createTempDirectory("graft_cli_rmq_ckpt").toString
+    val transport = new InMemoryTransport()
+    TransportRegistry.register("rabbitmq") { spec =>
+      assert(spec.options("rabbitmq-url") == "amqp://guest@localhost" &&
+        spec.options("exchange-name") == "wal_exchange")
+      transport
+    }
+    try {
+      val c = Main.parse(Seq("replicate", "rabbitmq",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw",
+        "--slot", "cli_rmq", "--create-slot",
+        "--blacklist", "secret.keys",
+        "--rabbitmq-url", "amqp://guest@localhost",
+        "--exchange-name", "wal_exchange", "--rabbitmq-batch-size", "100",
+        "--spool-dir", spool, "--checkpoint", ckpt,
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      val recs = transport.sent.flatten
+      // reference routing key: <table>.<operation>
+      // (rabbitmq/transporter/transporter.go:310-316)
+      assert(recs.map(_.partitionKey).sorted ==
+        Seq("public.users.INSERT", "public.users.UPDATE"))
+    } finally {
+      TransportRegistry.unregister("rabbitmq")
+      srv.stop()
+    }
+  }
+
+  test("replicate kinesis|rabbitmq without a registered transport fails fast") {
+    // no SDKs are bundled: the CLI must explain the registry seam, not
+    // spool WAL it can never deliver
+    val c = Main.parse(Seq("replicate", "kinesis",
+      "--kinesis-stream", "s", "--spool-dir", "/tmp/nope")).toOption.get
+    assert(Main.run(c, Some(() => TestSpark.spark)) == 1)
+    val c2 = Main.parse(Seq("replicate", "rabbitmq",
+      "--rabbitmq-url", "u", "--exchange-name", "x",
+      "--spool-dir", "/tmp/nope")).toOption.get
+    assert(Main.run(c2, Some(() => TestSpark.spark)) == 1)
+    // missing required sink flags are parse-time errors
+    assert(Main.parse(Seq("replicate", "kinesis", "--spool-dir", "d")).isLeft)
+    assert(Main.parse(Seq("replicate", "rabbitmq", "--spool-dir", "d",
+      "--rabbitmq-url", "u")).isLeft)
+  }
 }

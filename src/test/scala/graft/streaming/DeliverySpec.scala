@@ -73,4 +73,38 @@ class DeliverySpec extends AnyFunSuite {
     val r1 = key(KafkaKeyMode.Random)
     assert(r1.matches("[0-9a-f-]{36}"))
   }
+
+  test("kafka writer contract: projection and options land in the plan, per key mode") {
+    // O14's full DataStreamWriter contract, asserted WITHOUT the
+    // connector jar: kafkaSinkPlan is exactly what toKafka hands the
+    // kafka-format writer — (key, value) string projection + the
+    // topic/bootstrap/checkpoint/record-cap options
+    // (reference kafka/config.go:43-64)
+    val df = Seq(
+      ("public.users", "42", "42-123", """{"op":"INSERT"}"""),
+      ("public.posts", "43", "43-9", """{"op":"DELETE"}"""))
+      .toDF("table", "txn", "timeBasedKey", "json")
+
+    val plan = CdcPipeline.kafkaSinkPlan(df, "b1:9092,b2:9092", "wal_topic",
+      KafkaKeyMode.TxnTimeBased, "/tmp/ckpt")
+    assert(plan.options("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(plan.options("topic") == "wal_topic")
+    assert(plan.options("checkpointLocation") == "/tmp/ckpt")
+    // reference per-record cap: 1 MB (kafka/config.go KafkaMaxMessageBytes)
+    assert(plan.options("kafka.max.request.size") == "1000000")
+    assert(plan.projected.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq ==
+      Seq("key" -> "string", "value" -> "string"))
+
+    def keys(m: KafkaKeyMode): Seq[String] =
+      CdcPipeline.kafkaSinkPlan(df, "b", "t", m, "c")
+        .projected.select("key").as[String].collect().toSeq.sorted
+    assert(keys(KafkaKeyMode.TxnTimeBased) == Seq("42-123", "43-9"))
+    assert(keys(KafkaKeyMode.Transaction) == Seq("42", "43"))
+    assert(keys(KafkaKeyMode.TableName) == Seq("public.posts", "public.users"))
+    assert(keys(KafkaKeyMode.Random).forall(_.matches("[0-9a-f-]{36}")))
+    // values are the marshalled json, untouched, for every mode
+    assert(CdcPipeline.kafkaSinkPlan(df, "b", "t", KafkaKeyMode.TableName, "c")
+      .projected.select("value").as[String].collect().toSet ==
+      Set("""{"op":"INSERT"}""", """{"op":"DELETE"}"""))
+  }
 }
