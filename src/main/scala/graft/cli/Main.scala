@@ -56,6 +56,9 @@ object Main {
       batchFlushMaxAgeMillis: Long = 1000L,
       clientBufferSize: Int = 10000,
       spoolDir: String = "",
+      // compact fully-acked spool segments once this many have
+      // accumulated; 0 keeps the full replay history on disk
+      spoolCompactSegments: Int = 0,
       checkpoint: String = "",
       outPath: String = "",
       kafkaBootstrap: String = "",
@@ -80,7 +83,7 @@ object Main {
       |      [--blacklist-regex r ...] [--partition-method none|tablename|transaction|transaction-bucket]
       |      [--partition-count n] [--workers n] [--batcher-routing-method round-robin|partition]
       |      [--no-marshal-old-value] [--batch-flush-max-age ms] [--client-buffer-size n]
-      |      [--sslmode disable|prefer|require] [--once]
+      |      [--sslmode disable|prefer|require] [--once] [--spool-compact-segments n]
       |      s3:       --out-path p --checkpoint c
       |      kafka:    --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]
       |      kinesis:  --kinesis-stream s [--aws-region r] [--endpoint e]
@@ -141,6 +144,7 @@ object Main {
       case "batch-flush-max-age" => int(value).map(v => c.copy(batchFlushMaxAgeMillis = v.toLong))
       case "client-buffer-size" => int(value).map(v => c.copy(clientBufferSize = v))
       case "spool-dir" => Right(c.copy(spoolDir = value))
+      case "spool-compact-segments" => int(value).map(v => c.copy(spoolCompactSegments = v))
       case "checkpoint" => Right(c.copy(checkpoint = value))
       case "out-path" => Right(c.copy(outPath = value))
       case "kafka-bootstrap" => Right(c.copy(kafkaBootstrap = value))
@@ -387,7 +391,8 @@ object Main {
         try admin.createSlot(c.slot) finally admin.close()
       }
       val receiver = new PgWalReceiver(() => newClient(c), c.spoolDir,
-        maxRecoveries = Int.MaxValue)
+        maxRecoveries = Int.MaxValue,
+        compactAfterSegments = c.spoolCompactSegments)
       receiver.start(c.slot)
       val spark = sparkProvider.map(_())
         .getOrElse(SparkSession.builder()

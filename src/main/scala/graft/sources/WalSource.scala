@@ -80,6 +80,60 @@ object WalSource {
       .getOrElse(Nil)
   }
 
+  /** Lines compacted away from the front of the spool. The receiver's
+    * compactor deletes fully-acked segments and records the count of
+    * dropped lines as a `@<decimal>` header on `.wal.idx` (written
+    * atomically with the trimmed index, so the two can never disagree).
+    * Offsets stay global: line N keeps meaning "the Nth line ever
+    * spooled" even after the first N-1 were compacted, so checkpointed
+    * offsets survive compaction unchanged. 0 when no idx / no header.
+    */
+  def compactedBase(path: String): Long = {
+    val f = new java.io.File(path, ".wal.idx")
+    if (!f.exists()) return 0L
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(new java.io.FileInputStream(f), "UTF-8"))
+    try {
+      val first = in.readLine()
+      if (first != null && first.startsWith("@"))
+        try java.lang.Long.parseLong(first.substring(1).trim) catch {
+          case _: NumberFormatException => 0L
+        }
+      else 0L
+    } finally in.close()
+  }
+
+  /** Global start line encoded in a receiver-written segment name
+    * (`%012d.wal`); None for foreign names (offset math then falls back
+    * to cumulative order, the pre-compaction behavior).
+    */
+  def segmentStartLine(f: java.io.File): Option[Long] = {
+    val n = f.getName
+    val dot = n.indexOf('.')
+    val digits = if (dot >= 0) n.substring(0, dot) else n
+    if (digits.nonEmpty && digits.forall(_.isDigit))
+      try Some(java.lang.Long.parseLong(digits)) catch { case _: NumberFormatException => None }
+    else None
+  }
+
+  /** Retry wrapper for reads racing the receiver's compactor: the
+    * compactor publishes the new base (atomic idx replace) BEFORE
+    * deleting segments, so a reader that lists a segment and then finds
+    * it deleted just re-reads against the now-consistent state.
+    */
+  private def retryOnVanish[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 3) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Per-file line counts keyed by (path, size, mtime): closed segments
     * are immutable so one scan each suffices; a still-growing tail
     * segment changes size (or mtime) and re-scans. Keeps the driver's
@@ -112,11 +166,19 @@ object WalSource {
     }
   }
 
-  def readLines(path: String, from: Long, until: Long): Seq[String] = {
+  def readLines(path: String, from: Long, until: Long): Seq[String] = retryOnVanish {
+    val base = compactedBase(path)
+    if (from < base && from < until)
+      throw new IllegalStateException(
+        s"offset $from precedes the compacted base $base of spool $path: " +
+          "those lines were acked and removed; restart from a checkpoint at or past the base")
     val out = mutable.ArrayBuffer[String]()
-    var idx = 0L
+    var idx = base
     segmentFiles(path).foreach { f =>
-      if (idx < until) {
+      // a segment wholly below the base is a compaction leftover (crash
+      // between idx replace and delete) — its lines are already counted
+      // by the base, skip it
+      if (idx < until && !segmentStartLine(f).exists(s => base > 0 && s < base)) {
         val cnt = fileLineCount(f)
         if (idx + cnt <= from) idx += cnt // whole segment before the range: seek past
         else {
@@ -131,7 +193,12 @@ object WalSource {
     out.toSeq
   }
 
-  def countLines(path: String): Long = segmentFiles(path).map(fileLineCount).sum
+  def countLines(path: String): Long = retryOnVanish {
+    val base = compactedBase(path)
+    base + segmentFiles(path)
+      .filterNot(f => segmentStartLine(f).exists(s => base > 0 && s < base))
+      .map(fileLineCount).sum
+  }
 }
 
 /** Offset = (lines consumed, current txn, current timeBasedKey): the

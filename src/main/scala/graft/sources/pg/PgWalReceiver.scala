@@ -31,7 +31,8 @@ final class PgWalReceiver(
     clientFactory: () => PgReplicationClient,
     spoolDir: String,
     linesPerSegment: Int = 10000,
-    maxRecoveries: Int = 3) {
+    maxRecoveries: Int = 3,
+    compactAfterSegments: Int = 0) {
 
   /** Single-connection convenience (no reconnect after stream error). */
   def this(client: PgReplicationClient, spoolDir: String) =
@@ -39,8 +40,18 @@ final class PgWalReceiver(
   def this(client: PgReplicationClient, spoolDir: String, linesPerSegment: Int) =
     this(() => client, spoolDir, linesPerSegment, 0)
 
-  private val walStarts = ArrayBuffer[Long]() // line i (0-based) → walStart
+  // walStarts holds lines [base, base + size): line (base + i) → walStarts(i).
+  // `base` counts lines compacted away from the front; it is persisted as
+  // the idx header (`@<base>`, WalSource.compactedBase) so offsets stay
+  // global across restarts. Guarded (with `base`) by walStarts.synchronized.
+  private val walStarts = ArrayBuffer[Long]()
+  private var base = 0L
   private val spooled = new AtomicLong(0L)
+  private val ackedLines = new AtomicLong(0L)
+  // Serializes segment/idx file mutation: spool() appends (receiver
+  // thread) vs compact() rewriting the idx and deleting segments (ack
+  // thread) vs stop() closing the writers.
+  private val spoolLock = new Object
   private var writer: java.io.FileOutputStream = _
   private var idxWriter: java.io.FileOutputStream = _
   private var linesInSegment = 0
@@ -90,17 +101,40 @@ final class PgWalReceiver(
   // replication/client/client.go:386-424).
   locally {
     truncateTornTail(idxFile)
-    val segs = WalSource.segmentFiles(spoolDir)
-    segs.lastOption.foreach(truncateTornTail) // only the newest can be torn
     if (idxFile.exists()) {
       val src = scala.io.Source.fromFile(idxFile, "UTF-8")
       val allValid =
-        try src.getLines().forall { l =>
-          try { walStarts += java.lang.Long.parseLong(l.trim, 16); true }
-          catch { case _: NumberFormatException => false }
+        try {
+          var first = true
+          src.getLines().forall { l =>
+            val isHeader = first && l.startsWith("@")
+            first = false
+            if (isHeader) {
+              // compaction header: lines dropped from the front. Written
+              // only by the atomic rewriteIdx, so it is never torn.
+              base = java.lang.Long.parseLong(l.substring(1).trim); true
+            } else
+              try { walStarts += java.lang.Long.parseLong(l.trim, 16); true }
+              catch { case _: NumberFormatException => false }
+          }
         } finally src.close()
       if (!allValid) rewriteIdx() // keep only the valid prefix
     }
+    // Reconcile a crash between the compactor's idx replace and its
+    // segment deletes: any segment wholly below the base is already
+    // accounted for by the header — remove the leftover.
+    val segs = WalSource.segmentFiles(spoolDir).filter { f =>
+      val start = WalSource.segmentStartLine(f)
+      if (base > 0 && start.exists(_ < base)) {
+        if (start.exists(s => s + WalSource.fileLineCount(f) > base))
+          throw new IllegalStateException(
+            s"segment $f straddles the compacted base $base; reconcile the spool manually")
+        if (!f.delete())
+          throw new IllegalStateException(s"cannot remove compacted leftover segment $f")
+        false
+      } else true
+    }
+    segs.lastOption.foreach(truncateTornTail) // only the newest can be torn
     val dataLines = segs.map(WalSource.fileLineCount).sum
     if (walStarts.size > dataLines) {
       walStarts.remove(dataLines.toInt, walStarts.size - dataLines.toInt)
@@ -108,7 +142,8 @@ final class PgWalReceiver(
     } else if (dataLines > walStarts.size) {
       truncateDataTo(segs, walStarts.size.toLong)
     }
-    spooled.set(walStarts.size.toLong)
+    spooled.set(base + walStarts.size)
+    ackedLines.set(base) // everything below the base was acked pre-compaction
   }
 
   /** Drop a trailing line that is missing its newline (torn write). */
@@ -129,13 +164,19 @@ final class PgWalReceiver(
     } finally raf.close()
   }
 
-  /** Atomically replace the idx with the current `walStarts` prefix. */
+  /** Atomically replace the idx with the current `walStarts` prefix
+    * (plus the `@base` compaction header once any compaction happened —
+    * header and entries land in ONE atomic move, so the base and the
+    * entry list can never disagree after a crash).
+    */
   private def rewriteIdx(): Unit = {
     val tmp = new File(spoolDir, ".wal.idx.tmp")
     val w = new java.io.FileOutputStream(tmp)
-    try walStarts.foreach(ws =>
-      w.write((java.lang.Long.toHexString(ws) + "\n").getBytes("UTF-8")))
-    finally w.close()
+    try {
+      if (base > 0) w.write(s"@$base\n".getBytes("UTF-8"))
+      walStarts.foreach(ws =>
+        w.write((java.lang.Long.toHexString(ws) + "\n").getBytes("UTF-8")))
+    } finally w.close()
     Files.move(tmp.toPath, idxFile.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -167,21 +208,91 @@ final class PgWalReceiver(
     }
   }
 
-  /** Lines spooled so far (existing + this session). */
+  /** Lines spooled so far (existing + this session), compacted included. */
   def linesSpooled: Long = spooled.get()
+
+  /** Lines compacted away from the front of the spool. */
+  def compactedLines: Long = walStarts.synchronized(base)
+
+  /** Unacked backlog: lines spooled but not yet committed by the sink —
+    * the reference's queue depth (the bounded client buffer's fill).
+    */
+  def spoolDepth: Long = spooled.get() - ackedLines.get()
 
   /** Translate a committed line offset (the graft-wal LSN = number of
     * lines consumed) to the server LSN of the last consumed line and
     * forward it to the socket's standby-status sender.
     */
   def ackLines(lineLsn: Long): Unit = {
-    val idx = math.min(lineLsn, walStarts.synchronized(walStarts.size.toLong)) - 1
-    if (idx >= 0) {
+    // translate under ONE lock so a concurrent compact() can't shift
+    // `base` between the clamp and the lookup
+    val translated = walStarts.synchronized {
+      val idx = math.min(lineLsn, base + walStarts.size) - 1
+      if (idx >= base) Some((idx, walStarts((idx - base).toInt))) else None
+      // idx < base: an ack for already-compacted lines (a replayed ack
+      // after restart) — the slot is already at or past it, nothing to send
+    }
+    translated.foreach { case (idx, walLsn) =>
       // before start() the ack is parked on a fresh client and carried
       // by the first status update once the loop begins
       if (client == null) synchronized { if (client == null) client = clientFactory() }
-      client.updateAckLsn(walStarts.synchronized(walStarts(idx.toInt)))
+      client.updateAckLsn(walLsn)
+      ackedLines.getAndAccumulate(idx + 1, math.max)
+      // opportunistic compaction once a configured number of segments'
+      // worth of lines is fully acked beyond the current base
+      if (compactAfterSegments > 0 &&
+          ackedLines.get() - compactedLines >= compactAfterSegments.toLong * linesPerSegment)
+        compact()
     }
+  }
+
+  /** Drop fully-acked whole segments from the front of the spool and
+    * fold their line count into the idx `@base` header — the bounded-
+    * disk guarantee for a long-running receiver (SCALE.md's "compactable
+    * line→LSN index", reference analog: Postgres itself recycling WAL
+    * below the slot's restart_lsn).
+    *
+    * Crash-safe ordering: the trimmed idx (entries + new base in one
+    * atomic move) is published BEFORE any segment is deleted; a crash in
+    * between leaves leftover segments wholly below the base, which
+    * startup reconciliation (and WalSource's readers) recognize by their
+    * filename-encoded start line and drop. The newest segment is never
+    * deleted, so `WalSource.countLines` keeps its meaning on an idle,
+    * fully-acked spool.
+    *
+    * @return lines compacted away by this call
+    */
+  def compact(): Long = spoolLock.synchronized {
+    val acked = ackedLines.get()
+    val segs = WalSource.segmentFiles(spoolDir)
+    if (segs.size <= 1) return 0L
+    var cum = walStarts.synchronized(base)
+    val deletable = ArrayBuffer[File]()
+    var scanning = true
+    segs.init.foreach { f => // never the newest (possibly open) segment
+      if (scanning) {
+        val n = WalSource.fileLineCount(f)
+        if (cum + n <= acked) { deletable += f; cum += n } else scanning = false
+      }
+    }
+    if (deletable.isEmpty) return 0L
+    val dropped = walStarts.synchronized {
+      val d = cum - base
+      walStarts.remove(0, d.toInt)
+      base = cum
+      d
+    }
+    // publish the new base atomically with the trimmed entries, pausing
+    // the appender so the rewrite can't race a concurrent spool()
+    val reopen = idxWriter != null
+    if (reopen) idxWriter.close()
+    rewriteIdx()
+    if (reopen) idxWriter = new java.io.FileOutputStream(idxFile, true)
+    deletable.foreach { f =>
+      if (!f.delete())
+        throw new IllegalStateException(s"cannot remove compacted segment $f")
+    }
+    dropped
   }
 
   /** Register this receiver as the ack hook for its spool directory. */
@@ -199,17 +310,20 @@ final class PgWalReceiver(
   }
 
   private def spool(x: XLogData): Unit = {
-    rollIfNeeded()
     // one write() per full line (content + newline): the source's
     // reader polls these files concurrently, and a buffered writer
     // could expose a half-flushed line as a complete one. A single
     // write of the whole record into the page cache is the strongest
-    // line-level atomicity a plain file offers.
-    writer.write((x.line + "\n").getBytes("UTF-8"))
-    idxWriter.write((java.lang.Long.toHexString(x.walStart) + "\n").getBytes("UTF-8"))
-    walStarts.synchronized { walStarts += x.walStart }
-    spooled.incrementAndGet()
-    linesInSegment += 1
+    // line-level atomicity a plain file offers. spoolLock keeps the
+    // appends out from under a concurrent compact()'s idx rewrite.
+    spoolLock.synchronized {
+      rollIfNeeded()
+      writer.write((x.line + "\n").getBytes("UTF-8"))
+      idxWriter.write((java.lang.Long.toHexString(x.walStart) + "\n").getBytes("UTF-8"))
+      walStarts.synchronized { walStarts += x.walStart }
+      spooled.incrementAndGet()
+      linesInSegment += 1
+    }
     if (x.walStart > highestWalStart) highestWalStart = x.walStart
     if (x.line.startsWith("BEGIN ")) openTxn = x.line.substring(6).trim
     else if (x.line.startsWith("COMMIT")) openTxn = null
@@ -292,8 +406,10 @@ final class PgWalReceiver(
         thread.join(5000)
       }
     }
-    if (writer != null) { writer.close(); writer = null }
-    if (idxWriter != null) { idxWriter.close(); idxWriter = null }
+    spoolLock.synchronized {
+      if (writer != null) { writer.close(); writer = null }
+      if (idxWriter != null) { idxWriter.close(); idxWriter = null }
+    }
     WalSource.ackHooks.remove(spoolDir)
     if (failure != null) throw failure
   }
