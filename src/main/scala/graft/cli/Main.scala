@@ -394,6 +394,15 @@ object Main {
         maxRecoveries = Int.MaxValue,
         compactAfterSegments = c.spoolCompactSegments)
       receiver.start(c.slot)
+      // `kill -IO <pid>` dumps the replication backlog, the reference's
+      // SIGIO diagnostics (progress_tracker.go:291-305). The streaming
+      // ack path needs no driver-side ledger (checkpoints provide the
+      // contiguity guarantee), so the dump is the receiver's queue depth.
+      graft.streaming.StatsReporters.registerSignalDump() { () =>
+        graft.streaming.StatsReporters.stdoutEmit(
+          s"progress_tracker.spool_depth type=gauge unit=lines value=${receiver.spoolDepth} " +
+            s"spooled=${receiver.linesSpooled} compacted=${receiver.compactedLines}")
+      }
       val spark = sparkProvider.map(_())
         .getOrElse(SparkSession.builder()
           .master(c.master)

@@ -180,6 +180,15 @@ final class InMemoryLedger {
     }
   }
 
+  /** One line per in-flight entry in insertion order — the SIGIO dump
+    * shape (reference progress_tracker.go:291-305 prints each ledger
+    * entry via utils.go:80-92's `key:value` rendering).
+    */
+  def dumpLines: Seq[String] =
+    items.values.iterator.map(e =>
+      s"${e.timeBasedKey}:{txn=${e.transaction} commitWalStart=${e.commitWalStart} " +
+        s"count=${e.count} totalMsgs=${e.totalMsgs}}").toSeq
+
   /** Longest-complete-prefix ack; removes acked entries. */
   def emitProgress(): Option[Long] = {
     val prefix = items.values.iterator

@@ -69,6 +69,32 @@ object StatsReporters {
       }
     }
 
+  /** On-demand progress dump — the reference's SIGIO handler
+    * (progress_tracker.go:291-305): ledger depth as the tracker's own
+    * `ledger_size` stat, the spool backlog as a queue-depth gauge, then
+    * one `entry:` line per in-flight transaction in insertion order.
+    */
+  def dumpProgress(ledger: graft.operators.InMemoryLedger, spoolDepth: Long,
+                   emit: String => Unit = stdoutEmit): Unit = {
+    emit(s"progress_tracker.ledger_size type=histogram unit=count value=${ledger.size}")
+    emit(s"progress_tracker.spool_depth type=gauge unit=lines value=$spoolDepth")
+    val lines = ledger.dumpLines
+    if (lines.isEmpty) emit("progress_tracker.ledger empty")
+    else lines.foreach(l => emit(s"entry: $l"))
+  }
+
+  /** Register `dump` on a POSIX signal (default SIGIO, like the
+    * reference's tracker loop). Returns false when the JVM reserves the
+    * signal or the platform lacks `sun.misc.Signal` — callers treat the
+    * dump as best-effort diagnostics, never load-bearing.
+    */
+  def registerSignalDump(signal: String = "IO")(dump: () => Unit): Boolean =
+    try {
+      sun.misc.Signal.handle(new sun.misc.Signal(signal),
+        (_: sun.misc.Signal) => dump())
+      true
+    } catch { case _: Throwable => false }
+
   /** Engine-level throughput reporter from query progress events. */
   final class ProgressStatsReporter(emit: String => Unit = stdoutEmit)
     extends StreamingQueryListener {
