@@ -268,6 +268,39 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means the embedding space
+    * into clusters, then compare pairs WITHIN a cluster only —
+    * semantically redundant documents land in the same cluster, so the
+    * cluster assignment is the blocking structure and the candidate
+    * volume is Σ|cluster|² instead of n².
+    *
+    * The 100 TB story: centroids are fit once on a bounded sample
+    * (driver-side Lloyd's, [[Similarity.fitCentroids]]) and broadcast;
+    * assignment is one codegen'd argmin per row (no shuffle); only the
+    * within-cluster self-join shuffles, keyed by cluster id. Choose
+    * k ≈ n / desired-cluster-size to bound the quadratic term — the
+    * paper runs k = 11k on 5B embeddings for ~450k-wide clusters,
+    * pruned further by comparing only against the cluster's centroid
+    * neighborhood; here every within-cluster pair is verified exactly.
+    */
+  def semanticDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(graft.functions.GraftFunctions.nearest_cells(
+        col(vecCol), centroids, 1), 1).as("cluster"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosine_similarity(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("cluster", "id_a", "id_b", "cosine")
+  }
+
   /** N-gram-Jaccard duplicate pairs with inverted-index blocking:
     * explode distinct shingles, join docs sharing a shingle (rare
     * shingles only — frequent shingles are stopword-like and explode

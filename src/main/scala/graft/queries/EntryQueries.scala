@@ -603,6 +603,46 @@ object EntryQueries {
        |SELECT id_a, id_b, round(list_cosine_similarity(v_a, v_b), 6) AS cosine
        |FROM pairs WHERE round(list_cosine_similarity(v_a, v_b), 6) >= 0.3""".stripMargin
 
+  /** SemDeDup-style semantic dedup: k-means clusters as the blocking
+    * structure, exact cosine within clusters (`ops/Dedup.semanticDedup`).
+    * Full value oracle via the materialized-constants trick: the fitted
+    * centroids AND their squared norms are inlined into the SQL, and the
+    * assignment re-derives NearestCells' argmax of `2·dot − ‖c‖²` with
+    * the same lower-index tie-break (`list_position` returns the FIRST
+    * index of the max).
+    */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nlist = 8)
+    semanticCentroids = Some(centroids)
+    Dedup.semanticDedup(emb, "embedding", "vec_id", centroids, threshold = 0.3)
+      .withColumn("cluster", col("cluster").cast("int"))
+  }
+
+  /** Centroids from the latest [[qDedupSemantic]] plan build — same
+    * warm-by-Verify contract as [[pqTrainedCodebooks]]: fitting is
+    * eager and driver-side, so a fit failure omits the oracle entry
+    * (a later execution failure also surfaces as a missing result).
+    */
+  @volatile private var semanticCentroids: Option[Array[Array[Double]]] = None
+
+  private def qDedupSemanticSql(cs: Array[Array[Double]]): String = {
+    val k = cs.length
+    val cLit = cs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    // norms computed driver-side (sequential sum, same as NearestCells)
+    val nLit = cs.map(c => c.map(x => x * x).sum).mkString("[", ",", "]")
+    s"""WITH cb AS (SELECT $cLit AS c, $nLit AS ns),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT id, v, list_transform(generate_series(1, $k),
+       |        j -> 2 * list_dot_product(v, c[j]) - ns[j]) AS sc
+       |      FROM e, cb),
+       |a AS (SELECT id, v, CAST(list_position(sc, list_max(sc)) - 1 AS INTEGER) AS cluster FROM s)
+       |SELECT x.cluster, x.id AS id_a, y.id AS id_b,
+       |  round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+       |FROM a x JOIN a y ON x.cluster = y.cluster AND x.id < y.id
+       |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3""".stripMargin
+  }
+
   /** IVF ANN with exhaustive probing (nprobe = nlist): the IVF
     * plumbing (centroid fit, cell assignment, probe-join) in its exact
     * mode, so the brute-force oracle applies verbatim.
@@ -1248,6 +1288,7 @@ object EntryQueries {
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
+    "q_dedup_semantic" -> qDedupSemantic _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1265,7 +1306,8 @@ object EntryQueries {
     */
   def oracleSql: Map[String, String] =
     staticOracleSql ++
-      pqTrainedCodebooks.map(cb => "q_similarity_pq" -> qSimilarityPqSql(cb))
+      pqTrainedCodebooks.map(cb => "q_similarity_pq" -> qSimilarityPqSql(cb)) ++
+      semanticCentroids.map(cs => "q_dedup_semantic" -> qDedupSemanticSql(cs))
 
   private val staticOracleSql: Map[String, String] = Map(
     "q_parse_roundtrip" -> qParseRoundtripSql,

@@ -152,6 +152,24 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // verification prevents false positives
   }
 
+  test("semantic dedup: cluster blocking finds within-cluster pairs only") {
+    // two explicit cluster centers: the x-axis family {1,2,5} and the
+    // y-axis singleton {3}; z-axis vector 4 assigns to whichever center
+    // scores higher but can't pair (alone or below threshold)
+    val centroids = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id", centroids, threshold = 0.9)
+      .select("cluster", "id_a", "id_b").as[(Int, Long, Long)].collect().toSet
+    // all x-family pairs are found inside cluster 0, nothing else passes
+    assert(out == Set((0, 1L, 2L), (0, 1L, 5L), (0, 2L, 5L)))
+
+    // blocking is real: a cross-cluster pair above threshold is NOT
+    // emitted (split the x-family across two centers)
+    val splitCs = Array(Array(1.0, 0.0, 0.0), Array(0.9, 0.1, 0.0))
+    val split = Dedup.semanticDedup(vecs, "embedding", "vec_id", splitCs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(split.subsetOf(Set((1L, 5L), (1L, 2L), (2L, 5L))) && split != Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("duplicateClusters: transitive chains collapse to the minimum id") {
     // components: {1,2,3,4} (a chain — 1~4 never paired directly),
     // {10,11}, and a long chain {20..26} exercising >2 iterations
