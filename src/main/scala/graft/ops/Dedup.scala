@@ -369,6 +369,29 @@ object Dedup {
     // materialize the pair list ONCE: everything downstream would
     // otherwise re-evaluate the (expensive) upstream dedup pipeline
     val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    val pairCount = raw.count() // also warms the cache before the loop
+    // Size the loop's shuffle width to the graph, not the session: each
+    // star round is several grouped shuffles over an edge set that is
+    // usually a sliver of the corpus (near-dup pairs), and a round over
+    // a few thousand edges split 32 ways is pure task-scheduling
+    // overhead (measured ~3 s of a 5 s sf0.1 run). ~2M edges (~32 MB)
+    // per reducer, capped at the session setting — at real scale the
+    // width is unchanged, on small graphs the rounds collapse to
+    // single-task stages. AQE alone does not do this: with
+    // parallelismFirst (the default) it refuses to coalesce below the
+    // session parallelism.
+    val spark = raw.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = math.max(1L,
+      math.min(sessionWidth.toLong, pairCount / 2000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+    try {
+      duplicateClustersLoop(raw, maxIters, strict)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+  }
+
+  private def duplicateClustersLoop(
+      raw: DataFrame, maxIters: Int, strict: Boolean): (DataFrame, Int) = {
     // every node that appears in any pair (including degenerate
     // self-pairs) must receive a label row in the output
     val nodes = raw.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -387,11 +410,15 @@ object Dedup {
         .union(e.select(col("v").as("src"), col("u").as("dst")))
       val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
-      // emitted (dst, m) always has m <= src < dst: already canonical
+      // emitted (dst, m) always has m <= src < dst: already canonical.
+      // No distinct here: the following smallStar aggregates by v with
+      // min(u) (duplicates cannot change a min, and its map-side
+      // combine collapses them before the shuffle) and its own output
+      // IS distinct — dropping the exchange saves a whole shuffle per
+      // round without growing what crosses the wire meaningfully.
       sym.join(mins, "src")
         .where(col("dst") > col("src"))
         .select(col("m").as("u"), col("dst").as("v"))
-        .distinct()
     }
 
     // small-star: group by the larger endpoint; link all smaller
@@ -427,8 +454,11 @@ object Dedup {
       // previous round ~9 times, so an uncut lineage grows 9^rounds and
       // OOMs the driver just STRINGIFYING the plan. Checkpointing makes
       // every round a constant-size plan over a materialized leaf;
-      // dropped rounds are reclaimed by the ContextCleaner.
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // dropped rounds are reclaimed by the ContextCleaner. Lazy, so
+      // the checksum action right below both materializes the
+      // checkpoint and folds the convergence probe in ONE job per
+      // round instead of two.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = checksum(next)
       edges.unpersist()
       edges = next
