@@ -13,8 +13,14 @@ CI gate (itests/common.bash:259-287: >5% mem / >50% CPU pprof diff
 fails the build), adapted to wall-clock with a re-measure step.
 
 Usage:
-  python3 tools/bench_gate.py OLD.json NEW.json [--threshold 1.5]
-      [--min-sec 0.5] [--no-isolate] [--out BENCH_GATE.json]
+  python3 tools/bench_gate.py OLD.json [OLD2.json ...] NEW.json
+      [--threshold 1.5] [--min-sec 0.5] [--no-isolate]
+      [--out BENCH_GATE.json]
+
+Passing several OLD files gates against the per-query MEDIAN across
+them: a single contention-LUCKY prior round can no longer turn honest
+times into false regressions (the dual of the phantom-slow NEW problem
+the isolation re-run handles). Recommended: the last 3 rounds.
 
 The isolation re-run is ONE extra Bench invocation restricted to the
 suspect set (comma list) — a mostly-idle JVM rather than 48 queries
@@ -70,9 +76,21 @@ def run_isolated(suspects, sf_dir, repo_root):
     return json.loads(m).get("queries", {})
 
 
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
+    ap.add_argument("old", nargs="+", help=(
+        "one or more prior-round bench JSONs; with several, each query "
+        "gates against the per-query MEDIAN across them — a single "
+        "contention-lucky round (r5 recorded q_dedup_clusters at 2.59s "
+        "vs the 5.3s honest floor) can no longer make honest times look "
+        "like regressions, the dual of the phantom-slow problem the "
+        "isolation re-run handles on the NEW side"))
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.5)
@@ -81,7 +99,12 @@ def main():
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    old_q, _ = load_queries(args.old)
+    olds = [load_queries(p)[0] for p in args.old]
+    old_q = {}
+    for name in set().union(*[set(o) for o in olds]):
+        ts = [o[name] for o in olds if name in o]
+        if ts:
+            old_q[name] = median(ts)
     new_q, new_sf = load_queries(args.new)
 
     suspects = {}
