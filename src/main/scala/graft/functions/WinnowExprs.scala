@@ -102,3 +102,75 @@ object WinnowFingerprint {
     new GenericArrayData(out)
   }
 }
+
+/** `gram_position_hashes(text)` → array<struct<pos:int, h:bigint>>:
+  * every k-gram's position (1-based over the caller-normalized text,
+  * matching SQL `substring` indexing) with its Rabin–Karp rolling hash
+  * — the same `Σ cp_j · B^(k-1-j) mod M` polynomial as
+  * [[WinnowFingerprint]], so the value is re-derivable in ANSI SQL from
+  * a materialized list of `B^j mod M` powers. Feeds the repeated-span
+  * detector ([[graft.ops.Dedup.repeatedSpans]]), which needs positions
+  * to merge gram hits into maximal shared spans; the winnowing
+  * fingerprint deliberately discards them.
+  *
+  * Texts with fewer than k codepoints yield an empty array.
+  */
+case class GramPositionHashes(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k >= 1, "k must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gram_position_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GramPositionHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramPositionHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramPositionHashes =
+    copy(child = newChild)
+}
+
+object GramPositionHashes {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val B = WinnowFingerprint.Base
+    val M = WinnowFingerprint.Mod
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val g = n - k + 1
+    val out = new Array[Any](g)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    out(0) = new GenericInternalRow(Array[Any](1, h)): InternalRow
+    var bk1 = 1L
+    i = 0
+    while (i < k - 1) { bk1 = (bk1 * B) % M; i += 1 }
+    i = 1
+    while (i < g) {
+      h = ((h - (cps(i - 1) * bk1) % M + M) % M * B + cps(i + k - 1)) % M
+      out(i) = new GenericInternalRow(Array[Any](i + 1, h)): InternalRow
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `B^e mod M` — for materializing the oracle's power list. */
+  def powMod(e: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < e) { r = (r * WinnowFingerprint.Base) % WinnowFingerprint.Mod; i += 1 }
+    r
+  }
+}

@@ -330,6 +330,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-document repeated-span detection — the scalable shape of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499, which uses a
+    * corpus suffix array; a distributed suffix array is replaced here
+    * by hash blocking + diagonal merge):
+    *
+    *  1. one native pass stamps every k-gram of the normalized text
+    *     with (position, rolling hash) ([[graft.functions.GramPositionHashes]]);
+    *  2. an inverted index joins positions sharing a gram hash across
+    *     documents — RARE grams only (global frequency in
+    *     [2, maxGramFreq]): boilerplate grams are stopword-like and
+    *     would explode the candidate set, same blocking rationale as
+    *     [[ngramJaccardDuplicates]];
+    *  3. hits on the same (doc pair, diagonal pos_a − pos_b) at
+    *     consecutive positions are one shared span: classic
+    *     gaps-and-islands (`pos − row_number` per diagonal, windows
+    *     partitioned by pair+diagonal — no global window), merged to
+    *     maximal spans of length `run + k − 1 ≥ minLen`.
+    *
+    * Output: (id_a, id_b, start_a, start_b, span_len) per maximal
+    * shared span (1-based starts into the NORMALIZED text). Spans
+    * whose interior crosses a blocked (ubiquitous) gram split into
+    * fragments — the documented cost of bounding step 2's join.
+    *
+    * The 100 TB story: the gram stream shuffles once to build the
+    * frequency index and once to join — both keyed on 64-bit-ish gram
+    * hashes; candidate volume is bounded by maxGramFreq² per gram
+    * value; the span merge touches only actual cross-doc hits.
+    */
+  def repeatedSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+        explode(column(graft.functions.GramPositionHashes(
+          expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val rare = g.groupBy("h").count()
+      .where(col("count") >= 2 && col("count") <= maxGramFreq)
+    val b = g.join(rare.select("h"), Seq("h"))
+    val x = b.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val y = b.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b"))
+    // (id, pos) carries exactly one hash, so hit rows are already
+    // distinct; d identifies the alignment diagonal
+    val hits = x.join(y, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("d"))
+    val wOrd = Window.partitionBy("id_a", "id_b", "d").orderBy("pos_a")
+    hits.withColumn("island", col("pos_a") - row_number().over(wOrd))
+      .groupBy("id_a", "id_b", "d", "island")
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).cast("long").as("span_len"))
+      .where(col("span_len") >= minLen)
+      .select(col("id_a"), col("id_b"), col("start_a"),
+        (col("start_a") - col("d")).as("start_b"), col("span_len"))
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     * components over the pair graph, each node labeled with the
     * minimum id in its component (the canonical document). This is the

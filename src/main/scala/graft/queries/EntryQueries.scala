@@ -439,6 +439,44 @@ object EntryQueries {
       |  a.fp_min, a.fp_max, CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum
       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
+  /** Cross-doc repeated spans (exact-substring dedup, hash-blocked):
+    * the oracle re-derives the k-gram polynomial hash from a
+    * materialized `B^j mod M` power list (BIGINT-safe for any k,
+    * unlike the raw powers the k=5 winnow oracle inlines), then the
+    * same rare-gram blocking, diagonal islands, and min-length cut.
+    */
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(T(spark, dir, "documents"), "text", "doc_id",
+      k = 20, minLen = 40, maxGramFreq = 50)
+
+  val qDedupSpansSql: String = {
+    val k = 20
+    val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
+      .mkString("[", ",", "]")
+    s"""WITH nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |kgl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
+       |      j -> (CAST(unicode(substring(t, CAST(i + j AS INTEGER), 1)) AS BIGINT)
+       |           * ($pows[j + 1])) % 2147483647)) % 2147483647 AS BIGINT)})) AS u
+       |  FROM nrm WHERE length(t) >= $k),
+       |kg AS (SELECT doc_id AS id, u.i AS pos, u.h AS h FROM kgl),
+       |rare AS (SELECT h FROM kg GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+       |b AS (SELECT kg.* FROM kg JOIN rare USING (h)),
+       |hits AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pos_a, y.pos AS pos_b,
+       |    x.pos - y.pos AS d
+       |  FROM b x JOIN b y ON x.h = y.h AND x.id < y.id),
+       |isl AS (SELECT *, pos_a - row_number()
+       |    OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS island FROM hits),
+       |sp AS (SELECT id_a, id_b, d, island, min(pos_a) AS start_a,
+       |    max(pos_a) - min(pos_a) + $k AS span_len
+       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, CAST(start_a AS INTEGER) AS start_a,
+       |  CAST(start_a - d AS INTEGER) AS start_b, CAST(span_len AS BIGINT) AS span_len
+       |FROM sp WHERE span_len >= 40""".stripMargin
+  }
+
   /** Language-id heuristic: stopword-profile argmax, ties toward the
     * lexicographically greatest language code (Spark's `greatest` over
     * (hits, lang) structs ≡ DuckDB's struct `max`). Oracle re-derives
@@ -1289,6 +1327,7 @@ object EntryQueries {
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_dedup_semantic" -> qDedupSemantic _,
+    "q_dedup_spans" -> qDedupSpans _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1329,6 +1368,7 @@ object EntryQueries {
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

@@ -152,6 +152,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // verification prevents false positives
   }
 
+  test("repeatedSpans: maximal shared spans with exact positions, short overlaps cut") {
+    val common = "the quick brown fox jumps over the lazy dog again and again" // 59 chars
+    val docs = Seq(
+      (1L, s"aaaaa $common bbbbb"),
+      (2L, s"ccccccc $common ddd"),
+      (3L, "totally unrelated filler material without any matching sequences"),
+      (4L, "prefix the quick brown fox tail-unique-text")) // 21-shared chars < minLen
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "text", "doc_id",
+      k = 10, minLen = 30, maxGramFreq = 10)
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    // ONE maximal span: docs 1-2 share " <common> " (59 + both boundary
+    // spaces); the 21-char overlap with doc 4 is below minLen
+    assert(spans == Seq((1L, 2L, 6, 8, 61L)))
+  }
+
   test("semantic dedup: cluster blocking finds within-cluster pairs only") {
     // two explicit cluster centers: the x-axis family {1,2,5} and the
     // y-axis singleton {3}; z-axis vector 4 assigns to whichever center
