@@ -366,9 +366,15 @@ object Dedup {
         explode(column(graft.functions.GramPositionHashes(
           expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val rare = g.groupBy("h").count()
-      .where(col("count") >= 2 && col("count") <= maxGramFreq)
-    val b = g.join(rare.select("h"), Seq("h"))
+    // Rare-gram blocking as a count-over-window on h, NOT a groupBy +
+    // semi-join: the join form inlines the frequency subquery into BOTH
+    // self-join sides, so the gram explode ran 4x; this form shuffles
+    // the gram stream once per side on the SAME key the join needs, and
+    // the two sides are canonically identical subtrees, so ReuseExchange
+    // collapses them to one compute under a shuffle join.
+    val wH = Window.partitionBy("h")
+    val b = g.withColumn("cnt", count(lit(1)).over(wH))
+      .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
     val x = b.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
     val y = b.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b"))
     // (id, pos) carries exactly one hash, so hit rows are already
