@@ -59,6 +59,7 @@ object Main {
       // compact fully-acked spool segments once this many have
       // accumulated; 0 keeps the full replay history on disk
       spoolCompactSegments: Int = 0,
+      spoolSegmentLines: Int = 10000,
       checkpoint: String = "",
       outPath: String = "",
       kafkaBootstrap: String = "",
@@ -83,7 +84,8 @@ object Main {
       |      [--blacklist-regex r ...] [--partition-method none|tablename|transaction|transaction-bucket]
       |      [--partition-count n] [--workers n] [--batcher-routing-method round-robin|partition]
       |      [--no-marshal-old-value] [--batch-flush-max-age ms] [--client-buffer-size n]
-      |      [--sslmode disable|prefer|require] [--once] [--spool-compact-segments n]
+      |      [--sslmode disable|prefer|require] [--once]
+      |      [--spool-compact-segments n] [--spool-segment-lines n]
       |      s3:       --out-path p --checkpoint c
       |      kafka:    --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]
       |      kinesis:  --kinesis-stream s [--aws-region r] [--endpoint e]
@@ -145,6 +147,7 @@ object Main {
       case "client-buffer-size" => int(value).map(v => c.copy(clientBufferSize = v))
       case "spool-dir" => Right(c.copy(spoolDir = value))
       case "spool-compact-segments" => int(value).map(v => c.copy(spoolCompactSegments = v))
+      case "spool-segment-lines" => int(value).map(v => c.copy(spoolSegmentLines = v))
       case "checkpoint" => Right(c.copy(checkpoint = value))
       case "out-path" => Right(c.copy(outPath = value))
       case "kafka-bootstrap" => Right(c.copy(kafkaBootstrap = value))
@@ -391,6 +394,7 @@ object Main {
         try admin.createSlot(c.slot) finally admin.close()
       }
       val receiver = new PgWalReceiver(() => newClient(c), c.spoolDir,
+        linesPerSegment = c.spoolSegmentLines,
         maxRecoveries = Int.MaxValue,
         compactAfterSegments = c.spoolCompactSegments)
       receiver.start(c.slot)

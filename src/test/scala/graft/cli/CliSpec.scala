@@ -209,6 +209,43 @@ class CliSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("replicate stdout --once with --spool-compact-segments bounds spool disk") {
+    val lines = Seq(
+      0x200L -> "BEGIN 710",
+      0x210L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'",
+      0x220L -> "table public.users: INSERT: id[integer]:2 name[text]:'b'",
+      0x230L -> "COMMIT 710")
+    val srv = new FakePgServer(lines)
+    val spool = Files.createTempDirectory("graft_cli_compact").toString
+    try {
+      val c = Main.parse(Seq("replicate", "stdout",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--slot", "cli_compact",
+        "--spool-dir", spool,
+        "--spool-segment-lines", "2", "--spool-compact-segments", "1",
+        // cap lines/trigger so the run spans several micro-batches:
+        // Spark commits batch N's offsets (the ack edge that drives
+        // compaction) only when batch N+1 starts
+        "--client-buffer-size", "2",
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      // 4 lines / 2-line segments: commits acked everything, so the
+      // fully-acked leading segment was compacted away (the newest is
+      // always kept) and the idx carries the crash-safe @base header
+      val segs = new java.io.File(spool).listFiles()
+        .filter(_.getName.endsWith(".wal")).map(_.getName).sorted
+      assert(!segs.contains("000000000000.wal"), s"segments left: ${segs.mkString(",")}")
+      assert(segs.nonEmpty)
+      val idx = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(spool, ".wal.idx")), "UTF-8")
+      assert(idx.startsWith("@"), s"idx missing base header:\n$idx")
+      // acks still translated to real server LSNs after compaction
+      assert(awaitTrue()(!srv.acks.isEmpty))
+      assert(srv.acks.asScala.forall(a => a == 0L || lines.map(_._1).contains(a)))
+    } finally srv.stop()
+  }
+
   private val transportLines = Seq(
     0x100L -> "BEGIN 700",
     0x110L -> "table public.users: INSERT: id[integer]:1 name[text]:'a'",
