@@ -393,6 +393,48 @@ object Dedup {
         (col("start_a") - col("d")).as("start_b"), col("span_len"))
   }
 
+  /** Apply [[repeatedSpans]]: remove each repeated span from every
+    * document EXCEPT its first occurrence (lowest doc id — the
+    * keep-first policy of Lee et al.'s ExactSubstr dedup), returning
+    * the corpus with a `text_deduped` column over the normalized text.
+    *
+    * Per doc: collect its cut intervals (spans where it is the LATER
+    * side), sort, and fold once with `aggregate()` — the accumulator
+    * carries (next uncut position, output so far); overlapping and
+    * nested intervals merge naturally through the running
+    * `greatest(pos, s + l)`. Chains behave like the paper: a span
+    * shared by docs a < b < c survives only in a.
+    *
+    * Zero extra shuffles beyond [[repeatedSpans]] + one groupBy(doc)
+    * of the span rows and a (broadcastable) join back to the corpus.
+    */
+  def dropRepeatedSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, k, minLen, maxGramFreq)
+    val cuts = spans.select(col("id_b").as("__cut_id"),
+        struct(col("start_b").as("s"), col("span_len").cast("int").as("l")).as("c"))
+      .groupBy("__cut_id").agg(sort_array(collect_list(col("c"))).as("__cs"))
+    val joined = df.join(cuts, df(idCol) === cuts("__cut_id"), "left")
+      .withColumn("__t", TextAnalysis.normalize(col(textCol)))
+    val folded = aggregate(col("__cs"),
+      struct(lit(1).as("pos"), lit("").as("out")),
+      (acc, c) => struct(
+        greatest(acc("pos"), c("s") + c("l")).as("pos"),
+        concat(acc("out"),
+          when(c("s") > acc("pos"),
+            col("__t").substr(acc("pos"), c("s") - acc("pos")))
+            .otherwise(lit(""))).as("out")),
+      acc => concat(acc("out"),
+        when(acc("pos") <= length(col("__t")),
+          col("__t").substr(acc("pos"), length(col("__t")) - acc("pos") + 1))
+          .otherwise(lit(""))))
+    joined
+      .withColumn("text_deduped",
+        when(col("__cs").isNull, col("__t")).otherwise(folded))
+      .drop("__cut_id", "__cs", "__t")
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     * components over the pair graph, each node labeled with the
     * minimum id in its component (the canonical document). This is the

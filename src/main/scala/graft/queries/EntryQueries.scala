@@ -477,6 +477,59 @@ object EntryQueries {
        |FROM sp WHERE span_len >= 40""".stripMargin
   }
 
+  /** Applied span dedup: the corpus with every repeated span cut from
+    * all but its first (lowest-id) occurrence. The oracle re-derives
+    * the spans (same CTEs as q_dedup_spans), merges each doc's cut
+    * intervals with the classic running-max-end window, and
+    * reconstructs the surviving fragments with ordered string_agg —
+    * a full-string value oracle of the surgery itself.
+    */
+  def qDedupSpanDrop(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedSpans(T(spark, dir, "documents"), "text", "doc_id",
+      k = 20, minLen = 40, maxGramFreq = 50)
+      .select(col("doc_id"), col("text_deduped"))
+
+  val qDedupSpanDropSql: String = {
+    val k = 20
+    val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
+      .mkString("[", ",", "]")
+    s"""WITH nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |kgl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
+       |      j -> (CAST(unicode(substring(t, CAST(i + j AS INTEGER), 1)) AS BIGINT)
+       |           * ($pows[j + 1])) % 2147483647)) % 2147483647 AS BIGINT)})) AS u
+       |  FROM nrm WHERE length(t) >= $k),
+       |kg AS (SELECT doc_id AS id, u.i AS pos, u.h AS h FROM kgl),
+       |rare AS (SELECT h FROM kg GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+       |b AS (SELECT kg.* FROM kg JOIN rare USING (h)),
+       |hits AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pos_a, y.pos AS pos_b,
+       |    x.pos - y.pos AS d
+       |  FROM b x JOIN b y ON x.h = y.h AND x.id < y.id),
+       |isl AS (SELECT *, pos_a - row_number()
+       |    OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS island FROM hits),
+       |sp AS (SELECT id_a, id_b, d, island, min(pos_a) AS start_a,
+       |    max(pos_a) - min(pos_a) + $k AS span_len
+       |  FROM isl GROUP BY 1, 2, 3, 4),
+       |cuts AS (SELECT id_b AS id, start_a - d AS s, start_a - d + span_len - 1 AS e
+       |  FROM sp WHERE span_len >= 40),
+       |ord AS (SELECT id, s, e, coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe FROM cuts),
+       |agg AS (SELECT id,
+       |    string_agg(CASE WHEN s - 1 > pe
+       |      THEN substring(t, CAST(pe + 1 AS INTEGER), CAST(s - 1 - pe AS INTEGER))
+       |      ELSE '' END, '' ORDER BY s, e) AS body,
+       |    max(e) AS me
+       |  FROM ord JOIN nrm ON nrm.doc_id = ord.id GROUP BY id),
+       |fin AS (SELECT n.doc_id,
+       |    CASE WHEN a.id IS NULL THEN n.t
+       |         ELSE coalesce(a.body, '') || substring(n.t, CAST(a.me + 1 AS INTEGER)) END
+       |      AS text_deduped
+       |  FROM nrm n LEFT JOIN agg a ON a.id = n.doc_id)
+       |SELECT doc_id, text_deduped FROM fin""".stripMargin
+  }
+
   /** Language-id heuristic: stopword-profile argmax, ties toward the
     * lexicographically greatest language code (Spark's `greatest` over
     * (hits, lang) structs ≡ DuckDB's struct `max`). Oracle re-derives
@@ -1328,6 +1381,7 @@ object EntryQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_dedup_spans" -> qDedupSpans _,
+    "q_dedup_span_drop" -> qDedupSpanDrop _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1369,6 +1423,7 @@ object EntryQueries {
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_spans" -> qDedupSpansSql,
+    "q_dedup_span_drop" -> qDedupSpanDropSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

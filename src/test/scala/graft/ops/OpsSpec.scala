@@ -166,6 +166,15 @@ class OpsSpec extends AnyFunSuite {
     // ONE maximal span: docs 1-2 share " <common> " (59 + both boundary
     // spaces); the 21-char overlap with doc 4 is below minLen
     assert(spans == Seq((1L, 2L, 6, 8, 61L)))
+
+    // keep-first surgery: the span survives in doc 1, is cut from
+    // doc 2, and sub-minLen overlaps leave docs untouched
+    val dropped = Dedup.dropRepeatedSpans(docs, "text", "doc_id",
+      k = 10, minLen = 30, maxGramFreq = 10)
+      .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+    assert(dropped(1L) == s"aaaaa $common bbbbb")
+    assert(dropped(2L) == "cccccccddd")
+    assert(dropped(4L) == "prefix the quick brown fox tail-unique-text")
   }
 
   test("semantic dedup: cluster blocking finds within-cluster pairs only") {
