@@ -222,6 +222,27 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup dedup: drop documents whose full MinHash
+    * signature equals an earlier document's within the watermark
+    * horizon. Full-signature equality is the strictest banding — every
+    * band agrees — so this catches token-set-preserving edits
+    * (reordering, whitespace/case noise) that exact content dedup
+    * misses, while staying a single keyed `dropDuplicatesWithin
+    * Watermark`: state is one signature per surviving doc, bounded by
+    * the horizon, no stream-stream join. For threshold-tunable batch
+    * near-dup, use [[minhashDuplicates]]; streams wanting looser
+    * matching lower `numHashes` (coarser signatures collide more).
+    */
+  def streamingNearDedup(
+      df: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes",
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    df.withColumn("__sig",
+        minhash_from_hashes(shingle_hashes(col(textCol), shingleSize), numHashes))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Embedding near-duplicate pairs, exact: all pairs above a cosine
     * threshold. Quadratic — use on bounded candidate sets (a shard, a
     * bucket, a sampled audit); [[embeddingDuplicatesLsh]] is the scale

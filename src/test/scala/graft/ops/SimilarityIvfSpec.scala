@@ -50,6 +50,28 @@ class SimilarityIvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: signature-equal re-arrivals dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    // unigram shingles: the token SET keys the signature, so a
+    // reordered doc is a near-dup exact dedup would miss
+    val out = Dedup.streamingNearDedup(df, "text", "ts", shingleSize = 1)
+    val q = out.writeStream.format("memory").queryName("stream_near_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData((1L, "alpha beta gamma delta", new Timestamp(t0)))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, "delta GAMMA beta alpha", new Timestamp(t0 + 1000)), // reorder+case: same token set
+        (3L, "alpha beta gamma epsilon", new Timestamp(t0 + 2000))) // one token differs
+      q.processAllAvailable()
+      val ids = spark.table("stream_near_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("product quantization: exact on codebook points, high recall on clustered data") {
     import org.apache.spark.sql.functions._
     val dim = 16
