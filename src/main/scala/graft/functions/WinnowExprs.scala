@@ -174,3 +174,52 @@ object GramPositionHashes {
     r
   }
 }
+
+/** `char_ngram_codes(text)` → array<bigint>: every char n-gram packed
+  * as n 21-bit codepoints into one long (n ≤ 3; Unicode max 0x10FFFF
+  * < 2^21, so the packing is INJECTIVE — a code IS the n-gram, no
+  * collisions). One O(length) pass; the compositional
+  * `transform(sequence, i -> substr(i, n))` form is O(length²) because
+  * each UTF8 substr re-scans from the string start to find its char
+  * offset, and it allocates a string per position besides.
+  *
+  * Dropping the last 21 bits of an n-gram code yields the (n−1)-gram
+  * PREFIX code — downstream LM scoring derives bigram-context counts
+  * from trigram counts with a shift, no second text scan.
+  */
+case class CharNgramCodes(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1 && n <= 3, "n must be 1..3 (21-bit codepoints in a long)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_ngram_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgramCodes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgramCodes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramCodes =
+    copy(child = newChild)
+}
+
+object CharNgramCodes {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val len = cps.length
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var code = 0L
+      var j = 0
+      while (j < n) { code = (code << 21) | cps(i + j).toLong; j += 1 }
+      out(i) = code
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

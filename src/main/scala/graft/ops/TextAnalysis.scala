@@ -169,4 +169,50 @@ object TextAnalysis {
       .withColumn("lang_pred", languageId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Char-trigram language-model typicality — the CCNet-style quality
+    * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", arXiv:1911.00359, which filters on
+    * KenLM perplexity; the n-gram LM here is self-trained on the corpus
+    * so low scores flag atypical text: boilerplate, mojibake, codes).
+    *
+    * Score per doc = mean over positions of
+    * `ln((c3 + 0.5) / (c2 + 0.5·V))` — add-k-smoothed trigram
+    * conditional likelihood, V = distinct characters in the corpus.
+    * Docs with no trigram after normalization are dropped.
+    *
+    * Fully distributed, no driver-side model: trigram counts are one
+    * aggregation; bigram CONTEXT counts derive from them (sum over the
+    * third char — no second scan); both are vocabulary-sized (≤ V³
+    * rows) and broadcast back onto the position stream, so the corpus
+    * is read once and only vocabulary-sized tables cross the wire.
+    */
+  def typicalityScore(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val withT = df.select(col(idCol).as("id"), normalize(col(textCol)).as("__t"))
+      .where(length(col("__t")) >= 3)
+    // trigrams as packed-codepoint longs (one O(L) native pass; the
+    // packing is injective, so long-keyed counts ≡ string-keyed counts
+    // and a >>21 shift IS the bigram-context prefix — no second scan)
+    val g3 = withT.select(col("id"),
+      explode(column(graft.functions.CharNgramCodes(
+        expression(col("__t")), 3))).as("g3"))
+    // V: distinct characters = distinct 1-gram codes (one tiny agg,
+    // one-row broadcast — the domain-mix scalar pattern)
+    val vDf = withT.select(explode(column(graft.functions.CharNgramCodes(
+        expression(col("__t")), 1))).as("c1"))
+      .agg(countDistinct(col("c1")).as("V"))
+    val c3 = g3.groupBy("g3").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(shiftright(col("g3"), 21).as("g2"))
+      .agg(sum(col("c3")).as("c2"))
+    g3.join(broadcast(c3), Seq("g3"))
+      .withColumn("g2", shiftright(col("g3"), 21))
+      .join(broadcast(c2), Seq("g2"))
+      .crossJoin(broadcast(vDf))
+      .groupBy(col("id").as(idCol))
+      .agg(round(avg(
+        log((col("c3") + lit(0.5)) / (col("c2") + lit(0.5) * col("V")))), 6)
+        .as("typicality_r"))
+  }
 }

@@ -530,6 +530,31 @@ object EntryQueries {
        |SELECT doc_id, text_deduped FROM fin""".stripMargin
   }
 
+  /** CCNet-style LM typicality: add-k-smoothed char-trigram mean
+    * log-likelihood, self-trained on the corpus. The oracle re-derives
+    * the trigram/bigram-context counts, V, and the smoothed average;
+    * both engines round to 6 places, absorbing summation-order ulps.
+    */
+  def qTextTypicality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typicalityScore(T(spark, dir, "documents"))
+
+  val qTextTypicalitySql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
+      |        i -> substring(t, CAST(i AS INTEGER), 3))) AS g3 FROM docs),
+      |v AS (SELECT count(DISTINCT ch) AS V FROM (
+      |        SELECT unnest(string_split(t, '')) AS ch FROM docs) WHERE ch <> ''),
+      |c3 AS (SELECT g3, count(*) AS c3 FROM g GROUP BY g3),
+      |c2 AS (SELECT substring(g3, 1, 2) AS g2, sum(c3) AS c2 FROM c3 GROUP BY 1)
+      |SELECT g.doc_id,
+      |  round(avg(ln((c3.c3 + 0.5) / (c2.c2 + 0.5 * v.V))), 6) AS typicality_r
+      |FROM g JOIN c3 USING (g3)
+      |  JOIN c2 ON c2.g2 = substring(g.g3, 1, 2), v
+      |GROUP BY g.doc_id""".stripMargin
+
   /** Language-id heuristic: stopword-profile argmax, ties toward the
     * lexicographically greatest language code (Spark's `greatest` over
     * (hits, lang) structs ≡ DuckDB's struct `max`). Oracle re-derives
@@ -1382,6 +1407,7 @@ object EntryQueries {
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_dedup_spans" -> qDedupSpans _,
     "q_dedup_span_drop" -> qDedupSpanDrop _,
+    "q_text_typicality" -> qTextTypicality _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1424,6 +1450,7 @@ object EntryQueries {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_span_drop" -> qDedupSpanDropSql,
+    "q_text_typicality" -> qTextTypicalitySql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

@@ -337,6 +337,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).values.forall(_.size <= 2))
   }
 
+  test("typicalityScore: corpus-typical text outscores atypical glyph soup") {
+    val typical = "the cat sat on the mat and the dog sat on the log"
+    val df = Seq(
+      (1L, typical),
+      (2L, "the cat sat on the log and the dog sat on the mat"), // same trigram diet
+      (3L, "zq#7!xv@9&kj%3*wp^5$mn"), // trigrams seen once each
+      (4L, "ab")) // below one trigram: dropped
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.typicalityScore(df)
+      .as[(Long, Double)].collect().toMap
+    assert(!scores.contains(4L))
+    assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
+    // scores are smoothed log-likelihood means: strictly negative
+    assert(scores.values.forall(_ < 0))
+  }
+
   test("qualityGate: one-pass metrics, keep verdict and failure audit") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
