@@ -729,7 +729,13 @@ object EntryQueries {
     */
   def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
-    val centroids = Similarity.fitCentroids(emb, nlist = 8)
+    // k ≈ n / 250 keeps expected cluster width CONSTANT as the corpus
+    // grows, so the within-cluster quadratic stays linear in n — the
+    // paper's own scaling rule (fixed k measured 7.5× at 10× data;
+    // scaled k is ~linear). The oracle adapts: it is generated from
+    // whatever centroid matrix was fit.
+    val nlist = math.max(8L, emb.count() / 250L).toInt
+    val centroids = Similarity.fitCentroids(emb, nlist = nlist)
     semanticCentroids = Some(centroids)
     Dedup.semanticDedup(emb, "embedding", "vec_id", centroids, threshold = 0.3)
       .withColumn("cluster", col("cluster").cast("int"))
