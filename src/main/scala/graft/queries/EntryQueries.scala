@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Curation, Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Asof, Curation, Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -529,6 +529,38 @@ object EntryQueries {
        |  FROM nrm n LEFT JOIN agg a ON a.id = n.doc_id)
        |SELECT doc_id, text_deduped FROM fin""".stripMargin
   }
+
+  /** Point-in-time join: each event picks up the user's latest order
+    * at-or-before the event timestamp (leak-free feature attachment).
+    * Spark side is the union + running-last window ([[Asof]]); the
+    * oracle is DuckDB's native ASOF LEFT JOIN over the identically
+    * deduplicated right side — two independent formulations of the
+    * same semantics.
+    */
+  def qAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Asof.latestPerKeyTs(
+      T(spark, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_totalprice").as("last_order_price"),
+        col("o_orderkey").as("last_order_key")),
+      Seq("user_id"), "ts", Seq("last_order_price", "last_order_key"))
+      .withColumn("last_order_ts", col("ts"))
+    Asof.joinBackward(ev, ord, Seq("user_id"), "ts",
+      Seq("last_order_price", "last_order_key", "last_order_ts"))
+  }
+
+  val qAsofOrdersSql: String =
+    """WITH o0 AS (SELECT o_custkey AS user_id, o_orderdate AS ts,
+      |    max(struct_pack(last_order_price := o_totalprice,
+      |                    last_order_key := o_orderkey)) AS m
+      |  FROM orders GROUP BY 1, 2),
+      |o AS (SELECT user_id, ts, m.last_order_price AS last_order_price,
+      |        m.last_order_key AS last_order_key, ts AS last_order_ts FROM o0),
+      |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.ts, o.last_order_price,
+      |  o.last_order_key, o.last_order_ts
+      |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
 
   /** CCNet-style LM typicality: add-k-smoothed char-trigram mean
     * log-likelihood, self-trained on the corpus. The oracle re-derives
@@ -1414,6 +1446,7 @@ object EntryQueries {
     "q_dedup_spans" -> qDedupSpans _,
     "q_dedup_span_drop" -> qDedupSpanDrop _,
     "q_text_typicality" -> qTextTypicality _,
+    "q_asof_orders" -> qAsofOrders _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1457,6 +1490,7 @@ object EntryQueries {
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_span_drop" -> qDedupSpanDropSql,
     "q_text_typicality" -> qTextTypicalitySql,
+    "q_asof_orders" -> qAsofOrdersSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

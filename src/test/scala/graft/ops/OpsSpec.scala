@@ -337,6 +337,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).values.forall(_.size <= 2))
   }
 
+  test("as-of join: latest right row at-or-before, per key, leak-free") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val left = Seq(
+      (1L, 100L, ts(5)),   // after r@3 -> sees v=30
+      (2L, 100L, ts(3)),   // EQUAL ts -> as-of is inclusive, sees v=30
+      (3L, 100L, ts(2)),   // between r@1 and r@3 -> sees v=10
+      (4L, 100L, ts(0)),   // before any right row -> NULL
+      (5L, 200L, ts(9)))   // other key -> sees that key's v=99 only
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts(1), 10.0),
+      (100L, ts(3), 30.0),
+      (200L, ts(4), 99.0))
+      .toDF("user_id", "ts", "v")
+    val out = Asof.joinBackward(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(30.0), 2L -> Some(30.0), 3L -> Some(10.0),
+      4L -> None, 5L -> Some(99.0)))
+
+    // deterministic right dedup: lexicographic struct max per (key, ts)
+    val dup = Seq((100L, ts(1), 10.0, 7L), (100L, ts(1), 10.0, 9L))
+      .toDF("user_id", "ts", "v", "k")
+    val red = Asof.latestPerKeyTs(dup, Seq("user_id"), "ts", Seq("v", "k"))
+      .select("v", "k").as[(Double, Long)].collect().toSeq
+    assert(red == Seq((10.0, 9L)))
+  }
+
   test("typicalityScore: corpus-typical text outscores atypical glyph soup") {
     val typical = "the cat sat on the mat and the dog sat on the log"
     val df = Seq(
