@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Asof, Curation, Dedup, Multimodal, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Asof, Curation, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -561,6 +561,31 @@ object EntryQueries {
       |SELECT ev.event_id, ev.user_id, ev.ts, o.last_order_price,
       |  o.last_order_key, o.last_order_ts
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
+
+  /** Attribution-window range join: clicks within the hour before a
+    * purchase, per user — the bucketized point-in-interval join
+    * ([[RangeJoin]]) vs a plain inequality join in the oracle.
+    */
+  def qRangeAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"), col("ts").as("w_end"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    RangeJoin.pointInInterval(clicks, purchases,
+        Seq("user_id"), "ts", "w_start", "w_end")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val qRangeAttributionSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id,
+      |        ts - INTERVAL 1 HOUR AS s, ts AS e FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM ev WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, p.purchase_id
+      |FROM c JOIN p ON c.user_id = p.user_id AND p.s <= c.ts AND c.ts <= p.e""".stripMargin
 
   /** CCNet-style LM typicality: add-k-smoothed char-trigram mean
     * log-likelihood, self-trained on the corpus. The oracle re-derives
@@ -1447,6 +1472,7 @@ object EntryQueries {
     "q_dedup_span_drop" -> qDedupSpanDrop _,
     "q_text_typicality" -> qTextTypicality _,
     "q_asof_orders" -> qAsofOrders _,
+    "q_range_attribution" -> qRangeAttribution _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1491,6 +1517,7 @@ object EntryQueries {
     "q_dedup_span_drop" -> qDedupSpanDropSql,
     "q_text_typicality" -> qTextTypicalitySql,
     "q_asof_orders" -> qAsofOrdersSql,
+    "q_range_attribution" -> qRangeAttributionSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

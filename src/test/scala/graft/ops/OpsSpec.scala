@@ -365,6 +365,28 @@ class OpsSpec extends AnyFunSuite {
     assert(red == Seq((10.0, 9L)))
   }
 
+  test("range join: bucketized containment matches the naive predicate, no dup pairs") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000L
+    // random points and intervals spanning multiple buckets (width 1h)
+    val pts = (1L to 200L).map(i =>
+      (i, i % 5, new Timestamp(base + rnd.nextInt(48 * 3600) * 1000L)))
+      .toDF("pid", "k", "ts")
+    val ivs = (1L to 60L).map { i =>
+      val s = base + rnd.nextInt(48 * 3600) * 1000L
+      (i, i % 5, new Timestamp(s), new Timestamp(s + (rnd.nextInt(5 * 3600) + 1) * 1000L))
+    }.toDF("iid", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val want = pts.join(ivs, Seq("k"))
+      .where($"s" <= $"ts" && $"ts" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.distinct == got, "a pair must meet in exactly one bucket")
+    assert(got.nonEmpty)
+  }
+
   test("typicalityScore: corpus-typical text outscores atypical glyph soup") {
     val typical = "the cat sat on the mat and the dog sat on the log"
     val df = Seq(
