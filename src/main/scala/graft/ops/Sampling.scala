@@ -116,4 +116,35 @@ object Sampling {
     }
     df.sparkSession.createDataFrame(ranked, schema)
   }
+
+  /** Leakage-safe train/val/test split: the split key is the doc's
+    * duplicate-CLUSTER canonical id ([[Dedup.duplicateClusters]] over
+    * the given near-dup pairs; singletons key on their own id), so
+    * near-duplicates can NEVER straddle a split boundary — the
+    * eval-contamination failure mode a per-doc hash split has whenever
+    * the corpus contains near-dups. Assignment is the same md5-bucket
+    * rule as [[hashSample]]: deterministic, engine-portable,
+    * reproducible across retries.
+    *
+    * `splits` are (name, bucketCount) in order, summing to `buckets`.
+    * Adds `split`; every input row is returned exactly once.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == buckets,
+      s"split buckets must sum to $buckets")
+    val labels = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("__sk", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    val b = hashBucket(col("__sk"), buckets)
+    val assign = splits.tail.scanLeft((splits.head._1, splits.head._2)) {
+      case ((_, cum), (name, w)) => (name, cum + w)
+    }.foldRight(lit(null).cast("string")) {
+      case ((name, cum), other) => when(b < cum, lit(name)).otherwise(other)
+    }
+    keyed.withColumn("split", assign).drop("__sk")
+  }
 }

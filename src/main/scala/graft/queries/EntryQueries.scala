@@ -562,6 +562,39 @@ object EntryQueries {
       |  o.last_order_key, o.last_order_ts
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
 
+  /** Leakage-safe split: md5-bucket assignment keyed on the duplicate-
+    * cluster canonical id (ngram near-dup pairs → connected
+    * components), so near-dups share a split. Oracle composes the
+    * recursive-CTE closure (as in q_dedup_clusters) with the same md5
+    * rule as the sampling oracles: 80/10/10 train/val/test.
+    */
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.leakageSafeSplit(
+      T(spark, dir, "documents").select(col("doc_id")),
+      qDedupNgram(spark, dir), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+  // lazy: dedupNgramCtes is declared further down the object; an eager
+  // val here would interpolate null during object init
+  lazy val qLeakageSplitSql: String =
+    s"""WITH RECURSIVE $dedupNgramCtes,
+       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id),
+       |k AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS sk
+       |      FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+       |bkt AS (SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5(CAST(sk AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS BIGINT) AS b
+       |  FROM k)
+       |SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM bkt""".stripMargin
+
   /** Attribution-window range join: clicks within the hour before a
     * purchase, per user — the bucketized point-in-interval join
     * ([[RangeJoin]]) vs a plain inequality join in the oracle.
@@ -1473,6 +1506,7 @@ object EntryQueries {
     "q_text_typicality" -> qTextTypicality _,
     "q_asof_orders" -> qAsofOrders _,
     "q_range_attribution" -> qRangeAttribution _,
+    "q_leakage_split" -> qLeakageSplit _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1518,6 +1552,7 @@ object EntryQueries {
     "q_text_typicality" -> qTextTypicalitySql,
     "q_asof_orders" -> qAsofOrdersSql,
     "q_range_attribution" -> qRangeAttributionSql,
+    "q_leakage_split" -> qLeakageSplitSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

@@ -337,6 +337,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).values.forall(_.size <= 2))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split boundary") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // chains so transitivity matters: {1..4}, {10,11}, {20..26}
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 200)
+    // every clustered doc shares its cluster's split
+    assert(Seq(1L, 2L, 3L, 4L).map(out).distinct.size == 1)
+    assert(Seq(10L, 11L).map(out).distinct.size == 1)
+    assert((20L to 26L).map(out).distinct.size == 1)
+    // all three splits are populated over 200 docs and the rule is
+    // the singleton hashSample rule (same md5 bucket on the own id)
+    assert(out.values.toSet == Set("train", "val", "test"))
+    val single = docs.except(pairs.select($"id_a".as("doc_id"))
+        .union(pairs.select($"id_b".as("doc_id"))))
+      .withColumn("b", Sampling.hashBucket($"doc_id", 100))
+      .as[(Long, Int)].collect()
+    single.foreach { case (id, b) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(out(id) == want, s"doc $id bucket $b")
+    }
+  }
+
   test("as-of join: latest right row at-or-before, per key, leak-free") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
