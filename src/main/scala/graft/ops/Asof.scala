@@ -40,7 +40,11 @@ object Asof {
       keyCols: Seq[String], tsCol: String,
       valueCols: Seq[String]): DataFrame = {
     val rightCols = keyCols.map(col) ++ Seq(col(tsCol)) ++ valueCols.map(col)
-    val r = right.select(rightCols: _*).withColumn("__side", lit(0))
+    // a NULL-ts right row would sort first (nulls-first) and leak into
+    // every left row's running state; there is no "time" it is valid at
+    val r = right.select(rightCols: _*)
+      .where(col(tsCol).isNotNull)
+      .withColumn("__side", lit(0))
     val l = valueCols.foldLeft(left) { (d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType))
     }.withColumn("__side", lit(1))

@@ -383,6 +383,13 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(30.0), 2L -> Some(30.0), 3L -> Some(10.0),
       4L -> None, 5L -> Some(99.0)))
 
+    // a null-ts right row must not leak into the running state
+    val dirty = right.union(Seq((100L, null.asInstanceOf[Timestamp], 666.0))
+      .toDF("user_id", "ts", "v"))
+    val out2 = Asof.joinBackward(left, dirty, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out2 == out)
+
     // deterministic right dedup: lexicographic struct max per (key, ts)
     val dup = Seq((100L, ts(1), 10.0, 7L), (100L, ts(1), 10.0, 9L))
       .toDF("user_id", "ts", "v", "k")
