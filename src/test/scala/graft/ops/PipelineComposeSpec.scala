@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Capstone: the curation operators COMPOSE the way a user runs them —
+  * exact dedup → repeated-span surgery → quality gate → leakage-safe
+  * split → sequence packing, each stage consuming the previous stage's
+  * frame directly, over the real documents table. Asserts the
+  * conservation laws a pipeline owner relies on (no row invented, every
+  * kept doc split exactly once, packing covers exactly the survivors)
+  * and end-to-end determinism (two runs, identical results).
+  */
+class PipelineComposeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runPipeline() = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val total = docs.count()
+
+    // 1. exact dedup (content-fingerprint survivors)
+    val deduped = Dedup.exactDrop(docs, "text", "doc_id")
+
+    // 2. cut cross-doc repeated spans from later docs (keep-first)
+    val surgered = Dedup.dropRepeatedSpans(deduped, "text", "doc_id",
+      k = 20, minLen = 40, maxGramFreq = 50)
+      .drop("text").withColumnRenamed("text_deduped", "text")
+
+    // 3. quality gate on the surgically-cleaned text (the gate emits a
+    // metrics frame; the keep-set joins back as a semi-join)
+    val gated = surgered.join(
+      Curation.qualityGate(surgered).where(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "source")
+
+    // 4. leakage-safe split keyed on remaining near-dup clusters
+    val pairs = Dedup.ngramJaccardDuplicates(gated, "text", "doc_id")
+    val split = Sampling.leakageSafeSplit(gated, pairs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+    // 5. pack the training split into 512-token bins
+    val train = split.where(col("split") === "train")
+    val packed = Packing.packGreedy(train, budget = 512, shardSize = 1000L)
+
+    (total, deduped, gated, split, train, packed)
+  }
+
+  test("dedup -> span surgery -> gate -> split -> pack composes with conservation laws") {
+    val (total, deduped, gated, split, train, packed) = runPipeline()
+    val nDedup = deduped.count()
+    val nGated = gated.count()
+    val nSplit = split.count()
+    val nTrain = train.count()
+
+    // monotone filtering, nothing invented
+    assert(total >= nDedup && nDedup >= nGated)
+    assert(nGated > 0, "pipeline must not annihilate the corpus")
+    // every gated doc is split exactly once, every split is known
+    assert(nSplit == nGated)
+    assert(split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // packing covers exactly the training docs, each once
+    assert(packed.count() == nTrain)
+    assert(packed.select("id").distinct().count() == nTrain)
+    // bins respect the budget for every doc that fits alone
+    val over = packed.where(col("n_tokens") <= 512)
+      .groupBy("shard", "bin").agg(sum("n_tokens").as("s"))
+      .where(col("s") > 512).count()
+    assert(over == 0, "a bin of fitting docs must not exceed the budget")
+  }
+
+  test("the composed pipeline is deterministic end-to-end") {
+    val (_, _, _, split1, _, packed1) = runPipeline()
+    val (_, _, _, split2, _, packed2) = runPipeline()
+    assert(split1.select("doc_id", "split").collect().toSet ==
+      split2.select("doc_id", "split").collect().toSet)
+    assert(packed1.collect().toSet == packed2.collect().toSet)
+  }
+}
