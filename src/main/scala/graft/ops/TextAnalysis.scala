@@ -188,9 +188,23 @@ object TextAnalysis {
     * is read once and only vocabulary-sized tables cross the wire.
     */
   def typicalityScore(df: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    typicalityScoreAgainst(df, df, textCol, idCol)
+
+  /** [[typicalityScore]] in its cross-corpus mode — the actual CCNet
+    * setup: the LM trains on a REFERENCE corpus (Wikipedia, in the
+    * paper) and scores a different one, so "typical" means "looks like
+    * the reference". Trigrams unseen in the reference score through
+    * the same add-k smoothing (counts coalesce to 0 — the k mass is
+    * exactly what makes unseen events finite).
+    */
+  def typicalityScoreAgainst(
+      df: DataFrame, reference: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val withT = df.select(col(idCol).as("id"), normalize(col(textCol)).as("__t"))
+      .where(length(col("__t")) >= 3)
+    val refT = reference.select(normalize(col(textCol)).as("__t"))
       .where(length(col("__t")) >= 3)
     // trigrams as packed-codepoint longs (one O(L) native pass; the
     // packing is injective, so long-keyed counts ≡ string-keyed counts
@@ -198,21 +212,25 @@ object TextAnalysis {
     val g3 = withT.select(col("id"),
       explode(column(graft.functions.CharNgramCodes(
         expression(col("__t")), 3))).as("g3"))
-    // V: distinct characters = distinct 1-gram codes (one tiny agg,
-    // one-row broadcast — the domain-mix scalar pattern)
-    val vDf = withT.select(explode(column(graft.functions.CharNgramCodes(
+    // LM tables come from the REFERENCE corpus; V: distinct reference
+    // characters = distinct 1-gram codes (one tiny agg, one-row
+    // broadcast — the domain-mix scalar pattern)
+    val refG3 = refT.select(explode(column(graft.functions.CharNgramCodes(
+      expression(col("__t")), 3))).as("g3"))
+    val vDf = refT.select(explode(column(graft.functions.CharNgramCodes(
         expression(col("__t")), 1))).as("c1"))
       .agg(countDistinct(col("c1")).as("V"))
-    val c3 = g3.groupBy("g3").agg(count(lit(1)).as("c3"))
+    val c3 = refG3.groupBy("g3").agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(shiftright(col("g3"), 21).as("g2"))
       .agg(sum(col("c3")).as("c2"))
-    g3.join(broadcast(c3), Seq("g3"))
+    g3.join(broadcast(c3), Seq("g3"), "left")
       .withColumn("g2", shiftright(col("g3"), 21))
-      .join(broadcast(c2), Seq("g2"))
+      .join(broadcast(c2), Seq("g2"), "left")
       .crossJoin(broadcast(vDf))
       .groupBy(col("id").as(idCol))
       .agg(round(avg(
-        log((col("c3") + lit(0.5)) / (col("c2") + lit(0.5) * col("V")))), 6)
+        log((coalesce(col("c3"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c2"), lit(0L)) + lit(0.5) * col("V")))), 6)
         .as("typicality_r"))
   }
 }

@@ -645,6 +645,37 @@ object EntryQueries {
       |  JOIN c2 ON c2.g2 = substring(g.g3, 1, 2), v
       |GROUP BY g.doc_id""".stripMargin
 
+  /** Cross-corpus typicality — the actual CCNet setup: the trigram LM
+    * trains on one source slice (src0) only and scores EVERY document, so low
+    * scores mean "doesn't look like the reference". Unseen trigrams
+    * flow through the same add-k smoothing via coalesced zero counts.
+    */
+  def qTypicalityXcorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    TextAnalysis.typicalityScoreAgainst(docs, docs.where(col("source") === "src0"))
+  }
+
+  val qTypicalityXcorpusSql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
+      |ref AS (SELECT t FROM nrm WHERE source = 'src0' AND length(t) >= 3),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
+      |        i -> substring(t, CAST(i AS INTEGER), 3))) AS g3 FROM docs),
+      |rg AS (SELECT unnest(list_transform(generate_series(1, length(t) - 2),
+      |        i -> substring(t, CAST(i AS INTEGER), 3))) AS g3 FROM ref),
+      |v AS (SELECT count(DISTINCT ch) AS V FROM (
+      |        SELECT unnest(string_split(t, '')) AS ch FROM ref) WHERE ch <> ''),
+      |c3 AS (SELECT g3, count(*) AS c3 FROM rg GROUP BY g3),
+      |c2 AS (SELECT substring(g3, 1, 2) AS g2, sum(c3) AS c2 FROM c3 GROUP BY 1)
+      |SELECT g.doc_id,
+      |  round(avg(ln((coalesce(c3.c3, 0) + 0.5) / (coalesce(c2.c2, 0) + 0.5 * v.V))), 6)
+      |    AS typicality_r
+      |FROM g LEFT JOIN c3 USING (g3)
+      |  LEFT JOIN c2 ON c2.g2 = substring(g.g3, 1, 2), v
+      |GROUP BY g.doc_id""".stripMargin
+
   /** Language-id heuristic: stopword-profile argmax, ties toward the
     * lexicographically greatest language code (Spark's `greatest` over
     * (hits, lang) structs ≡ DuckDB's struct `max`). Oracle re-derives
@@ -1507,6 +1538,7 @@ object EntryQueries {
     "q_asof_orders" -> qAsofOrders _,
     "q_range_attribution" -> qRangeAttribution _,
     "q_leakage_split" -> qLeakageSplit _,
+    "q_typicality_xcorpus" -> qTypicalityXcorpus _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_frame_sample" -> qFrameSample _,
@@ -1553,6 +1585,7 @@ object EntryQueries {
     "q_asof_orders" -> qAsofOrdersSql,
     "q_range_attribution" -> qRangeAttributionSql,
     "q_leakage_split" -> qLeakageSplitSql,
+    "q_typicality_xcorpus" -> qTypicalityXcorpusSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

@@ -434,6 +434,14 @@ class OpsSpec extends AnyFunSuite {
     assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
     // scores are smoothed log-likelihood means: strictly negative
     assert(scores.values.forall(_ < 0))
+
+    // cross-corpus mode: trained on docs 1-2 only, the glyph soup's
+    // unseen trigrams smooth to the add-k floor and score far below
+    val ref = df.where($"doc_id" <= 2)
+    val x = TextAnalysis.typicalityScoreAgainst(df, ref)
+      .as[(Long, Double)].collect().toMap
+    assert(x(1L) > x(3L) && x(2L) > x(3L))
+    assert(x(3L) < scores(3L), "unseen-in-reference must score below self-trained")
   }
 
   test("qualityGate: one-pass metrics, keep verdict and failure audit") {
