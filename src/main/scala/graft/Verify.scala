@@ -21,13 +21,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The driver's DuckDB compare is dtype-sensitive and its oracles emit
+    // naive timestamps; a tz-aware TimestampType column is always drift
+    // (shipped once, as q_asof_orders in r6). Reject at dump time.
+    import org.apache.spark.sql.types._
+    def tzAware(dt: DataType): Boolean = dt match {
+      case TimestampType       => true
+      case s: StructType       => s.fields.exists(f => tzAware(f.dataType))
+      case a: ArrayType        => tzAware(a.elementType)
+      case m: MapType          => tzAware(m.keyType) || tzAware(m.valueType)
+      case _                   => false
+    }
+    var schemaFailures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.filter(f => tzAware(f.dataType))
+        if (bad.nonEmpty) {
+          schemaFailures += 1
+          System.err.println(s"[verify] $name REJECTED: tz-aware timestamp " +
+            s"column(s) ${bad.map(_.name).mkString(", ")} — cast to " +
+            "timestamp_ntz (q_stats_window convention)")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (schemaFailures > 0)
+      System.err.println(s"[verify] $schemaFailures tz-aware schema rejections")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -548,6 +548,9 @@ object EntryQueries {
       .withColumn("last_order_ts", col("ts"))
     Asof.joinBackward(ev, ord, Seq("user_id"), "ts",
       Seq("last_order_price", "last_order_key", "last_order_ts"))
+      // TIMESTAMP_NTZ: wall-clock UTC, matching the oracle's naive
+      // timestamp dtype (same convention as q_stats_window above)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
 
   val qAsofOrdersSql: String =

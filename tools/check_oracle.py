@@ -13,10 +13,50 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_type(t):
+    """Canonical dtype key. Deliberately KEEPS the naive-vs-tz-aware
+    timestamp distinction (the q_asof_orders r6 bug class) while
+    normalizing representation details that the driver's pandas-level
+    compare also ignores: timestamp unit (DuckDB us vs parquet ns),
+    int width (DuckDB int32 sums vs Spark long), string/large_string.
+    """
+    if pa.types.is_timestamp(t):
+        return ("timestamp", "tz" if t.tz is not None else "naive")
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_integer(t):
+        return ("int",)
+    if pa.types.is_floating(t):
+        return ("float",)
+    if pa.types.is_decimal(t):
+        return ("decimal",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("str",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("bin",)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", canon_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(
+            (f.name, canon_type(f.type)) for f in t)
+    return (str(t),)
+
+
+def dtype_mismatches(eng_schema, ora_schema):
+    """Columns whose canonical dtype differs between engine and oracle."""
+    eng = {f.name: canon_type(f.type) for f in eng_schema}
+    ora = {f.name: canon_type(f.type) for f in ora_schema}
+    return [(c, eng[c], ora[c]) for c in sorted(set(eng) & set(ora))
+            if eng[c] != ora[c]]
 
 
 def canon(rows, cols):
@@ -50,9 +90,9 @@ def main(sf_dir, out_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            res = con.execute(sql)
-            ora_cols = [d[0] for d in res.description]
-            ora_rows = res.fetchall()
+            ora_tbl = con.execute(sql).arrow()
+            ora_cols = ora_tbl.column_names
+            ora_rows = [tuple(r[c] for c in ora_cols) for r in ora_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
@@ -67,6 +107,13 @@ def main(sf_dir, out_dir):
         eng_rows = [tuple(r[c] for c in eng_cols) for r in tbl.to_pylist()]
         if sorted(eng_cols) != sorted(ora_cols):
             print(f"FAIL {name}: column mismatch engine={sorted(eng_cols)} oracle={sorted(ora_cols)}")
+            failures += 1
+            continue
+        # dtype gate: the driver's schema/hash compare is dtype-sensitive;
+        # catch drift (e.g. tz-aware vs naive timestamps) locally first
+        dt_bad = dtype_mismatches(tbl.schema, ora_tbl.schema)
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch (col, engine, oracle): {dt_bad}")
             failures += 1
             continue
         a = canon(eng_rows, eng_cols)
@@ -95,5 +142,48 @@ def main(sf_dir, out_dir):
     return failures
 
 
+def selftest():
+    """Seeded-drift check: an engine dump whose ts is tz-aware vs a naive
+    oracle must FAIL the gate even though the instants (values) match."""
+    import datetime
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sf = os.path.join(d, "sf")
+        out = os.path.join(d, "out")
+        os.makedirs(sf)
+        os.makedirs(os.path.join(out, "q_drift"))
+        naive = [datetime.datetime(2024, 1, 1, 12, 0, 0),
+                 datetime.datetime(2024, 1, 2, 12, 0, 0)]
+        # dummy source tables (gate registers all of TABLES)
+        for t in TABLES:
+            pq.write_table(pa.table({"x": [1]}), f"{sf}/{t}.parquet")
+        # oracle: naive timestamps straight from VALUES
+        sql = ("SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-01 12:00:00'),"
+               " (2, TIMESTAMP '2024-01-02 12:00:00')) v(id, ts)")
+        json.dump({"q_drift": sql}, open(f"{out}/oracle_sql.json", "w"))
+        # engine dump: same instants, but tz-aware (the r6 bug shape)
+        drift = pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+            "ts": pa.array(naive, pa.timestamp("us", tz="UTC"))})
+        pq.write_table(drift, f"{out}/q_drift/part-0.parquet")
+        if main(sf, out) == 0:
+            print("SELFTEST FAIL: tz-aware drift was NOT caught")
+            return 1
+        # control: naive engine dump must pass
+        pq.write_table(pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+            "ts": pa.array(naive, pa.timestamp("us"))}),
+            f"{out}/q_drift/part-0.parquet")
+        if main(sf, out) != 0:
+            print("SELFTEST FAIL: matching dtypes flagged as drift")
+            return 1
+        print("SELFTEST OK: seeded tz drift caught, clean dump passes")
+        return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
