@@ -138,11 +138,17 @@ final class InMemoryLedger {
       var count: Int,
       var totalMsgs: Int)
 
+  // All public methods synchronize on `this`: the SIGIO-style dump
+  // (StatsReporters.dumpProgress) runs from a signal-handler thread
+  // while the streaming ack loop mutates; an unsynchronized iteration
+  // could throw ConcurrentModificationException or render torn state.
+  // Contention is nil — the ledger is touched per-transaction, not
+  // per-record.
   private val items = mutable.LinkedHashMap.empty[String, Entry]
   private val txnToTimeBasedKey = mutable.HashMap.empty[String, String]
 
-  def size: Int = items.size
-  def entries: Seq[Entry] = items.values.toSeq
+  def size: Int = synchronized { items.size }
+  def entries: Seq[Entry] = synchronized { items.values.toSeq }
 
   private def dropStaleInstance(transaction: String, timeBasedKey: String): Unit =
     txnToTimeBasedKey.get(transaction).foreach { existing =>
@@ -152,7 +158,7 @@ final class InMemoryLedger {
       }
     }
 
-  def updateSeen(s: Seen): Either[String, Unit] = {
+  def updateSeen(s: Seen): Either[String, Unit] = synchronized {
     dropStaleInstance(s.transaction, s.timeBasedKey)
     items.get(s.timeBasedKey) match {
       case None =>
@@ -169,7 +175,7 @@ final class InMemoryLedger {
     }
   }
 
-  def updateWritten(w: Written): Unit = {
+  def updateWritten(w: Written): Unit = synchronized {
     dropStaleInstance(w.transaction, w.timeBasedKey)
     items.get(w.timeBasedKey) match {
       case None =>
@@ -184,13 +190,14 @@ final class InMemoryLedger {
     * shape (reference progress_tracker.go:291-305 prints each ledger
     * entry via utils.go:80-92's `key:value` rendering).
     */
-  def dumpLines: Seq[String] =
+  def dumpLines: Seq[String] = synchronized {
     items.values.iterator.map(e =>
       s"${e.timeBasedKey}:{txn=${e.transaction} commitWalStart=${e.commitWalStart} " +
         s"count=${e.count} totalMsgs=${e.totalMsgs}}").toSeq
+  }
 
   /** Longest-complete-prefix ack; removes acked entries. */
-  def emitProgress(): Option[Long] = {
+  def emitProgress(): Option[Long] = synchronized {
     val prefix = items.values.iterator
       .takeWhile(e => e.commitWalStart != 0L && e.count == e.totalMsgs)
       .toSeq

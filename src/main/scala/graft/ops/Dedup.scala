@@ -510,14 +510,26 @@ object Dedup {
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
     val loopWidth = math.max(1L,
       math.min(sessionWidth.toLong, pairCount / 2000000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-    try {
-      duplicateClustersLoop(raw, maxIters, strict)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+    // Run the loop in a CHILD session so the narrowed width is invisible
+    // to everything else on this SparkSession: mutating the session-
+    // global conf here would leak the narrow width into any concurrently
+    // planned query (streaming jobs, parallel callers), and overlapping
+    // invocations would restore each other's stale values. The child
+    // shares the SparkContext (and so the block-manager cache holding
+    // `raw`) but has its own SQLConf; the bridge via raw.rdd reads the
+    // already-cached pair blocks, no recompute of the upstream pipeline.
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopWidth)
+    val rawLoop = loopSession.createDataFrame(raw.rdd, raw.schema)
+    val (labels, iters) = duplicateClustersLoop(rawLoop, raw, maxIters, strict)
+    // hand the (cached, materialized) labels back in the caller's
+    // session so downstream composition never mixes sessions
+    (spark.createDataFrame(labels.rdd, labels.schema), iters)
   }
 
   private def duplicateClustersLoop(
-      raw: DataFrame, maxIters: Int, strict: Boolean): (DataFrame, Int) = {
+      raw: DataFrame, cachedSource: DataFrame,
+      maxIters: Int, strict: Boolean): (DataFrame, Int) = {
     // every node that appears in any pair (including degenerate
     // self-pairs) must receive a label row in the output
     val nodes = raw.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -604,7 +616,7 @@ object Dedup {
         coalesce(col("member_min"), col("doc_id")).as("cluster_id"))
       .cache()
     labels.count() // materialize before dropping the upstream caches
-    raw.unpersist()
+    cachedSource.unpersist()
     nodes.unpersist()
     edges.unpersist()
     if (!converged) {

@@ -223,9 +223,16 @@ object TextAnalysis {
     val c3 = refG3.groupBy("g3").agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(shiftright(col("g3"), 21).as("g2"))
       .agg(sum(col("c3")).as("c2"))
-    g3.join(broadcast(c3), Seq("g3"), "left")
+    // No broadcast hint on c3/c2: their size grows with the reference
+    // corpus's DISTINCT trigrams, not just V — for a large multilingual
+    // reference a forced broadcast is a driver/executor OOM. AQE sees
+    // the actual post-aggregation bytes at runtime and broadcasts only
+    // when the table is genuinely small (the monolingual common case),
+    // falling back to a shuffle join above the threshold. vDf stays
+    // hinted: it is one row by construction.
+    g3.join(c3, Seq("g3"), "left")
       .withColumn("g2", shiftright(col("g3"), 21))
-      .join(broadcast(c2), Seq("g2"), "left")
+      .join(c2, Seq("g2"), "left")
       .crossJoin(broadcast(vDf))
       .groupBy(col("id").as(idCol))
       .agg(round(avg(

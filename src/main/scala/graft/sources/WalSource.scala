@@ -105,13 +105,15 @@ object WalSource {
 
   /** Global start line encoded in a receiver-written segment name
     * (`%012d.wal`); None for foreign names (offset math then falls back
-    * to cumulative order, the pre-compaction behavior).
+    * to cumulative order, the pre-compaction behavior). Exactly 12
+    * digits: shorter numeric names (a test's `001.wal`) are sequence
+    * numbers, not start lines — anchoring on them would corrupt offsets.
     */
   def segmentStartLine(f: java.io.File): Option[Long] = {
     val n = f.getName
     val dot = n.indexOf('.')
     val digits = if (dot >= 0) n.substring(0, dot) else n
-    if (digits.nonEmpty && digits.forall(_.isDigit))
+    if (digits.length == 12 && digits.forall(_.isDigit))
       try Some(java.lang.Long.parseLong(digits)) catch { case _: NumberFormatException => None }
     else None
   }
@@ -179,6 +181,13 @@ object WalSource {
       // between idx replace and delete) — its lines are already counted
       // by the base, skip it
       if (idx < until && !segmentStartLine(f).exists(s => base > 0 && s < base)) {
+        // Receiver-named segments encode their global start line: anchor
+        // idx there instead of trusting cumulative arithmetic. This makes
+        // the walk immune to the compactor race where the base advances
+        // (idx replaced, segments deleted) between our compactedBase read
+        // and the listing — with a stale base, cumulative counting would
+        // silently shift every offset by the newly-compacted line count.
+        segmentStartLine(f).foreach(s => idx = s)
         val cnt = fileLineCount(f)
         if (idx + cnt <= from) idx += cnt // whole segment before the range: seek past
         else {
@@ -195,9 +204,17 @@ object WalSource {
 
   def countLines(path: String): Long = retryOnVanish {
     val base = compactedBase(path)
-    base + segmentFiles(path)
+    // Same stale-base TOCTOU defense as readLines: receiver-named
+    // segments anchor the running total at their encoded start line, so
+    // a base that advanced after we read it cannot deflate the count.
+    var total = base
+    segmentFiles(path)
       .filterNot(f => segmentStartLine(f).exists(s => base > 0 && s < base))
-      .map(fileLineCount).sum
+      .foreach { f =>
+        segmentStartLine(f).foreach(s => total = math.max(total, s))
+        total += fileLineCount(f)
+      }
+    total
   }
 }
 

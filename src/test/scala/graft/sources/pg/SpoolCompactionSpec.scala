@@ -111,6 +111,27 @@ class SpoolCompactionSpec extends AnyFunSuite {
     assert(r.compactedLines == 20)
   }
 
+  test("stale-base reader race: offsets anchor to segment names, not the old base") {
+    val d = dir()
+    // The reader-side TOCTOU: a reader loads .wal.idx (base 10), then the
+    // compactor publishes @20 and deletes segment 10 BEFORE the reader
+    // lists the directory. The reader's snapshot is base=10 + segments
+    // {20,30,40} — cumulative arithmetic from the stale base would shift
+    // every offset down by 10. Simulate exactly that snapshot on disk.
+    (2 until 5).foreach { s =>
+      write(d, f"${s * 10}%012d.wal", (0 until 10).map(i => s"line ${s * 10 + i}\n").mkString)
+    }
+    write(d, ".wal.idx", "@10\n" +
+      (20 until 50).map(i => java.lang.Long.toHexString(0x1000L + i * 0x10L) + "\n").mkString)
+
+    // name-anchored arithmetic: the count and every read window are the
+    // same as they would be under the up-to-date base
+    assert(WalSource.countLines(d) == 50)
+    assert(WalSource.readLines(d, 20, 22) == Seq("line 20", "line 21"))
+    assert(WalSource.readLines(d, 25, 27) == Seq("line 25", "line 26"))
+    assert(WalSource.readLines(d, 48, 50) == Seq("line 48", "line 49"))
+  }
+
   test("a segment straddling the base is refused, not silently mangled") {
     val d = dir()
     write(d, f"${10}%012d.wal", (10 until 20).map(i => s"line $i\n").mkString)
