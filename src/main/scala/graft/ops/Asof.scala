@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,30 +33,77 @@ object Asof {
   /** Backward as-of join (the common, leak-free direction). Output =
     * every left row (left join semantics) + `valueCols` filled from
     * the latest right row at-or-before its timestamp, NULL when no
-    * right row precedes it.
+    * right row precedes it — or none within `tolerance` when given.
+    *
+    * `tolerance` is a Spark SQL interval body (e.g. "30 days",
+    * "90 seconds"): a match older than `l.ts - tolerance` is discarded
+    * (all value columns NULL), the pandas `merge_asof(tolerance=...)`
+    * contract. Same single keyed shuffle — the matched right timestamp
+    * rides the running state as one extra column and the bound is a
+    * post-window filter, not a join condition.
     */
   def joinBackward(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], tolerance: Option[String] = None): DataFrame =
+    asofJoin(left, right, keyCols, tsCol, valueCols, tolerance, forward = false)
+
+  /** Forward as-of join: `valueCols` filled from the EARLIEST right row
+    * at-or-after each left timestamp (next-event attribution — "the
+    * first shipment after the order", "the next error after the
+    * deploy"). Mirror of [[joinBackward]]: the window runs from the
+    * current row forward and takes `first` instead of `last`;
+    * `tolerance` bounds how far ahead a match may be.
+    */
+  def joinForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tolerance: Option[String] = None): DataFrame =
+    asofJoin(left, right, keyCols, tsCol, valueCols, tolerance, forward = true)
+
+  private def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tolerance: Option[String],
+      forward: Boolean): DataFrame = {
     val rightCols = keyCols.map(col) ++ Seq(col(tsCol)) ++ valueCols.map(col)
     // a NULL-ts right row would sort first (nulls-first) and leak into
-    // every left row's running state; there is no "time" it is valid at
+    // every left row's running state; there is no "time" it is valid at.
+    // Backward: right rows sort BEFORE left at equal ts (side 0 < 1) so
+    // the inclusive bound sees them; forward mirrors (side 1 > 0).
+    val rightSide = if (forward) 1 else 0
     val r = right.select(rightCols: _*)
       .where(col(tsCol).isNotNull)
-      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(tsCol))
+      .withColumn("__side", lit(rightSide))
+    val tsType = right.schema(tsCol).dataType
     val l = valueCols.foldLeft(left) { (d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }.withColumn("__side", lit(1))
+    }.withColumn("__rts", lit(null).cast(tsType))
+      .withColumn("__side", lit(1 - rightSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(unioned) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-      .where(col("__side") === 1)
-      .drop("__side")
+    val w = if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+    val filled = (valueCols :+ "__rts").foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, fill(col(c)))
+    }.where(col("__side") === (1 - rightSide))
+    val bounded = tolerance match {
+      case None => filled
+      case Some(tol) =>
+        // match too far away ⇒ as if absent: NULL every value column
+        val inRange =
+          if (forward) col("__rts") <= col(tsCol) + expr(s"INTERVAL '$tol'")
+          else col("__rts") >= col(tsCol) - expr(s"INTERVAL '$tol'")
+        valueCols.foldLeft(filled) { (d, c) =>
+          d.withColumn(c, when(inRange, col(c)))
+        }
+    }
+    bounded.drop("__side", "__rts")
   }
 
   /** Deterministic right-side reducer: one row per (key, ts), keeping

@@ -565,6 +565,74 @@ object EntryQueries {
       |  o.last_order_key, o.last_order_ts
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
 
+  /** [[qAsofOrders]] bounded by a tolerance: a last-order match older
+    * than 30 days before the event is discarded (pandas
+    * `merge_asof(tolerance=...)` semantics — the match exists but is
+    * too stale to attach). Oracle: same ASOF join, values gated by a
+    * CASE on the matched right timestamp.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Asof.latestPerKeyTs(
+      T(spark, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_totalprice").as("last_order_price"),
+        col("o_orderkey").as("last_order_key")),
+      Seq("user_id"), "ts", Seq("last_order_price", "last_order_key"))
+      .withColumn("last_order_ts", col("ts"))
+    Asof.joinBackward(ev, ord, Seq("user_id"), "ts",
+      Seq("last_order_price", "last_order_key", "last_order_ts"),
+      tolerance = Some("30 days"))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  val qAsofToleranceSql: String =
+    """WITH o0 AS (SELECT o_custkey AS user_id, o_orderdate AS ts,
+      |    max(struct_pack(last_order_price := o_totalprice,
+      |                    last_order_key := o_orderkey)) AS m
+      |  FROM orders GROUP BY 1, 2),
+      |o AS (SELECT user_id, ts, m.last_order_price AS last_order_price,
+      |        m.last_order_key AS last_order_key, ts AS last_order_ts FROM o0),
+      |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.ts,
+      |  CASE WHEN o.ts >= ev.ts - INTERVAL '30 days' THEN o.last_order_price END
+      |    AS last_order_price,
+      |  CASE WHEN o.ts >= ev.ts - INTERVAL '30 days' THEN o.last_order_key END
+      |    AS last_order_key,
+      |  CASE WHEN o.ts >= ev.ts - INTERVAL '30 days' THEN o.last_order_ts END
+      |    AS last_order_ts
+      |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
+
+  /** Forward as-of: each event picks up the user's NEXT order at-or-
+    * after the event timestamp (next-conversion attribution). Oracle is
+    * DuckDB's forward ASOF (`ev.ts <= o.ts` picks the minimal o.ts).
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Asof.latestPerKeyTs(
+      T(spark, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_totalprice").as("next_order_price"),
+        col("o_orderkey").as("next_order_key")),
+      Seq("user_id"), "ts", Seq("next_order_price", "next_order_key"))
+      .withColumn("next_order_ts", col("ts"))
+    Asof.joinForward(ev, ord, Seq("user_id"), "ts",
+      Seq("next_order_price", "next_order_key", "next_order_ts"))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  val qAsofForwardSql: String =
+    """WITH o0 AS (SELECT o_custkey AS user_id, o_orderdate AS ts,
+      |    max(struct_pack(next_order_price := o_totalprice,
+      |                    next_order_key := o_orderkey)) AS m
+      |  FROM orders GROUP BY 1, 2),
+      |o AS (SELECT user_id, ts, m.next_order_price AS next_order_price,
+      |        m.next_order_key AS next_order_key, ts AS next_order_ts FROM o0),
+      |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.ts, o.next_order_price,
+      |  o.next_order_key, o.next_order_ts
+      |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts <= o.ts""".stripMargin
+
   /** Leakage-safe split: md5-bucket assignment keyed on the duplicate-
     * cluster canonical id (ngram near-dup pairs → connected
     * components), so near-dups share a split. Oracle composes the
@@ -1539,6 +1607,8 @@ object EntryQueries {
     "q_dedup_span_drop" -> qDedupSpanDrop _,
     "q_text_typicality" -> qTextTypicality _,
     "q_asof_orders" -> qAsofOrders _,
+    "q_asof_tolerance" -> qAsofTolerance _,
+    "q_asof_forward" -> qAsofForward _,
     "q_range_attribution" -> qRangeAttribution _,
     "q_leakage_split" -> qLeakageSplit _,
     "q_typicality_xcorpus" -> qTypicalityXcorpus _,
@@ -1586,6 +1656,8 @@ object EntryQueries {
     "q_dedup_span_drop" -> qDedupSpanDropSql,
     "q_text_typicality" -> qTextTypicalitySql,
     "q_asof_orders" -> qAsofOrdersSql,
+    "q_asof_tolerance" -> qAsofToleranceSql,
+    "q_asof_forward" -> qAsofForwardSql,
     "q_range_attribution" -> qRangeAttributionSql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_typicality_xcorpus" -> qTypicalityXcorpusSql,

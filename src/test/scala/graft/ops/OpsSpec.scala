@@ -398,6 +398,44 @@ class OpsSpec extends AnyFunSuite {
     assert(red == Seq((10.0, 9L)))
   }
 
+  test("as-of join: tolerance discards stale matches, forward mirrors backward") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val left = Seq(
+      (1L, 100L, ts(5)),   // r@3 is 2s old -> inside 3s tolerance
+      (2L, 100L, ts(10)),  // r@3 is 7s old -> DISCARDED by tolerance
+      (3L, 100L, ts(3)))   // exact hit, distance 0
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(1), 10.0), (100L, ts(3), 30.0))
+      .toDF("user_id", "ts", "v")
+    val tol = Asof.joinBackward(left, right, Seq("user_id"), "ts", Seq("v"),
+        tolerance = Some("3 seconds"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(tol == Map(1L -> Some(30.0), 2L -> None, 3L -> Some(30.0)))
+
+    // forward: earliest right at-or-after, inclusive at equal ts
+    val fleft = Seq(
+      (1L, 100L, ts(0)),   // before both -> nearest ahead is r@1
+      (2L, 100L, ts(1)),   // EQUAL ts -> inclusive, sees v=10
+      (3L, 100L, ts(2)),   // between -> sees r@3
+      (4L, 100L, ts(4)),   // after the last right row -> NULL
+      (5L, 200L, ts(0)))   // other key
+      .toDF("event_id", "user_id", "ts")
+    val fright = Seq((100L, ts(1), 10.0), (100L, ts(3), 30.0), (200L, ts(7), 99.0))
+      .toDF("user_id", "ts", "v")
+    val fwd = Asof.joinForward(fleft, fright, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> Some(10.0), 2L -> Some(10.0), 3L -> Some(30.0),
+      4L -> None, 5L -> Some(99.0)))
+
+    // forward + tolerance: a next-event further ahead than the bound is absent
+    val fwdTol = Asof.joinForward(fleft, fright, Seq("user_id"), "ts", Seq("v"),
+        tolerance = Some("2 seconds"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(fwdTol == Map(1L -> Some(10.0), 2L -> Some(10.0), 3L -> Some(30.0),
+      4L -> None, 5L -> None))
+  }
+
   test("range join: bucketized containment matches the naive predicate, no dup pairs") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(7)
