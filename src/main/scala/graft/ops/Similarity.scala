@@ -388,6 +388,72 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** The canonical billion-vector layout, composed: PQ codes stored
+    * INSIDE the cell-partitioned IVF store. At 100 TB this is what ANN
+    * storage looks like — the corpus on disk is M small codes per row
+    * (8–32× smaller than the floats), laid out by IVF cell so a query
+    * reads only its probed cells' directories. Cell assignment is on
+    * the RAW vector (same rule as [[writeCellPartitioned]]); codes
+    * encode the NORMALIZED vector (same rule as [[pqEncode]]), so both
+    * halves stay bit-compatible with their standalone forms.
+    */
+  def writeCellPartitionedPq(
+      corpus: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    corpus.select(col(idCol),
+      column(graft.functions.PqEncode(
+        expression(normalizeExpr(col(vecCol))), codebooks)).as("pq_codes"),
+      element_at(GraftFunctions.nearest_cells(col(vecCol), centroids, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF-PQ search over a [[writeCellPartitionedPq]] store: probe the
+    * `nprobe` nearest cells (static partition filter — the scan lists
+    * only those directories), score ONLY the probed cells' codes via
+    * asymmetric distance (each query's M×K LUT built executor-side by
+    * the native `pq_lut`), rank with the per-partition pre-reduce.
+    * Per query the work is (nprobe/nlist · corpus) LUT reads — the
+    * compressed, pruned scale path. With `nprobe = nlist` the candidate
+    * set is the whole corpus and the result is bit-identical to
+    * [[pqTopK]] (the PQ value oracle applies verbatim); partial-probe
+    * recall is pinned by spec.
+    */
+  def ivfpqTopK(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import spark.implicits._
+    val ksub = codebooks(0).length
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell",
+        explode(GraftFunctions.nearest_cells(col("q_vec"), centroids, nprobe)))
+      .withColumn("lut", column(graft.functions.PqLut(
+        expression(normalizeExpr(col("q_vec"))), codebooks)))
+      .drop("q_vec")
+    // distinct probed cells are bounded by nlist — always driver-safe;
+    // the static isin pushes a PartitionFilter (see
+    // ivfTopKPartitionedDistributed for why DPP alone is not enough)
+    val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq.sorted
+    val corpus = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"), col("cell"))
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(column(graft.functions.PqAdcScore(
+          expression(col("pq_codes")), expression(col("lut")), ksub)), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+      // a corpus row sits in ONE cell, so cell-join candidates are
+      // already distinct; no dedup needed before ranking
+    rankedTopK(scored, k)
+  }
+
   /** Executor-side twin of [[pqTopK]]: each query's M×K lookup table is
     * built by the native `pq_lut` expression against the broadcast
     * codebooks — no driver collect, so the query set can be any size.

@@ -1016,6 +1016,29 @@ object EntryQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** IVF-PQ composed: the corpus is STORED as PQ codes partitioned by
+    * IVF cell, searched via asymmetric distance over probed cells. Run
+    * here with exhaustive probing (nprobe = nlist), so the candidate
+    * set is the whole corpus and the PQ value oracle applies verbatim —
+    * the query proves the composed store/probe/ADC plumbing; the
+    * nprobe ≪ nlist recall and partition-pruning properties are pinned
+    * by `SimilarityIvfSpec`.
+    */
+  def qSimilarityIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nlist = 8)
+    val codebooks = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    ivfpqTrainedCodebooks = Some(codebooks)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_q").toString
+    Similarity.writeCellPartitionedPq(emb, centroids, codebooks, path)
+    Similarity.ivfpqTopK(spark, path, emb.where(col("vec_id") < 8), k = 5,
+      centroids, codebooks, nprobe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Same warm-by-Verify contract as [[pqTrainedCodebooks]]. */
+  @volatile private var ivfpqTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None
+
   /** Codebooks from the latest [[qSimilarityPq]] plan build. Verify
     * builds every query BEFORE dumping oracle_sql.json, so the cache is
     * warm by dump time. The cache is set right after TRAINING (eager,
@@ -1614,6 +1637,7 @@ object EntryQueries {
     "q_typicality_xcorpus" -> qTypicalityXcorpus _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
+    "q_similarity_ivfpq" -> qSimilarityIvfpq _,
     "q_frame_sample" -> qFrameSample _,
     "q_seq_packing" -> qSeqPacking _,
     "q_sessionize" -> qSessionize _,
@@ -1630,6 +1654,9 @@ object EntryQueries {
   def oracleSql: Map[String, String] =
     staticOracleSql ++
       pqTrainedCodebooks.map(cb => "q_similarity_pq" -> qSimilarityPqSql(cb)) ++
+      // exhaustive-probe IVF-PQ ≡ plain PQ: the same first-principles
+      // oracle, built from the codebooks the ivfpq query trained
+      ivfpqTrainedCodebooks.map(cb => "q_similarity_ivfpq" -> qSimilarityPqSql(cb)) ++
       semanticCentroids.map(cs => "q_dedup_semantic" -> qDedupSemanticSql(cs))
 
   private val staticOracleSql: Map[String, String] = Map(

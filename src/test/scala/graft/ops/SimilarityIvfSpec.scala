@@ -152,6 +152,61 @@ class SimilarityIvfSpec extends AnyFunSuite {
     assert(filesRead < totalFiles, s"pruned scan read $filesRead of $totalFiles files")
   }
 
+  test("IVF-PQ composed store: pruned ADC search, recall >= 0.9 at nprobe << nlist") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val rnd = new scala.util.Random(19)
+    // clustered corpus: 16 anchors, ~25 points each with small noise —
+    // the regime IVF-PQ is built for (cells ≈ clusters)
+    val anchors = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0L until 400L).map { i =>
+      val a = anchors((i % 16).toInt)
+      (i, a.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+
+    val centroids = Similarity.fitCentroids(corpus, nlist = 16, vecCol = "embedding")
+    val codebooks = Similarity.pqTrain(corpus, m = 4, ksub = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_store").toString
+    Similarity.writeCellPartitionedPq(corpus, centroids, codebooks, path)
+
+    // the store IS the compressed layout: codes + cell, no raw floats
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("cell", "pq_codes", "vec_id"))
+
+    // nprobe=2 of nlist=16: the scan must prune to the probed cells
+    val pruned = Similarity.ivfpqTopK(spark, path, queries.limit(1), k = 5,
+      centroids, codebooks, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+    val filesRead = pruned.select(input_file_name()).distinct().count()
+    val totalFiles = stored.select(input_file_name()).distinct().count()
+    assert(filesRead < totalFiles, s"pruned scan read $filesRead of $totalFiles files")
+
+    // recall vs exact brute force at nprobe << nlist: same CLUSTER
+    // recall criterion as the PQ spec (quantization tie-collapses
+    // exact ranks within a cluster)
+    val got = Similarity.ivfpqTopK(spark, path, queries, k = 5,
+        centroids, codebooks, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.size == 8, "every query returned rows")
+    val clusterRecall = got.map { case (q, ns) =>
+      ns.count(n => n % 16 == q % 16).toDouble / ns.size
+    }.sum / got.size
+    assert(clusterRecall >= 0.9, s"IVF-PQ cluster recall@5 = $clusterRecall")
+
+    // exhaustive probing ≡ plain PQ over the whole corpus, bit-exact
+    val encoded = Similarity.pqEncode(corpus, codebooks)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = canon(Similarity.ivfpqTopK(spark, path, queries, k = 5,
+      centroids, codebooks, nprobe = 16))
+    val pq = canon(Similarity.pqTopK(encoded, queries, k = 5, codebooks))
+    assert(full == pq, "exhaustive-probe IVF-PQ diverged from plain PQ")
+  }
+
   test("executor-side query paths match the driver-collect paths exactly") {
     import org.apache.spark.sql.functions._
     val dim = 8
