@@ -106,6 +106,77 @@ object Asof {
     bounded.drop("__side", "__rts")
   }
 
+  /** Streaming as-of enrichment (feature-store lookup): attach "the
+    * latest snapshot state at-or-before event time" to a STREAM.
+    *
+    * The union + window plan of [[joinBackward]] cannot run on a stream
+    * (an unbounded running window over append mode). The stream-static
+    * shape that can: collapse the snapshot to ONE row per key holding
+    * its (ts, values) timeline sorted ascending, stream-static
+    * equi-join on the key (stateless — no watermark state, every
+    * micro-batch is a pure projection), then pick the last timeline
+    * entry at-or-before the event timestamp with a higher-order filter.
+    *
+    * Scale: the join is broadcast/shuffle on the KEY only; per-key
+    * state is the key's snapshot timeline (feature stores keep these
+    * bounded — latest-N versions per entity). The same call works on a
+    * batch `left` and is asserted result-identical to [[joinBackward]]
+    * by spec.
+    */
+  def snapshotJoinBackward(
+      left: DataFrame, snapshot: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tolerance: Option[String] = None): DataFrame =
+    snapshotJoin(left, snapshot, keyCols, tsCol, valueCols, tolerance, forward = false)
+
+  /** Forward twin of [[snapshotJoinBackward]]: earliest snapshot entry
+    * at-or-after each event timestamp.
+    */
+  def snapshotJoinForward(
+      left: DataFrame, snapshot: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tolerance: Option[String] = None): DataFrame =
+    snapshotJoin(left, snapshot, keyCols, tsCol, valueCols, tolerance, forward = true)
+
+  private def snapshotJoin(
+      left: DataFrame, snapshot: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], tolerance: Option[String],
+      forward: Boolean): DataFrame = {
+    // one row per (key, ts) (deterministic reducer), then one row per
+    // key: its full timeline, sorted ascending by ts (struct sort
+    // orders by the first field; ts is unique per key after reduction)
+    val reduced = latestPerKeyTs(
+      snapshot.where(col(tsCol).isNotNull), keyCols, tsCol, valueCols)
+    val timeline = reduced
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct((tsCol +: valueCols).map(col): _*))).as("__timeline"))
+    val joined = left.join(timeline, keyCols, "left")
+    val evTs = col(tsCol)
+    def inRange(entry: Column): Column = {
+      val ts = entry(tsCol)
+      val dir = if (forward) ts >= evTs else ts <= evTs
+      tolerance match {
+        case None => dir
+        case Some(tol) =>
+          val bound =
+            if (forward) ts <= evTs + expr(s"INTERVAL '$tol'")
+            else ts >= evTs - expr(s"INTERVAL '$tol'")
+          dir && bound
+      }
+    }
+    // backward: last qualifying entry; forward: first. try_element_at
+    // (not element_at): an empty filtered timeline must be NULL —
+    // left-join semantics — not an ANSI out-of-bounds error.
+    val picked = try_element_at(filter(col("__timeline"), inRange _),
+      lit(if (forward) 1 else -1))
+    valueCols.foldLeft(joined.withColumn("__m", picked)) { (d, c) =>
+        d.withColumn(c, col(s"__m.$c"))
+      }
+      .drop("__timeline", "__m")
+  }
+
   /** Deterministic right-side reducer: one row per (key, ts), keeping
     * the lexicographic maximum of the value columns (struct max — the
     * same tie rule the language-id argmax uses).
