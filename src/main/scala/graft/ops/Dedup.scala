@@ -394,6 +394,11 @@ object Dedup {
     // the two sides are canonically identical subtrees, so ReuseExchange
     // collapses them to one compute under a shuffle join.
     val wH = Window.partitionBy("h")
+    // Measured alternative (rejected): a trailing repartition(h) would
+    // lift the exchange-reuse boundary above the window so the blocking
+    // pass runs once — but the added shuffle of the survivors measured
+    // ~45% SLOWER at sf0.1 than letting each join side re-sort the
+    // reused exchange output (SpanPlanSpec pins the reuse structurally).
     val b = g.withColumn("cnt", count(lit(1)).over(wH))
       .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
     val x = b.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
