@@ -487,6 +487,15 @@ object Main {
             Thread.sleep(100)
           }
           query.processAllAvailable()
+          // The engine calls source.commit(N) only while constructing
+          // batch N+1; a drained once-run has no next batch, so the
+          // final offset would never reach the commit→ack path and the
+          // slot would replay the entire run on restart. Everything
+          // spooled IS durably written here (processAllAvailable throws
+          // on a failed query, and the drain loop went quiet), so the
+          // full spooled prefix is the contiguous written prefix — ack
+          // it explicitly; the receiver's stop sends the final status.
+          receiver.ackLines(receiver.linesSpooled)
         } else query.awaitTermination()
         query.stop()
         0

@@ -322,6 +322,79 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("replicate kinesis --once: PARTIAL send failure retried to ledger-complete delivery") {
+    import graft.streaming.{InMemoryTransport, TransportRegistry}
+    val srv = new FakePgServer(transportLines, authMode = "md5", expectedPassword = "pw")
+    val spool = Files.createTempDirectory("graft_cli_kinp_spool").toString
+    val ckpt = Files.createTempDirectory("graft_cli_kinp_ckpt").toString
+    // fault injection: ONE PutRecords attempt reports record index 1 as
+    // failed (the Kinesis partial-failure shape, itests/tests/kinesis
+    // analog); only the failed subset may be retried
+    val transport = new InMemoryTransport(partialFailOnce = Seq(1))
+    TransportRegistry.register("kinesis") { _ => transport }
+    try {
+      val c = Main.parse(Seq("replicate", "kinesis",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw",
+        "--slot", "cli_kinp", "--create-slot",
+        "--blacklist", "secret.keys",
+        "--kinesis-stream", "wal-stream", "--aws-region", "us-east-1",
+        "--spool-dir", spool, "--checkpoint", ckpt,
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      // ledger-complete: every surviving record delivered EXACTLY once
+      // across the partial failure + retry, nothing dropped or doubled
+      val payloads = transport.sent.flatten.map(r => new String(r.payload, "UTF-8"))
+      assert(payloads.count(_.contains("\"operation\":\"INSERT\"")) == 1)
+      assert(payloads.count(_.contains("\"operation\":\"UPDATE\"")) == 1)
+      assert(payloads.size == 2, s"expected exactly 2 deliveries, got $payloads")
+      assert(transport.sent.size >= 2, "the failed subset must arrive via a retry send")
+      // ...and the ack frontier reaches the COMMIT's LSN: the whole
+      // transaction is acknowledged upstream only after the retry lands
+      assert(awaitTrue()(srv.acks.asScala.contains(0x140L)),
+        s"acks never reached the COMMIT LSN: ${srv.acks.asScala.toSeq.sorted}")
+    } finally {
+      TransportRegistry.unregister("kinesis")
+      srv.stop()
+    }
+  }
+
+  test("replicate rabbitmq --once: PARTIAL confirm failure retried to ledger-complete delivery") {
+    import graft.streaming.{InMemoryTransport, TransportRegistry}
+    val srv = new FakePgServer(transportLines, authMode = "md5", expectedPassword = "pw")
+    val spool = Files.createTempDirectory("graft_cli_rmqp_spool").toString
+    val ckpt = Files.createTempDirectory("graft_cli_rmqp_ckpt").toString
+    // one basic.publish batch nacks record index 0 (confirm model:
+    // rabbitmq/transporter/transporter.go:310-349) — republish only it
+    val transport = new InMemoryTransport(partialFailOnce = Seq(0))
+    TransportRegistry.register("rabbitmq") { _ => transport }
+    try {
+      val c = Main.parse(Seq("replicate", "rabbitmq",
+        "--host", "127.0.0.1", "--port", srv.port.toString,
+        "--user", "u", "--dbname", "db", "--password", "pw",
+        "--slot", "cli_rmqp", "--create-slot",
+        "--blacklist", "secret.keys",
+        "--rabbitmq-url", "amqp://guest@localhost",
+        "--exchange-name", "wal_exchange",
+        "--spool-dir", spool, "--checkpoint", ckpt,
+        "--batch-flush-max-age", "100", "--once")).toOption.get
+      assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+      val recs = transport.sent.flatten
+      assert(recs.size == 2, s"expected exactly 2 deliveries, got ${recs.size}")
+      // routing keys survive the retry path unchanged
+      assert(recs.map(_.partitionKey).sorted ==
+        Seq("public.users.INSERT", "public.users.UPDATE"))
+      assert(transport.sent.size >= 2, "the nacked record must arrive via a republish")
+      assert(awaitTrue()(srv.acks.asScala.contains(0x140L)),
+        s"acks never reached the COMMIT LSN: ${srv.acks.asScala.toSeq.sorted}")
+    } finally {
+      TransportRegistry.unregister("rabbitmq")
+      srv.stop()
+    }
+  }
+
   test("replicate kinesis|rabbitmq without a registered transport fails fast") {
     // no SDKs are bundled: the CLI must explain the registry seam, not
     // spool WAL it can never deliver
