@@ -603,6 +603,25 @@ object EntryQueries {
       |    AS last_order_ts
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ts""".stripMargin
 
+  /** [[qAsofOrders]] through the snapshot-timeline plan
+    * ([[Asof.snapshotJoinBackward]] — the stream-static shape): same
+    * semantics, different physical form (per-key sorted timeline +
+    * higher-order filter instead of union + running window), same
+    * DuckDB ASOF oracle. Two engine plans and one independent oracle
+    * pinning one contract.
+    */
+  def qAsofSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = T(spark, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_totalprice").as("last_order_price"),
+        col("o_orderkey").as("last_order_key"))
+      .withColumn("last_order_ts", col("ts"))
+    Asof.snapshotJoinBackward(ev, ord, Seq("user_id"), "ts",
+      Seq("last_order_price", "last_order_key", "last_order_ts"))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
   /** Forward as-of: each event picks up the user's NEXT order at-or-
     * after the event timestamp (next-conversion attribution). Oracle is
     * DuckDB's forward ASOF (`ev.ts <= o.ts` picks the minimal o.ts).
@@ -1632,6 +1651,7 @@ object EntryQueries {
     "q_asof_orders" -> qAsofOrders _,
     "q_asof_tolerance" -> qAsofTolerance _,
     "q_asof_forward" -> qAsofForward _,
+    "q_asof_snapshot" -> qAsofSnapshot _,
     "q_range_attribution" -> qRangeAttribution _,
     "q_leakage_split" -> qLeakageSplit _,
     "q_typicality_xcorpus" -> qTypicalityXcorpus _,
@@ -1685,6 +1705,9 @@ object EntryQueries {
     "q_asof_orders" -> qAsofOrdersSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_asof_forward" -> qAsofForwardSql,
+    // the snapshot-timeline plan answers the SAME contract as
+    // q_asof_orders — one oracle, two physical forms
+    "q_asof_snapshot" -> qAsofOrdersSql,
     "q_range_attribution" -> qRangeAttributionSql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_typicality_xcorpus" -> qTypicalityXcorpusSql,
