@@ -90,6 +90,40 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Temperature-flattened domain mixture (the multilingual-LM
+    * resampling rule, XLM-R/mBERT style): target composition
+    * q_i ∝ p_i^alpha where p_i is the domain's natural share. With
+    * alpha < 1 the head domains are downsampled toward the tail
+    * (alpha → 0 approaches uniform; alpha = 1 is the identity mix).
+    * Emits the largest sample achievable WITHOUT upsampling whose
+    * composition matches q — the rule is [[domainMix]] with weights
+    * p_i^alpha derived IN the plan from the per-domain counts, so no
+    * weight map needs to be known up front.
+    *
+    * Same scale shape as [[domainMix]]: one tiny count aggregation, a
+    * one-row broadcast total and binding scale, broadcast ppm
+    * thresholds joined back, md5-keyed per-row keep decision
+    * (reproducible across engines, retries, incremental re-runs).
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha outside (0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // "__total", not "N": Spark's default resolver is case-insensitive,
+    // so an "N" column would collide with "n"
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val weighted = counts.crossJoin(broadcast(total))
+      .withColumn("w", pow(col("n").cast("double") / col("__total"), alpha))
+    val scale = weighted.agg(min(col("n") / col("w")).as("scale"))
+    val rates = weighted.crossJoin(broadcast(scale)).select(
+      col(strataCol),
+      least(lit(1000000L),
+        floor(col("scale") * col("w") / col("n") * 1000000d)).as("__ppm"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashBucket(col(keyCol), 1000000).cast("long") < col("__ppm"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic global shuffle for training order: ranks every row
     * by the md5 of `(seed, key)` — the canonical "shuffle the corpus
     * before epoch N" step, reproducible across engines, retries, and

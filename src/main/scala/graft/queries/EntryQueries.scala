@@ -1531,6 +1531,38 @@ object EntryQueries {
       .replace("WCASE", wCase)
   }
 
+  /** Temperature-flattened mixture at alpha = 0.5 (q_i ∝ p_i^0.5, the
+    * multilingual-LM resampling rule): weights derive from the data
+    * itself, so the oracle recomputes counts → pow → binding scale →
+    * ppm thresholds → md5 keep rule from first principles — same
+    * construction as the domain-mix oracle with the CASE weight map
+    * replaced by an in-query pow.
+    */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+      T(spark, dir, "documents").select(col("doc_id"),
+        // the fixture's sources are uniform (identity under any alpha);
+        // derive a 70/20/10 head/mid/tail skew so the flattening rule
+        // actually downsamples — same CASE in the oracle
+        when(col("doc_id") % 10 < 7, "head")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("tail").as("source")),
+      strataCol = "source", keyCol = "doc_id", alpha = 0.5)
+
+  val qSampleTemperatureSql: String =
+    """WITH d0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 < 7 THEN 'head'
+      |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS source
+      |  FROM documents),
+      |n AS (SELECT source, count(*) AS n FROM d0 GROUP BY source),
+      |t AS (SELECT sum(n) AS total FROM n),
+      |w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / total, 0.5) AS w FROM n, t),
+      |s AS (SELECT min(n / w) AS scale FROM w),
+      |r AS (SELECT source, least(1000000, CAST(floor(scale * w / n * 1000000) AS BIGINT)) AS ppm
+      |      FROM w, s)
+      |SELECT d.doc_id, d.source FROM d0 d JOIN r USING (source)
+      |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 1000000 AS BIGINT) < ppm""".stripMargin
+
   /** Per-document top-5 TF-IDF keywords; scores rounded to 6 places
     * BEFORE ranking (token tie-break) so the ranking survives
     * last-ulp `ln` differences between engines.
@@ -1629,6 +1661,7 @@ object EntryQueries {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_sample_domain_mix" -> qSampleDomainMix _,
+    "q_sample_temperature" -> qSampleTemperature _,
     "q_tfidf_topk" -> qTfidfTopk _,
     "q_quality_gate" -> qQualityGate _,
     "q_decontaminate" -> qDecontaminate _,
@@ -1714,6 +1747,7 @@ object EntryQueries {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,
+    "q_sample_temperature" -> qSampleTemperatureSql,
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_quality_gate" -> qQualityGateSql,
     "q_decontaminate" -> qDecontaminateSql,

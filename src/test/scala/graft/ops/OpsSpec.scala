@@ -291,6 +291,45 @@ class OpsSpec extends AnyFunSuite {
       Sampling.hashSample(df, "doc_id", keep = 101))
   }
 
+  test("temperatureMix flattens the head toward the tail; alpha=1 is identity") {
+    // heavily skewed corpus: 8000 a / 1800 b / 200 c
+    val df = spark.range(0, 10000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 100 < 80, "a").when(col("id") % 100 < 98, "b")
+        .otherwise("c").as("source"))
+
+    // alpha = 1: q ∝ p — nothing to reshape, every row kept
+    assert(Sampling.temperatureMix(df, "source", "doc_id", alpha = 1.0)
+      .count() == 10000L)
+
+    // alpha = 0.5: the rarest domain binds (kept whole); realized
+    // composition tracks q_i ∝ sqrt(p_i)
+    val mixed = Sampling.temperatureMix(df, "source", "doc_id", alpha = 0.5)
+    val byDomain = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain("c") == 200L, "rarest domain is kept whole")
+    val q = Map("a" -> math.sqrt(0.80), "b" -> math.sqrt(0.18), "c" -> math.sqrt(0.02))
+    // c binds: expected kept_i = 200 * q_i / q_c
+    for (s <- Seq("a", "b")) {
+      val want = 200d * q(s) / q("c")
+      assert(math.abs(byDomain(s) - want) < want * 0.1,
+        s"$s: got ${byDomain(s)}, want ~$want")
+    }
+    // the flattening direction: head share shrinks, tail share grows
+    val total = byDomain.values.sum.toDouble
+    assert(byDomain("a") / total < 0.80 && byDomain("c") / total > 0.02)
+
+    // deterministic md5 rule: same input -> identical sample
+    val again = Sampling.temperatureMix(df, "source", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "source", "doc_id", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "source", "doc_id", alpha = 1.5))
+  }
+
   test("domainMix hits the target mixture without upsampling") {
     // 6000 a / 3000 b / 1000 c, target 1:1:2 -> c binds (1000/2 = 500
     // units), so the mix keeps ~500 a, ~500 b, all 1000 c
