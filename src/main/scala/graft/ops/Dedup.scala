@@ -100,6 +100,43 @@ object Dedup {
       textCol, idCol)
   }
 
+  /** [[incrementalExactDedup]] with a Bloom-filter pre-filter — the
+    * shape the anti-join takes at 100 TB. The fingerprint index is
+    * folded ONCE into a compact Bloom filter (distributed treeAggregate
+    * build, ~1.2 bytes/entry at 1% fpp; the driver holds only the
+    * bitmap), and each new document probes it with a codegen'd native
+    * expression:
+    *
+    *  - `mightContain == false` → DEFINITELY new (no false negatives):
+    *    the row skips the anti-join entirely — no shuffle.
+    *  - `mightContain == true` → true duplicate OR an fpp-rate false
+    *    positive: only this sliver anti-joins the index to resolve.
+    *
+    * On a daily batch that is mostly-new content, the anti-join
+    * exchange shrinks from |batch| rows to |dups| + fpp·|batch| — the
+    * filter turns a full-batch shuffle into a sliver shuffle while the
+    * result stays EXACTLY [[incrementalExactDedup]]'s (spec-pinned).
+    */
+  def incrementalExactDedupBloom(
+      newDocs: DataFrame,
+      knownFingerprints: DataFrame,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      fingerprintCol: String = "fingerprint"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val known = knownFingerprints
+      .select(col(fingerprintCol).as("__fp")).distinct()
+    val bf = known.stat.bloomFilter("__fp", math.max(1L, expectedItems), fpp)
+    val stamped = newDocs.withColumn("__fp", TestAnalysisFingerprint(textCol))
+    val maybe = column(graft.functions.BloomMightContain(
+      expression(col("__fp")), bf))
+    val fresh = stamped.where(!maybe)
+    val resolved = stamped.where(maybe).join(known, Seq("__fp"), "left_anti")
+    exactDrop(fresh.unionByName(resolved).drop("__fp"), textCol, idCol)
+  }
+
   /** MinHash-LSH candidate duplicate pairs.
     *
     * shingle → signature (native expression, no shuffle) → split the

@@ -1420,6 +1420,22 @@ object EntryQueries {
       |w AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fresh)
       |SELECT doc_id FROM w WHERE doc_id = k""".stripMargin
 
+  /** [[qDedupIncremental]] through the Bloom-pre-filtered plan: the
+    * fingerprint index folds into a compact Bloom filter, definitely-
+    * new rows bypass the anti-join, only the maybe-sliver shuffles.
+    * No false negatives ⇒ same result as the plain anti-join — one
+    * oracle, two physical forms (the q_asof_snapshot pattern).
+    */
+  def qDedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val known = Dedup.exactGroups(
+      docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id")
+    Dedup.incrementalExactDedupBloom(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0).select("doc_id", "text"),
+      known, expectedItems = 100000, fpp = 0.01, "text", "doc_id")
+      .select("doc_id")
+  }
+
   /** Gopher-style repetition metrics, zero-shuffle per-row (sorted
     * run-length analysis). The oracle recomputes each document's gram
     * frequencies with quadratic list ops — fine at oracle scale.
@@ -1669,6 +1685,7 @@ object EntryQueries {
     "q_corpus_report" -> qCorpusReport _,
     "q_shuffle_rank" -> qShuffleRank _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_dedup_incremental_bloom" -> qDedupIncrementalBloom _,
     "q_repetition" -> qRepetition _,
     "q_pii_redact" -> qPiiRedact _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -1755,6 +1772,9 @@ object EntryQueries {
     "q_corpus_report" -> qCorpusReportSql,
     "q_shuffle_rank" -> qShuffleRankSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    // Bloom-pre-filtered plan answers the same contract (no false
+    // negatives) — one oracle, two physical forms
+    "q_dedup_incremental_bloom" -> qDedupIncrementalSql,
     "q_repetition" -> qRepetitionSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_dedup_minhash" -> HashOracleSql.minhashSql,

@@ -264,6 +264,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(2L, 4L))
   }
 
+  test("incrementalExactDedupBloom: identical result, sliver-sized anti-join input") {
+    // larger corpus so the bloom's fpp behavior is observable: 200
+    // known docs, a 400-doc batch where 50 are re-ingests
+    val known = (0L until 200L).map(i => (i, s"known doc body number $i"))
+      .toDF("doc_id", "text")
+    val index = Dedup.exactGroups(known, "text", "doc_id")
+    val batch = ((0L until 50L).map(i => (1000L + i, s"known doc body number $i")) ++
+      (0L until 350L).map(i => (2000L + i, s"fresh doc body number $i")))
+      .toDF("doc_id", "text")
+
+    val plain = Dedup.incrementalExactDedup(batch, index, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.incrementalExactDedupBloom(batch, index,
+        expectedItems = 200, fpp = 0.01, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives ⇒ exactly the plain anti-join result
+    assert(bloomed == plain)
+    assert(bloomed == (0L until 350L).map(2000L + _).toSet)
+
+    // the pre-filter property: every known fingerprint probes true (the
+    // exactness guarantee), and the maybe-sliver is dups + ~fpp of the
+    // fresh rows — far smaller than the batch the plain path shuffles
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val bf = index.select(col("fingerprint").as("__fp")).distinct()
+      .stat.bloomFilter("__fp", 200, 0.01)
+    val probed = batch
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .withColumn("maybe", column(graft.functions.BloomMightContain(
+        expression(col("__fp")), bf)))
+    val knownRows = probed.where(col("doc_id") >= 1000L && col("doc_id") < 2000L)
+    assert(knownRows.where(!col("maybe")).count() == 0L, "false negative!")
+    val sliver = probed.where(col("maybe")).count()
+    assert(sliver < 50L + 350L * 0.1,
+      s"maybe-sliver $sliver should be ~dups + fpp x fresh")
+  }
+
   test("hash sampling is deterministic, rate-accurate, and stratified") {
     val df = spark.range(0, 10000).select(
       col("id").as("doc_id"),
