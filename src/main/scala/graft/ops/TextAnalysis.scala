@@ -191,6 +191,29 @@ object TextAnalysis {
                       idCol: String = "doc_id"): DataFrame =
     typicalityScoreAgainst(df, df, textCol, idCol)
 
+  /** CCNet's selection step: per-domain typicality terciles (the paper
+    * buckets per LANGUAGE by perplexity into head/middle/tail and keeps
+    * head+middle for training — arXiv:1911.00359 §3.3). `ntile` over a
+    * window PARTITIONED BY the domain: each domain's ranking sorts
+    * independently (the per-language job CCNet runs), never a global
+    * single-partition window. Ordering ties break on the id, so bucket
+    * assignment is deterministic and engine-portable. bucket 1 = most
+    * typical (highest scores sort last — bucket n; CCNet's "head" is
+    * the LOW-perplexity end, which is the HIGH-typicality end here, so
+    * head = bucket `nBuckets`).
+    */
+  def typicalityBuckets(
+      df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      domainCol: String = "source", nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = typicalityScore(df, textCol, idCol)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("typicality_r"), col(idCol))
+    df.select(col(idCol), col(domainCol))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
+
   /** [[typicalityScore]] in its cross-corpus mode — the actual CCNet
     * setup: the LM trains on a REFERENCE corpus (Wikipedia, in the
     * paper) and scores a different one, so "typical" means "looks like

@@ -735,6 +735,20 @@ object EntryQueries {
       |  JOIN c2 ON c2.g2 = substring(g.g3, 1, 2), v
       |GROUP BY g.doc_id""".stripMargin
 
+  /** CCNet's per-domain head/middle/tail selection: typicality terciles
+    * within each source (the per-language bucketing of arXiv:1911.00359
+    * §3.3). Oracle wraps the typicality oracle as a subquery and
+    * re-derives the same deterministic ntile.
+    */
+  def qTypicalityBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typicalityBuckets(T(spark, dir, "documents"))
+
+  val qTypicalityBucketsSql: String =
+    s"""SELECT s.doc_id, d.source, s.typicality_r,
+       |  CAST(ntile(3) OVER (PARTITION BY d.source
+       |    ORDER BY s.typicality_r, s.doc_id) AS BIGINT) AS bucket
+       |FROM ($qTextTypicalitySql) s JOIN documents d USING (doc_id)""".stripMargin
+
   /** Cross-corpus typicality — the actual CCNet setup: the trigram LM
     * trains on one source slice (src0) only and scores EVERY document, so low
     * scores mean "doesn't look like the reference". Unseen trigrams
@@ -1705,6 +1719,7 @@ object EntryQueries {
     "q_range_attribution" -> qRangeAttribution _,
     "q_leakage_split" -> qLeakageSplit _,
     "q_typicality_xcorpus" -> qTypicalityXcorpus _,
+    "q_typicality_buckets" -> qTypicalityBuckets _,
     "q_similarity_lsh" -> qSimilarityLsh _,
     "q_similarity_pq" -> qSimilarityPq _,
     "q_similarity_ivfpq" -> qSimilarityIvfpq _,
@@ -1761,6 +1776,7 @@ object EntryQueries {
     "q_range_attribution" -> qRangeAttributionSql,
     "q_leakage_split" -> qLeakageSplitSql,
     "q_typicality_xcorpus" -> qTypicalityXcorpusSql,
+    "q_typicality_buckets" -> qTypicalityBucketsSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,

@@ -327,6 +327,30 @@ class OpsSpec extends AnyFunSuite {
       Sampling.hashSample(df, "doc_id", keep = 101))
   }
 
+  test("typicalityBuckets: per-domain terciles, high scores in the head bucket") {
+    val docs = (0 until 30).map { i =>
+      val domain = if (i % 2 == 0) "a" else "b"
+      // vary typicality: most docs share trigrams; a few are glyph soup
+      val text = if (i % 5 == 0) s"zq#$i xv!jk wq@p" * 3
+                 else s"the quick brown fox jumps over the lazy dog $i"
+      (i.toLong, domain, text)
+    }.toDF("doc_id", "source", "text")
+    val out = TextAnalysis.typicalityBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("typicality_r"), r.getAs[Long]("bucket")))
+    // every domain splits into 3 buckets of |domain|/3 each
+    for (d <- Seq("a", "b")) {
+      val sizes = out.filter(_._2 == d).groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L) && sizes.values.forall(_ == 5), s"$d: $sizes")
+      // buckets order by score: every head-bucket score >= every tail-bucket score
+      val byBucket = out.filter(_._2 == d).groupBy(_._4)
+      assert(byBucket(3L).map(_._3).min >= byBucket(1L).map(_._3).max)
+    }
+    // glyph soup lands in the tail (bucket 1), not the head
+    val soup = out.filter(t => t._1 % 5 == 0)
+    assert(soup.forall(_._4 == 1L), s"soup buckets: ${soup.map(_._4).toSeq}")
+  }
+
   test("temperatureMix flattens the head toward the tail; alpha=1 is identity") {
     // heavily skewed corpus: 8000 a / 1800 b / 200 c
     val df = spark.range(0, 10000).select(
