@@ -42,6 +42,15 @@ object Verify {
           System.err.println(s"[verify] $name REJECTED: tz-aware timestamp " +
             s"column(s) ${bad.map(_.name).mkString(", ")} — cast to " +
             "timestamp_ntz (q_stats_window convention)")
+          // a stale dump from a prior run on a reused outDir would let
+          // the gate compare LAST run's parquet and phantom-PASS the
+          // query just rejected: make the rejection visible as a
+          // missing-output FAIL instead
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

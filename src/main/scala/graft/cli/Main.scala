@@ -490,12 +490,16 @@ object Main {
           // The engine calls source.commit(N) only while constructing
           // batch N+1; a drained once-run has no next batch, so the
           // final offset would never reach the commit→ack path and the
-          // slot would replay the entire run on restart. Everything
-          // spooled IS durably written here (processAllAvailable throws
-          // on a failed query, and the drain loop went quiet), so the
-          // full spooled prefix is the contiguous written prefix — ack
-          // it explicitly; the receiver's stop sends the final status.
-          receiver.ackLines(receiver.linesSpooled)
+          // slot would replay the entire run on restart. Ack the
+          // DRAIN-STABLE line count `last` — NOT a fresh
+          // receiver.linesSpooled read: a live server can spool more
+          // lines between the final processAllAvailable and this ack,
+          // and confirming those unwritten lines upstream would lose
+          // them permanently. Everything up to `last` IS durably
+          // written (the loop saw it stable across 3 polls and
+          // processAllAvailable covered it, throwing on failure); the
+          // receiver's stop sends the final forced status.
+          receiver.ackLines(last)
         } else query.awaitTermination()
         query.stop()
         0

@@ -72,38 +72,44 @@ object Asof {
     // Backward: right rows sort BEFORE left at equal ts (side 0 < 1) so
     // the inclusive bound sees them; forward mirrors (side 1 > 0).
     val rightSide = if (forward) 1 else 0
+    // The matched row's entire payload rides ONE struct: filling value
+    // columns independently with last/first(ignoreNulls) would let a
+    // NULL field in the nearest right row reach back past it to an
+    // OLDER row's value — per-column instead of per-ROW as-of, wrong
+    // under tolerance and divergent from [[snapshotJoin]]'s single
+    // picked entry. A struct from the right side is never null (even
+    // when its fields are), so ignoreNulls skips exactly the left rows.
     val r = right.select(rightCols: _*)
       .where(col(tsCol).isNotNull)
-      .withColumn("__rts", col(tsCol))
+      .withColumn("__rv",
+        struct(col(tsCol).as("__rts") +: valueCols.map(col): _*))
       .withColumn("__side", lit(rightSide))
-    val tsType = right.schema(tsCol).dataType
-    val l = valueCols.foldLeft(left) { (d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }.withColumn("__rts", lit(null).cast(tsType))
+      .select((keyCols.map(col) :+ col(tsCol) :+ col("__rv") :+ col("__side")): _*)
+    val rvType = r.schema("__rv").dataType
+    val l = left
+      .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__side", lit(1 - rightSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
     val w = if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
             else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: Column): Column =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
-    val filled = (valueCols :+ "__rts").foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, fill(col(c)))
-    }.where(col("__side") === (1 - rightSide))
-    val bounded = tolerance match {
-      case None => filled
+    val fill =
+      if (forward) first(col("__rv"), ignoreNulls = true).over(w)
+      else last(col("__rv"), ignoreNulls = true).over(w)
+    val filled = unioned.withColumn("__rv", fill)
+      .where(col("__side") === (1 - rightSide))
+    // match too far away ⇒ as if absent: NULL every value column
+    val inRange = tolerance match {
+      case None => lit(true)
       case Some(tol) =>
-        // match too far away ⇒ as if absent: NULL every value column
-        val inRange =
-          if (forward) col("__rts") <= col(tsCol) + expr(s"INTERVAL '$tol'")
-          else col("__rts") >= col(tsCol) - expr(s"INTERVAL '$tol'")
-        valueCols.foldLeft(filled) { (d, c) =>
-          d.withColumn(c, when(inRange, col(c)))
-        }
+        if (forward) col("__rv.__rts") <= col(tsCol) + expr(s"INTERVAL '$tol'")
+        else col("__rv.__rts") >= col(tsCol) - expr(s"INTERVAL '$tol'")
     }
-    bounded.drop("__side", "__rts")
+    valueCols.foldLeft(filled) { (d, c) =>
+        d.withColumn(c, when(inRange, col(s"__rv.$c")))
+      }
+      .drop("__side", "__rv")
   }
 
   /** Streaming as-of enrichment (feature-store lookup): attach "the

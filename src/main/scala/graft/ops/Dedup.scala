@@ -132,8 +132,14 @@ object Dedup {
     val stamped = newDocs.withColumn("__fp", TestAnalysisFingerprint(textCol))
     val maybe = column(graft.functions.BloomMightContain(
       expression(col("__fp")), bf))
-    val fresh = stamped.where(!maybe)
-    val resolved = stamped.where(maybe).join(known, Seq("__fp"), "left_anti")
+    // NULL fingerprint (NULL text) ⇒ maybe is NULL: such rows can never
+    // match the index (NULL never equi-joins), so they are definitely
+    // "fresh" — coalesce keeps them on the no-shuffle leg instead of
+    // silently dropping them from BOTH legs, preserving exact parity
+    // with the plain anti-join path.
+    val fresh = stamped.where(!coalesce(maybe, lit(false)))
+    val resolved = stamped.where(coalesce(maybe, lit(false)))
+      .join(known, Seq("__fp"), "left_anti")
     exactDrop(fresh.unionByName(resolved).drop("__fp"), textCol, idCol)
   }
 

@@ -197,10 +197,11 @@ object TextAnalysis {
     * window PARTITIONED BY the domain: each domain's ranking sorts
     * independently (the per-language job CCNet runs), never a global
     * single-partition window. Ordering ties break on the id, so bucket
-    * assignment is deterministic and engine-portable. bucket 1 = most
-    * typical (highest scores sort last — bucket n; CCNet's "head" is
-    * the LOW-perplexity end, which is the HIGH-typicality end here, so
-    * head = bucket `nBuckets`).
+    * assignment is deterministic and engine-portable. bucket 1 = LEAST
+    * typical (scores sort ascending, so the highest scores land in
+    * bucket `nBuckets`; CCNet's "head" is the LOW-perplexity =
+    * HIGH-typicality end, i.e. head = bucket `nBuckets`, tail =
+    * bucket 1 — keep-head+middle means dropping bucket 1).
     */
   def typicalityBuckets(
       df: DataFrame, textCol: String = "text", idCol: String = "doc_id",

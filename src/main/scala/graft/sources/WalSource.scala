@@ -105,15 +105,18 @@ object WalSource {
 
   /** Global start line encoded in a receiver-written segment name
     * (`%012d.wal`); None for foreign names (offset math then falls back
-    * to cumulative order, the pre-compaction behavior). Exactly 12
-    * digits: shorter numeric names (a test's `001.wal`) are sequence
-    * numbers, not start lines — anchoring on them would corrupt offsets.
+    * to cumulative order, the pre-compaction behavior). At least 12
+    * digits — `%012d` PADS to 12 but grows beyond once the global line
+    * count passes 10^12, and rejecting the longer form would silently
+    * disable the stale-base anchoring exactly at scale. Shorter numeric
+    * names (a test's `001.wal`) are sequence numbers, not start lines —
+    * anchoring on them would corrupt offsets.
     */
   def segmentStartLine(f: java.io.File): Option[Long] = {
     val n = f.getName
     val dot = n.indexOf('.')
     val digits = if (dot >= 0) n.substring(0, dot) else n
-    if (digits.length == 12 && digits.forall(_.isDigit))
+    if (digits.length >= 12 && digits.forall(_.isDigit))
       try Some(java.lang.Long.parseLong(digits)) catch { case _: NumberFormatException => None }
     else None
   }
@@ -205,14 +208,19 @@ object WalSource {
   def countLines(path: String): Long = retryOnVanish {
     val base = compactedBase(path)
     // Same stale-base TOCTOU defense as readLines: receiver-named
-    // segments anchor the running total at their encoded start line, so
-    // a base that advanced after we read it cannot deflate the count.
+    // segments anchor the running total at their encoded END line
+    // (start + count) — max-combined, so the result is independent of
+    // listing order (a 13-digit name sorts lexicographically before
+    // 12-digit ones past 10^12) and a base that advanced after we read
+    // it cannot deflate the count.
     var total = base
     segmentFiles(path)
       .filterNot(f => segmentStartLine(f).exists(s => base > 0 && s < base))
       .foreach { f =>
-        segmentStartLine(f).foreach(s => total = math.max(total, s))
-        total += fileLineCount(f)
+        segmentStartLine(f) match {
+          case Some(s) => total = math.max(total, s + fileLineCount(f))
+          case None    => total += fileLineCount(f)
+        }
       }
     total
   }

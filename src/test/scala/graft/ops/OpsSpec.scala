@@ -298,6 +298,19 @@ class OpsSpec extends AnyFunSuite {
     val sliver = probed.where(col("maybe")).count()
     assert(sliver < 50L + 350L * 0.1,
       s"maybe-sliver $sliver should be ~dups + fpp x fresh")
+
+    // NULL text ⇒ NULL fingerprint ⇒ NULL bloom probe: such rows are
+    // definitely-new (NULL never equi-joins the index) and must survive
+    // on both paths, not vanish from both where() legs
+    val withNull = batch.unionByName(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val plainN = Dedup.incrementalExactDedup(withNull, index, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomN = Dedup.incrementalExactDedupBloom(withNull, index,
+        expectedItems = 200, fpp = 0.01, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomN == plainN)
+    assert(bloomN.contains(9999L), "NULL-text row must not be dropped")
   }
 
   test("hash sampling is deterministic, rate-accurate, and stratified") {
@@ -533,6 +546,31 @@ class OpsSpec extends AnyFunSuite {
       .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
     assert(fwdTol == Map(1L -> Some(10.0), 2L -> Some(10.0), 3L -> Some(30.0),
       4L -> None, 5L -> None))
+  }
+
+  test("as-of join: values come from the matched ROW, not per-column reach-back") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // the nearest right row carries a NULL value — the as-of result for
+    // that column must be NULL, never an older row's value smuggled in
+    // by a per-column ignoreNulls fill
+    val right = Seq(
+      (100L, ts(1), Option(10.0)),
+      (100L, ts(9), Option.empty[Double]))
+      .toDF("user_id", "ts", "v")
+    val left = Seq((1L, 100L, ts(10))).toDF("event_id", "user_id", "ts")
+    val back = Asof.joinBackward(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(back == Map(1L -> None), s"matched row (t=9) has v=NULL: $back")
+    // ...and under tolerance the stale t=1 row must stay out of reach
+    val tol = Asof.joinBackward(left, right, Seq("user_id"), "ts", Seq("v"),
+        tolerance = Some("3 seconds"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(tol == Map(1L -> None))
+    // the snapshot-timeline plan agrees (the documented result-identity)
+    val snap = Asof.snapshotJoinBackward(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(snap == back)
   }
 
   test("range join: bucketized containment matches the naive predicate, no dup pairs") {
