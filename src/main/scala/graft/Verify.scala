@@ -74,5 +74,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail CLOSED on schema rejections: a rejected query without an
+    // oracle_sql entry would otherwise surface only as a missing
+    // rows-only listing + a stderr line, never a counted failure. The
+    // marker file makes the rejection machine-visible to any gate
+    // reading outDir; the nonzero exit fails the dump regardless of
+    // oracle coverage. (oracle_sql.json is still written above so
+    // per-query diagnosis of the non-rejected set stays possible.)
+    if (schemaFailures > 0) {
+      Files.writeString(Paths.get(s"$outDir/REJECTIONS.txt"),
+        s"$schemaFailures tz-aware schema rejections\n")
+      sys.exit(1)
+    }
   }
 }

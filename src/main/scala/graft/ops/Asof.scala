@@ -61,6 +61,26 @@ object Asof {
       valueCols: Seq[String], tolerance: Option[String] = None): DataFrame =
     asofJoin(left, right, keyCols, tsCol, valueCols, tolerance, forward = true)
 
+  /** Validate a tolerance string BEFORE it reaches plan text. The bound
+    * is built as `expr("INTERVAL '<tol>'")`; unvalidated interpolation
+    * would let a quote-bearing string inject arbitrary expression text,
+    * and a merely-malformed one would surface as an opaque analysis-time
+    * parse error far from the call site. Accepted shape: one or more
+    * `<number> <unit>` terms (`"5 minutes"`, `"1 hour 30 minutes"`).
+    */
+  private def toleranceInterval(tol: String): Column = {
+    val term = """\d+(\.\d+)?\s+[A-Za-z]+"""
+    require(tol.trim.matches(s"$term(\\s+$term)*"),
+      s"invalid as-of tolerance '$tol': expected '<n> <unit>' terms " +
+        "like '5 minutes' or '1 hour 30 minutes'")
+    try expr(s"INTERVAL '${tol.trim}'")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"invalid as-of tolerance '$tol': ${e.getMessage}")
+    }
+  }
+
   private def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
@@ -103,8 +123,8 @@ object Asof {
     val inRange = tolerance match {
       case None => lit(true)
       case Some(tol) =>
-        if (forward) col("__rv.__rts") <= col(tsCol) + expr(s"INTERVAL '$tol'")
-        else col("__rv.__rts") >= col(tsCol) - expr(s"INTERVAL '$tol'")
+        if (forward) col("__rv.__rts") <= col(tsCol) + toleranceInterval(tol)
+        else col("__rv.__rts") >= col(tsCol) - toleranceInterval(tol)
     }
     valueCols.foldLeft(filled) { (d, c) =>
         d.withColumn(c, when(inRange, col(s"__rv.$c")))
@@ -167,8 +187,8 @@ object Asof {
         case None => dir
         case Some(tol) =>
           val bound =
-            if (forward) ts <= evTs + expr(s"INTERVAL '$tol'")
-            else ts >= evTs - expr(s"INTERVAL '$tol'")
+            if (forward) ts <= evTs + toleranceInterval(tol)
+            else ts >= evTs - toleranceInterval(tol)
           dir && bound
       }
     }

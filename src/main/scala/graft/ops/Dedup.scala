@@ -567,6 +567,16 @@ object Dedup {
     // `raw`) but has its own SQLConf; the bridge via raw.rdd reads the
     // already-cached pair blocks, no recompute of the upstream pipeline.
     val loopSession = spark.newSession()
+    // newSession() starts from SparkConf defaults, NOT the parent's
+    // runtime SQLConf: carry the parent's runtime-set entries (AQE
+    // flags, session timezone, ANSI mode, …) into the child so the loop
+    // plans under the caller's semantics, THEN narrow the width. Static
+    // confs refuse runtime set — skip them, they are process-global
+    // anyway and already shared via the SparkContext.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try loopSession.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     loopSession.conf.set("spark.sql.shuffle.partitions", loopWidth)
     val rawLoop = loopSession.createDataFrame(raw.rdd, raw.schema)
     val (labels, iters) = duplicateClustersLoop(rawLoop, raw, maxIters, strict)
@@ -676,6 +686,78 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     (labels, iter)
+  }
+
+  /** Incremental duplicate-cluster maintenance: merge a new batch's
+    * pair graph into an EXISTING converged `(doc_id, cluster_id)`
+    * labeling without recomputing components from scratch — the
+    * daily-ingest complement of [[incrementalExactDedupBloom]].
+    *
+    * Key fact: a converged labeling is a connectivity-preserving
+    * compression of the graph that produced it — replacing a
+    * component's original edges by its star edges (`doc → cluster
+    * min`) keeps the node set and the connectivity (and therefore the
+    * component minimum) identical. So only components the new batch
+    * TOUCHES need to iterate:
+    *
+    *  1. touched clusters = labels of nodes named by any new pair;
+    *  2. those clusters' star edges ∪ the new pairs feed one
+    *     [[duplicateClusters]] run — a subgraph sized to the touched
+    *     components + batch, not the corpus;
+    *  3. every other label row passes through verbatim (one anti-join,
+    *     zero iteration).
+    *
+    * Result ≡ `duplicateClusters(oldPairs ∪ newPairs)` — the oracle
+    * query pins exactly this equivalence. Precondition: `existing` is
+    * a CONVERGED labeling (the normal output of [[duplicateClusters]];
+    * partial labels from a maxIters bailout would compress wrongly).
+    *
+    * Scale shape: a daily batch touches a sliver of a 100 TB corpus's
+    * clusters — the expensive star loop runs over that sliver, the
+    * untouched bulk is a single anti-join scan (no shuffle of the
+    * label table beyond the hash on cluster_id, and the touched-id
+    * side is batch-sized, broadcastable by AQE).
+    */
+  def mergeDuplicateClusters(existing: DataFrame, newPairs: DataFrame,
+                             maxIters: Int = 20,
+                             strict: Boolean = false): DataFrame =
+    mergeDuplicateClustersWithRounds(existing, newPairs, maxIters, strict)._1
+
+  /** [[mergeDuplicateClusters]] plus the star rounds executed over the
+    * touched subgraph — exposed so specs can pin that untouched
+    * components stay out of the loop (rounds scale with the BATCH).
+    */
+  private[graft] def mergeDuplicateClustersWithRounds(
+      existing: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 20, strict: Boolean = false): (DataFrame, Int) = {
+    val labels = existing
+      .select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+    val np = newPairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    val touchedNodes = np
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    // clusters the batch can reach — only these can change. Tiny
+    // (bounded by 2×batch), cached because both the seed-edge join and
+    // the pass-through anti-join key on it; materialized by the
+    // duplicateClusters run below, and kept cached after return because
+    // the pass-through leg of the (lazy) result still reads it —
+    // without it, consuming the result would re-evaluate the new-pair
+    // PIPELINE (np is unpersisted below once the merged labels
+    // materialize).
+    val touchedClusters = labels.join(touchedNodes, Seq("doc_id"))
+      .select("cluster_id").distinct().cache()
+    // star-edge compression of the touched components: node sets and
+    // connectivity (hence component minima) are preserved, row count is
+    // exactly the touched label rows. Self-rows (root → root) ride
+    // along as self-pairs, which duplicateClusters already handles.
+    val seedEdges = labels.join(touchedClusters, Seq("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val (merged, iters) =
+      duplicateClustersWithRounds(seedEdges.unionByName(np), maxIters, strict)
+    np.unpersist() // merged + touchedClusters are materialized; np is done
+    val untouched = labels.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    (untouched.unionByName(merged.select("doc_id", "cluster_id")), iters)
   }
 
   /** Apply cluster resolution: drop every non-canonical member, keep

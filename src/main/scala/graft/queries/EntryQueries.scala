@@ -837,6 +837,25 @@ object EntryQueries {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(qDedupNgram(spark, dir))
 
+  /** Incremental cluster maintenance, value-oracled by EQUIVALENCE:
+    * the ngram pair graph is split deterministically into an "old
+    * corpus" batch and a "new ingest" batch (`(id_a+id_b) % 5 == 0` —
+    * a rule that lands pairs of the same component in different
+    * batches, forcing real cross-component merges), the old batch is
+    * clustered, and the new batch is MERGED into that labeling via
+    * [[Dedup.mergeDuplicateClusters]]. A correct merge is
+    * indistinguishable from clustering the whole graph at once, so the
+    * oracle is q_dedup_clusters' recursive closure over ALL pairs —
+    * one oracle, two physical forms (the q_dedup_incremental_bloom
+    * convention).
+    */
+  def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(spark, dir)
+    val isNew = (col("id_a") + col("id_b")) % 5 === 0
+    val existing = Dedup.duplicateClusters(pairs.where(!isNew))
+    Dedup.mergeDuplicateClusters(existing, pairs.where(isNew))
+  }
+
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $dedupNgramCtes,
        |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
@@ -1068,6 +1087,14 @@ object EntryQueries {
         val cs = Similarity.fitCentroids(emb, nlist = 8)
         val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
         val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_q").toString
+        // the per-dir cache stops per-call leaks; this stops the
+        // per-JVM one — the store is disposable plan input, delete on exit
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(p))
+        }
         Similarity.writeCellPartitionedPq(emb, cs, cb, p)
         (p, cs, cb)
       })
@@ -1702,6 +1729,7 @@ object EntryQueries {
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_dedup_clusters_incremental" -> qDedupClustersIncremental _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_sample_domain_mix" -> qSampleDomainMix _,
     "q_sample_temperature" -> qSampleTemperature _,
@@ -1791,6 +1819,7 @@ object EntryQueries {
     "q_typicality_xcorpus" -> qTypicalityXcorpusSql,
     "q_typicality_buckets" -> qTypicalityBucketsSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_clusters_incremental" -> qDedupClustersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_domain_mix" -> qSampleDomainMixSql,
     "q_sample_temperature" -> qSampleTemperatureSql,

@@ -386,7 +386,7 @@ final class PgWalReceiver(
   }
 
   /** Wait until at least `n` lines are spooled (test/drain helper). */
-  def awaitLines(n: Long, timeoutMillis: Long = 30000L): Boolean = {
+  def awaitLines(n: Long, timeoutMillis: Long = 90000L): Boolean = {
     val deadline = System.nanoTime() + timeoutMillis * 1000000L
     while (spooled.get() < n && System.nanoTime() < deadline) {
       if (failure != null) throw failure

@@ -15,7 +15,9 @@ import graft.sources.pg.FakePgServer
   */
 class CliSpec extends AnyFunSuite {
 
-  private def awaitTrue(timeoutMillis: Long = 30000L)(cond: => Boolean): Boolean = {
+  // 90 s: load-flake headroom under full-suite core saturation (green
+  // runs exit the poll immediately — see PgReplicationSpec.awaitTrue)
+  private def awaitTrue(timeoutMillis: Long = 90000L)(cond: => Boolean): Boolean = {
     val deadline = System.nanoTime() + timeoutMillis * 1000000L
     while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
     cond

@@ -251,6 +251,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicateClusters(chain, maxIters = 1).count() == 8L)
   }
 
+  test("mergeDuplicateClusters: incremental == full recompute; untouched components skip the loop") {
+    // old graph: chain {1,2,3}, pair {10,11}, long chain {20..40}
+    // (the component the batch must NOT touch), singleton-root {50}
+    val oldPairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 50L)) ++
+      (20L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val existing = Dedup.duplicateClusters(oldPairs)
+    // batch: merges {1..3} with {10,11} via 3~10, extends it with a NEW
+    // node 12, and starts a brand-new component {60,61}
+    val newPairs = Seq((3L, 10L), (11L, 12L), (60L, 61L)).toDF("id_a", "id_b")
+
+    val (inc, rounds) =
+      Dedup.mergeDuplicateClustersWithRounds(existing, newPairs)
+    val full = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+    assert(inc.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+
+    val m = inc.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(m(_) == 1L)) // cross-component merge
+    assert((20L to 40L).forall(m(_) == 20L)) // untouched, passed through
+    assert(m(50L) == 50L)                    // untouched self-pair root
+    assert(m(60L) == 60L && m(61L) == 60L)   // all-new component
+
+    // the untouched diameter-20 chain alone would need ~5+ star rounds;
+    // the touched subgraph (two star components + 3 batch edges) is
+    // shallow — the round count proves the big chain stayed OUT of the
+    // loop (star compression: its 21 labels ride the anti-join leg)
+    assert(rounds <= 4,
+      s"expected <=4 rounds over the touched subgraph, got $rounds")
+
+    // empty batch: labels pass through verbatim, zero iteration
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (same, r0) = Dedup.mergeDuplicateClustersWithRounds(existing, empty)
+    assert(r0 == 0 && same.as[(Long, Long)].collect().toSet ==
+      existing.as[(Long, Long)].collect().toSet)
+  }
+
   test("incrementalExactDedup drops known fingerprints then dedups the batch") {
     val known = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
     val batch = Seq(

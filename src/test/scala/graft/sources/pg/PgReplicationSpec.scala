@@ -26,8 +26,13 @@ class PgReplicationSpec extends AnyFunSuite {
     new PgReplicationClient("127.0.0.1", port, "u", "db", password,
       statusIntervalMillis = 100L, readPollMillis = 20)
 
-  // generous default: these run concurrently with Spark-heavy suites
-  private def awaitTrue(timeoutMillis: Long = 30000L)(cond: => Boolean): Boolean = {
+  // generous default: these run concurrently with Spark-heavy suites.
+  // 90 s, not 30 s — with all 32 cores saturated by sibling Spark
+  // suites, a reconnect + forced-ack round trip has been observed to
+  // miss a 30 s deadline (r7 full-suite flake; 11/11 green isolated).
+  // The poll returns the instant the condition holds, so a green run
+  // never pays the headroom.
+  private def awaitTrue(timeoutMillis: Long = 90000L)(cond: => Boolean): Boolean = {
     val deadline = System.nanoTime() + timeoutMillis * 1000000L
     while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
     cond
