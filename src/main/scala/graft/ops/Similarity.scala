@@ -454,6 +454,66 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** IVF-PQ with exact re-ranking — closes the standard recall gap of
+    * asymmetric-distance search. Stage 1 is [[ivfpqTopK]]'s plan ranked
+    * to `rerank` candidates per query (c ≈ 4·k) instead of k; stage 2
+    * joins those candidates back to their TRUE vectors in the raw
+    * cell-partitioned store (`rawPath`, a [[writeCellPartitioned]]
+    * layout over the same centroids — the SAME probed-cell partition
+    * filter applies, so the re-rank read is as pruned as the code
+    * scan) and re-scores exact cosine. Per query the exact work is c
+    * dot products over a candidates×queries-sized join — compressed
+    * ADC does the heavy sweep, floats are touched only for the sliver.
+    *
+    * With `nprobe = nlist` and `rerank ≥` the probed candidate count,
+    * stage 2 rescoring covers every corpus vector and the result is
+    * exactly brute-force top-k — the value-oracle mode (the
+    * [[ivfpqTopK]] exhaustive-probe convention); partial-probe recall
+    * is pinned by spec.
+    */
+  def ivfpqRerankTopK(
+      spark: org.apache.spark.sql.SparkSession, pqPath: String,
+      rawPath: String, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import spark.implicits._
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val ksub = codebooks(0).length
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell",
+        explode(GraftFunctions.nearest_cells(col("q_vec"), centroids, nprobe)))
+      .withColumn("lut", column(graft.functions.PqLut(
+        expression(normalizeExpr(col("q_vec"))), codebooks)))
+      .drop("q_vec")
+    val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq.sorted
+    val codes = spark.read.parquet(pqPath)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"), col("cell"))
+    val adc = codes.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(column(graft.functions.PqAdcScore(
+          expression(col("pq_codes")), expression(col("lut")), ksub)), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    val cand = rankedTopK(adc, rerank).select("query_id", "neighbor_id")
+    // exact re-score: true vectors only for the c survivors, read from
+    // the raw store under the same probed-cell partition filter
+    val raw = spark.read.parquet(rawPath)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val exact = cand.join(raw, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("sim_r",
+        round(GraftFunctions.cosine_similarity(col("q_vec"), col("n_vec")), 6))
+      .select("query_id", "neighbor_id", "sim_r")
+    rankedTopK(exact, k)
+  }
+
   /** Executor-side twin of [[pqTopK]]: each query's M×K lookup table is
     * built by the native `pq_lut` expression against the broadcast
     * codebooks — no driver collect, so the query set can be any size.
