@@ -286,6 +286,58 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Streaming near-dup dedup with BATCH-EQUIVALENT banding. The
+    * full-signature variant above is the strictest banding (all bands
+    * must agree): an edit that preserves 15/16 bands — which batch
+    * [[minhashDuplicates]] flags — slips through. This one re-blocks
+    * the stream exactly like the batch path: each arrival explodes
+    * into `(band, bandKey)` rows built by the SAME expression as
+    * [[minhashCandidates]], `dropDuplicatesWithinWatermark` makes the
+    * FIRST arrival the owner of each band key, and a doc survives iff
+    * it owns ALL `bands` of its keys — any stolen band means an
+    * earlier doc collided there, i.e. a banded near-dup.
+    *
+    * Transitivity matches the batch cluster rule: a dropped doc still
+    * owns its non-colliding band keys, so a later doc colliding with
+    * THOSE is dropped too (batch: same cluster via the middle doc).
+    * Within one micro-batch, which of two colliding docs owns a key is
+    * arrival-order-arbitrary — same contract as
+    * `dropDuplicatesWithinWatermark` itself; exactly one survives.
+    *
+    * Two chained stateful operators (dedup, then windowed count), so
+    * kept rows emit when the watermark passes their `windowDuration`
+    * window — a bounded-delay curation stream, vs the immediate-emit
+    * exact variant. State: one row per live band key + one per open
+    * (window, doc), both watermark-bounded.
+    */
+  def streamingNearDedupBanded(
+      df: DataFrame, textCol: String, idCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Int = 42, windowDuration: String = "1 minute"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val banded = df
+      .withColumn("__sig", minhash_from_hashes(
+        shingle_hashes(col(textCol), shingleSize, seed), numHashes))
+      .select(col("*"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bandKey")
+      .drop("__sig")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__band", "__bandKey")
+    val payload = df.columns.filter(_ != idCol).toSeq
+    val aggs = count(lit(1)).as("__owned") +:
+      payload.map(c => first(col(c)).as(c))
+    banded
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("__owned") === bands)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Embedding near-duplicate pairs, exact: all pairs above a cosine
     * threshold. Quadratic — use on bounded candidate sets (a shard, a
     * bucket, a sampled audit); [[embeddingDuplicatesLsh]] is the scale

@@ -72,6 +72,53 @@ class SimilarityIvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("banded streaming near-dedup: an edit the full-signature key misses is dropped, stream ≈ batch banding") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base.replace("kappa", "lambda") // one-token edit
+    val other = "one two three four five six seven eight nine ten"
+
+    // ground truth from the BATCH path with identical banding params:
+    // the edit pair shares >=1 band (so the stream must drop it) while
+    // its full signatures DIFFER (so the full-signature stream key
+    // would miss it — the r7 gap this operator closes)
+    val batch = Seq((1L, base), (2L, edited), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(batch, "text", "doc_id",
+      numHashes = 16, bands = 8, shingleSize = 1).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "batch banding must flag exactly the edit pair")
+    val sigs = batch.select(Dedup.minhash_from_hashes(
+        Dedup.shingle_hashes(col("text"), 1, 42), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) != sigs(1), "full signatures differ — full-sig key would keep both")
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = Dedup.streamingNearDedupBanded(df, "text", "doc_id", "ts",
+      watermarkDelay = "10 minutes", shingleSize = 1, numHashes = 16,
+      bands = 8, windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("stream_banded_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData((1L, base, new Timestamp(t0)))
+      q.processAllAvailable()
+      // separate micro-batch: the edit must lose its stolen bands to
+      // doc 1's state, the unrelated doc owns all of its own
+      mem.addData((2L, edited, new Timestamp(t0 + 1000)),
+        (3L, other, new Timestamp(t0 + 2000)))
+      q.processAllAvailable()
+      // advance the watermark past the window so kept rows emit
+      mem.addData((99L, "watermark flusher payload", new Timestamp(t0 + 30 * 60 * 1000)))
+      q.processAllAvailable()
+      val ids = spark.table("stream_banded_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L),
+        s"expected base + unrelated docs, got $ids") // 99 still in-window
+    } finally q.stop()
+  }
+
   test("product quantization: exact on codebook points, high recall on clustered data") {
     import org.apache.spark.sql.functions._
     val dim = 16
