@@ -72,10 +72,12 @@ object Main {
       exchangeName: String = "",
       rabbitBatchSize: Int = 5000, // rabbitmq/config.go:47-50 default
       master: String = "local[*]",
-      once: Boolean = false)
+      once: Boolean = false,
+      input: String = "",
+      evalInput: String = "")
 
   def usage: String =
-    """usage: graft <create|drop|replicate> [sink] [--flag value ...]
+    """usage: graft <create|drop|replicate|curate> [sink] [--flag value ...]
       |  graft create    --slot s --host h --port p --user u --dbname db
       |  graft drop      --slot s ...
       |  graft replicate <stdout|s3|kafka|kinesis|rabbitmq> --slot s --spool-dir d [--create-slot]
@@ -89,7 +91,11 @@ object Main {
       |      s3:       --out-path p --checkpoint c
       |      kafka:    --kafka-bootstrap b --kafka-topic t [--kafka-key-mode m]
       |      kinesis:  --kinesis-stream s [--aws-region r] [--endpoint e]
-      |      rabbitmq: --rabbitmq-url u --exchange-name x [--rabbitmq-batch-size n]""".stripMargin
+      |      rabbitmq: --rabbitmq-url u --exchange-name x [--rabbitmq-batch-size n]
+      |  graft curate    --input docs.parquet --out-path dir [--eval-input eval.parquet]
+      |      runs the curation pipeline (gate -> cluster dedup -> decontaminate ->
+      |      typicality filter -> leakage-safe split -> pack); without --eval-input
+      |      the doc_id % 50 == 0 holdout is the decontamination reference""".stripMargin
 
   /** Reference value precedence (main/main.go:561-566) minus the YAML
     * file: command-line flag > environment variable > default. Env
@@ -161,6 +167,8 @@ object Main {
       case "rabbitmq-batch-size" => int(value).map(v => c.copy(rabbitBatchSize = v))
       case "master" => Right(c.copy(master = value))
       case "once" => bool(value).map(v => c.copy(once = v))
+      case "input" => Right(c.copy(input = value))
+      case "eval-input" => Right(c.copy(evalInput = value))
       case other => Left(s"unknown flag: --$other")
     }
   }
@@ -168,7 +176,7 @@ object Main {
   def parse(args: Seq[String], env: Map[String, String] = sys.env): Either[String, Cli] = {
     if (args.isEmpty) return Left("missing command")
     var c = Cli(command = args.head)
-    if (!Set("create", "drop", "replicate")(c.command))
+    if (!Set("create", "drop", "replicate", "curate")(c.command))
       return Left(s"unknown command: ${c.command}")
 
     var rest = args.tail.toList
@@ -362,6 +370,38 @@ object Main {
     * session; production lazily builds one from `--master`.
     */
   def run(c: Cli, sparkProvider: Option[() => SparkSession] = None): Int = c.command match {
+    case "curate" =>
+      if (c.input.isEmpty || c.outPath.isEmpty) {
+        Console.err.println("error: curate needs --input and --out-path")
+        1
+      } else {
+        val spark = sparkProvider.map(_())
+          .getOrElse(SparkSession.builder()
+            .master(c.master)
+            .config("spark.sql.shuffle.partitions",
+              math.max(2, Runtime.getRuntime.availableProcessors() / 2))
+            .config("spark.ui.enabled", "false")
+            // user parquet may carry TIMESTAMP(NANOS) (the testdata
+            // events table does); read it as long instead of refusing
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate())
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val docs = spark.read.parquet(c.input)
+        val (corpus, evalSet) =
+          if (c.evalInput.nonEmpty) (docs, spark.read.parquet(c.evalInput))
+          else (docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+                docs.where(pmod(col("doc_id"), lit(50)) === 0))
+        val res = graft.ops.Pipeline.curate(corpus, evalSet)
+        res.split.write.mode("overwrite").parquet(s"${c.outPath}/split")
+        res.packedTrain.write.mode("overwrite").parquet(s"${c.outPath}/packed")
+        res.report.write.mode("overwrite").parquet(s"${c.outPath}/report")
+        res.report.orderBy("stage_idx").collect().foreach { r =>
+          Console.out.println(
+            s"[curate] stage=${r.getString(0)} rows=${r.getLong(2)}")
+        }
+        0
+      }
+
     case "create" =>
       val client = newClient(c)
       client.connect()

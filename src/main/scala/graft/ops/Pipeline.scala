@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The materialized curation pipeline: the composition the individual
+  * operators exist FOR, shipped as one callable job instead of a
+  * pattern the user re-derives. Stage order is the one that keeps each
+  * stage cheap for the next:
+  *
+  *  1. quality gate        — cheapest filter first, shrinks everything
+  *  2. cluster dedup       — ngram pairs → connected components → keep
+  *                           canonical (transitive, not pairwise)
+  *  3. decontamination     — drop training docs sharing any n-gram
+  *                           with the eval holdout
+  *  4. typicality filter   — CCNet-style per-domain terciles, drop the
+  *                           tail bucket (keep head+middle)
+  *  5. leakage-safe split  — md5 buckets keyed on the stage-2 cluster
+  *                           CANONICAL id, so near-dups share a split
+  *  6. sequence packing    — greedy shard-parallel binning of train
+  *
+  * Every stage is individually value-oracled (q_quality_gate,
+  * q_dedup_clusters, q_decontaminate, q_typicality_buckets,
+  * q_leakage_split, q_seq_packing); the composition is pinned by
+  * `q_curation_pipeline`, whose per-stage counts re-derive this exact
+  * chain in the oracle — swap two stages and the counts diverge.
+  *
+  * Scale shape: each stage is one of the already-audited distributed
+  * plans; the composition adds NO new shuffle beyond its stages (the
+  * split reuses the dedup labels instead of re-clustering). Stage
+  * outputs are cached for the duration of the run (each is read by the
+  * next stage AND by its report count) and unpersisted before return.
+  */
+object Pipeline {
+
+  /** Defaults mirror the oracle-pinned stage queries exactly. */
+  final case class CurateConfig(
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      domainCol: String = "source",
+      minTokens: Int = 20,
+      maxTokens: Int = 5000,
+      minDistinctRatio: Double = 0.45,
+      maxDup2Frac: Double = 0.12,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.2,
+      maxShingleFreq: Int = 10,
+      contamN: Int = 4,
+      typicalityBuckets: Int = 3,
+      keepBucketsFrom: Int = 2, // drop bucket 1 = the least-typical tail
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      packBudget: Int = 512,
+      packShardSize: Long = 1000L)
+
+  /** `report` rows: (stage, stage_idx, n_rows) — n_rows is the stage's
+    * surviving doc count (for `pack_bins`, the bin count). `split`
+    * carries every surviving doc with its split; `packedTrain` is the
+    * packed training set (id, shard, bin, n_tokens).
+    */
+  final case class CurateResult(
+      packedTrain: DataFrame, split: DataFrame, report: DataFrame)
+
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+             cfg: CurateConfig = CurateConfig()): CurateResult = {
+    val spark = docs.sparkSession
+    val id = cfg.idCol
+
+    // 1. quality gate
+    val keep = Curation.qualityGate(docs, cfg.textCol, id,
+        cfg.minTokens, cfg.maxTokens, cfg.minDistinctRatio, cfg.maxDup2Frac)
+      .where(col("keep")).select(col(id))
+    val gated = docs.join(keep, Seq(id), "left_semi").cache()
+
+    // 2. duplicate-cluster dedup (transitive keep-canonical)
+    val pairs = Dedup.ngramJaccardDuplicates(gated, cfg.textCol, id,
+      cfg.shingleSize, cfg.jaccardThreshold, cfg.maxShingleFreq)
+    val labels = Dedup.duplicateClusters(pairs) // cached by the op
+    val losers = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(id))
+    val deduped = gated.join(losers, Seq(id), "left_anti").cache()
+
+    // 3. decontamination vs the eval holdout
+    val contaminated = Curation
+      .contaminationReport(deduped, evalDocs, cfg.textCol, id, cfg.contamN)
+      .select(col(id))
+    val cleaned = deduped.join(contaminated, Seq(id), "left_anti").cache()
+
+    // 4. typicality filter: per-domain terciles, drop the tail
+    val buckets = TextAnalysis.typicalityBuckets(cleaned, cfg.textCol, id,
+      cfg.domainCol, cfg.typicalityBuckets)
+    val typical = cleaned.join(
+      buckets.where(col("bucket") >= cfg.keepBucketsFrom).select(col(id)),
+      Seq(id), "left_semi").cache()
+
+    // 5. leakage-safe split keyed on the stage-2 canonical labels
+    val split = Sampling.leakageSafeSplitLabeled(typical, labels, id,
+      cfg.splits).cache()
+    val train = split.where(col("split") === "train").drop("split")
+
+    // 6. pack the training split
+    val packed = Packing.packGreedy(train, cfg.packBudget,
+      cfg.packShardSize, id, cfg.textCol).cache()
+
+    val counts = Seq(
+      ("corpus", 0L, docs.count()),
+      ("quality_gate", 1L, gated.count()),
+      ("cluster_dedup", 2L, deduped.count()),
+      ("decontaminate", 3L, cleaned.count()),
+      ("typicality_filter", 4L, typical.count()),
+      ("train_split", 5L, train.count()),
+      ("pack_bins", 6L,
+        packed.select("shard", "bin").distinct().count()))
+    val report = spark.createDataFrame(counts)
+      .toDF("stage", "stage_idx", "n_rows")
+
+    // counts above materialized every cache; the returned frames read
+    // them lazily, so drop the intermediates the caller never sees
+    gated.unpersist(); deduped.unpersist(); cleaned.unpersist()
+    CurateResult(packed, split, report)
+  }
+}

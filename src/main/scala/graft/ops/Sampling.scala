@@ -165,11 +165,24 @@ object Sampling {
     */
   def leakageSafeSplit(
       df: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], buckets: Int = 100): DataFrame =
+    leakageSafeSplitLabeled(df, Dedup.duplicateClusters(pairs), idCol,
+      splits, buckets)
+
+  /** [[leakageSafeSplit]] keyed on PRE-COMPUTED cluster labels
+    * (`(doc_id, cluster_id)` — [[Dedup.duplicateClusters]] output), so
+    * a pipeline that already resolved clusters (or maintains them
+    * incrementally via [[Dedup.mergeDuplicateClusters]]) doesn't pay
+    * for a recompute. The canonical id is only a HASH KEY: members
+    * absent from `df` (dropped by later stages) don't affect the
+    * bucket of the survivors.
+    */
+  def leakageSafeSplitLabeled(
+      df: DataFrame, clusterLabels: DataFrame, idCol: String,
       splits: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == buckets,
       s"split buckets must sum to $buckets")
-    val labels = Dedup.duplicateClusters(pairs)
-      .withColumnRenamed("doc_id", idCol)
+    val labels = clusterLabels.select(col("doc_id").as(idCol), col("cluster_id"))
     val keyed = df.join(labels, Seq(idCol), "left")
       .withColumn("__sk", coalesce(col("cluster_id"), col(idCol)))
       .drop("cluster_id")

@@ -868,6 +868,98 @@ object EntryQueries {
        |SELECT id AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY id""".stripMargin
 
+  /** The materialized curation pipeline ([[graft.ops.Pipeline]]):
+    * gate → cluster-dedup → decontaminate → typicality-filter → split
+    * → pack, reported as per-stage survivor counts. Every stage is
+    * individually value-oracled elsewhere; THIS row pins the
+    * COMPOSITION — the oracle re-derives the same six stages in
+    * sequence (each one the rebased text of its standalone oracle), so
+    * a reordered or skipped stage diverges in the counts.
+    */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    graft.ops.Pipeline.curate(
+      docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(50)) === 0)).report
+  }
+
+  // lazy: composes fragments declared further down the object
+  lazy val qCurationPipelineSql: String = {
+    val gate = qQualityGateSql.replace("FROM documents", "FROM corpus")
+    val closure =
+      s"""WITH RECURSIVE ${dedupNgramCtes.replace("FROM documents", "FROM gated")},
+         |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |          UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin
+    val pack = qSeqPackingSql.replace("FROM documents", "FROM train")
+    s"""WITH corpus AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 50 != 0),
+       |evalset AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 50 = 0),
+       |gate AS MATERIALIZED (SELECT doc_id FROM ($gate) qg WHERE keep),
+       |gated AS MATERIALIZED (SELECT c.* FROM corpus c JOIN gate USING (doc_id)),
+       |labels AS MATERIALIZED (SELECT doc_id, cluster_id FROM ($closure) cl),
+       |deduped AS MATERIALIZED (SELECT g.* FROM gated g LEFT JOIN labels l USING (doc_id)
+       |            WHERE l.cluster_id IS NULL OR l.cluster_id = g.doc_id),
+       |trg AS MATERIALIZED (SELECT doc_id, unnest(
+       |    CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(generate_series(1, len(t) - 3),
+       |                i -> array_to_string(t[i:i+3], ' ')) END) AS g
+       |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |        FROM deduped) dt),
+       |evg AS MATERIALIZED (SELECT DISTINCT unnest(
+       |    CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(generate_series(1, len(t) - 3),
+       |                i -> array_to_string(t[i:i+3], ' ')) END) AS g
+       |  FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+       |          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |        FROM evalset) et),
+       |contaminated AS MATERIALIZED (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
+       |cleaned AS MATERIALIZED (SELECT d.* FROM deduped d
+       |            WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |tb AS MATERIALIZED (SELECT sc.doc_id,
+       |    CAST(ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY sc.typicality_r, sc.doc_id) AS BIGINT) AS bucket
+       |  FROM (
+       |    WITH nrm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM cleaned),
+       |    docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
+       |    g AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
+       |            i -> substring(t, CAST(i AS INTEGER), 3))) AS g3 FROM docs),
+       |    v AS (SELECT count(DISTINCT ch) AS V FROM (
+       |            SELECT unnest(string_split(t, '')) AS ch FROM docs) WHERE ch <> ''),
+       |    c3 AS (SELECT g3, count(*) AS c3 FROM g GROUP BY g3),
+       |    c2 AS (SELECT substring(g3, 1, 2) AS g2, sum(c3) AS c2 FROM c3 GROUP BY 1)
+       |    SELECT g.doc_id,
+       |      round(avg(ln((c3.c3 + 0.5) / (c2.c2 + 0.5 * v.V))), 6) AS typicality_r
+       |    FROM g JOIN c3 USING (g3)
+       |      JOIN c2 ON c2.g2 = substring(g.g3, 1, 2), v
+       |    GROUP BY g.doc_id) sc
+       |  JOIN cleaned d USING (doc_id)),
+       |typical AS MATERIALIZED (SELECT c.* FROM cleaned c JOIN tb USING (doc_id)
+       |            WHERE tb.bucket >= 2),
+       |sp AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT t0.doc_id,
+       |      CAST(CAST('0x' || substr(md5(CAST(coalesce(l.cluster_id, t0.doc_id) AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS BIGINT) AS b
+       |    FROM typical t0 LEFT JOIN labels l USING (doc_id)) sb),
+       |train AS MATERIALIZED (SELECT ty.* FROM typical ty JOIN sp USING (doc_id)
+       |          WHERE sp.split = 'train')
+       |SELECT 'corpus' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       |       (SELECT count(*) FROM corpus) AS n_rows
+       |UNION ALL SELECT 'quality_gate', 1, (SELECT count(*) FROM gated)
+       |UNION ALL SELECT 'cluster_dedup', 2, (SELECT count(*) FROM deduped)
+       |UNION ALL SELECT 'decontaminate', 3, (SELECT count(*) FROM cleaned)
+       |UNION ALL SELECT 'typicality_filter', 4, (SELECT count(*) FROM typical)
+       |UNION ALL SELECT 'train_split', 5, (SELECT count(*) FROM train)
+       |UNION ALL SELECT 'pack_bins', 6,
+       |  (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM ($pack) pk) pb)""".stripMargin
+  }
+
   /** Deterministic stratified sampling over `source` strata: per-row
     * md5-bucket decision (reproducible across engines and retries, the
     * q_partition_bucket_md5 construction) with per-stratum keep rates.
@@ -1792,6 +1884,7 @@ object EntryQueries {
     "q_asof_snapshot" -> qAsofSnapshot _,
     "q_range_attribution" -> qRangeAttribution _,
     "q_leakage_split" -> qLeakageSplit _,
+    "q_curation_pipeline" -> qCurationPipeline _,
     "q_typicality_xcorpus" -> qTypicalityXcorpus _,
     "q_typicality_buckets" -> qTypicalityBuckets _,
     "q_similarity_lsh" -> qSimilarityLsh _,
@@ -1850,6 +1943,7 @@ object EntryQueries {
     "q_asof_snapshot" -> qAsofOrdersSql,
     "q_range_attribution" -> qRangeAttributionSql,
     "q_leakage_split" -> qLeakageSplitSql,
+    "q_curation_pipeline" -> qCurationPipelineSql,
     "q_typicality_xcorpus" -> qTypicalityXcorpusSql,
     "q_typicality_buckets" -> qTypicalityBucketsSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -397,6 +397,42 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("curate subcommand: end-to-end pipeline run writes split/packed/report with conserved counts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_cli").toString
+    val c = Main.parse(Seq("curate",
+      "--input", "/root/testdata/sf0.001/documents.parquet",
+      "--out-path", out)).toOption.get
+    assert(c.command == "curate" && c.input.nonEmpty)
+    assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
+
+    val spark = TestSpark.spark
+    val report = spark.read.parquet(s"$out/report")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(report.map(_._1).toSeq == Seq("corpus", "quality_gate",
+      "cluster_dedup", "decontaminate", "typicality_filter",
+      "train_split", "pack_bins"))
+    // monotone filtering through the doc stages, nothing invented
+    val docCounts = report.take(6).map(_._3)
+    assert(docCounts.zip(docCounts.tail).forall { case (a, b) => a >= b },
+      s"stage counts must be monotone: ${docCounts.toSeq}")
+    assert(docCounts.last > 0, "pipeline must not annihilate the corpus")
+
+    val split = spark.read.parquet(s"$out/split")
+    val packed = spark.read.parquet(s"$out/packed")
+    // every typicality survivor is split exactly once; packed covers
+    // exactly the train split, one row per doc
+    assert(split.count() == report(4)._3)
+    assert(packed.count() == report(5)._3)
+    assert(packed.select("id").distinct().count() == report(5)._3)
+    // report bin count matches the packed output
+    import org.apache.spark.sql.functions.col
+    assert(packed.select(col("shard"), col("bin")).distinct().count() == report(6)._3)
+    // missing flags fail fast
+    assert(Main.run(Main.parse(Seq("curate", "--input", "x")).toOption.get,
+      Some(() => TestSpark.spark)) == 1)
+  }
+
   test("replicate kinesis|rabbitmq without a registered transport fails fast") {
     // no SDKs are bundled: the CLI must explain the registry seam, not
     // spool WAL it can never deliver
