@@ -1032,22 +1032,34 @@ object EntryQueries {
     graft.functions.HyperplaneBuckets.planes(dim, nBits, bands, seed)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  /** LSH-bucketed embedding near-dups. The candidate set is seeded and
-    * deterministic, so the oracle recomputes the sign-bit buckets from
-    * the materialized plane matrix with `list_dot_product` — a full
-    * value oracle, not rows-only.
+  /** LSH-bucketed embedding near-dups on the corpus-ADAPTIVE bit
+    * width ([[Dedup.adaptiveLshBits]] — occupancy stays ~16 as the
+    * corpus grows, so candidate volume stays linear; a fixed width
+    * measured 15× per decade at 100× data). The width is computed
+    * once driver-side and recorded, so the oracle recomputes the
+    * sign-bit buckets from the SAME materialized plane matrix with
+    * `list_dot_product` — a full value oracle at any scale, not
+    * rows-only.
     */
-  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDuplicatesLsh(
-      T(spark, dir, "embeddings"), "embedding", "vec_id",
-      threshold = 0.3, nBits = 8)
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T(spark, dir, "embeddings")
+    val bits = Dedup.adaptiveLshBits(emb.count())
+    embeddingLshBits = Some(bits)
+    Dedup.embeddingDuplicatesLsh(emb, "embedding", "vec_id",
+      threshold = 0.3, nBits = bits)
+  }
 
-  val qDedupEmbeddingLshSql: String =
-    s"""WITH pl AS (SELECT ${planesLiteral(64, 8, 4, 42L)} AS p),
+  /** Bit width from the latest [[qDedupEmbeddingLsh]] plan build —
+    * same warm-by-Verify contract as [[semanticCentroids]].
+    */
+  @volatile private var embeddingLshBits: Option[Int] = None
+
+  private def qDedupEmbeddingLshSql(bits: Int): String =
+    s"""WITH pl AS (SELECT ${planesLiteral(64, bits, 4, 42L)} AS p),
        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT id, v, band,
-       |    CAST(list_sum(list_transform(generate_series(1, 8),
-       |      i -> CASE WHEN list_dot_product(v, p[band * 8 + i]) >= 0
+       |    CAST(list_sum(list_transform(generate_series(1, $bits),
+       |      i -> CASE WHEN list_dot_product(v, p[band * $bits + i]) >= 0
        |           THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER) AS bucket
        |  FROM e, pl, (SELECT unnest([0, 1, 2, 3]) AS band) g),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.v AS v_a, b2.v AS v_b
@@ -1910,7 +1922,8 @@ object EntryQueries {
       // exhaustive-probe IVF-PQ ≡ plain PQ: the same first-principles
       // oracle, built from the codebooks the ivfpq query trained
       ivfpqTrainedCodebooks.map(cb => "q_similarity_ivfpq" -> qSimilarityPqSql(cb)) ++
-      semanticCentroids.map(cs => "q_dedup_semantic" -> qDedupSemanticSql(cs))
+      semanticCentroids.map(cs => "q_dedup_semantic" -> qDedupSemanticSql(cs)) ++
+      embeddingLshBits.map(b => "q_dedup_embedding_lsh" -> qDedupEmbeddingLshSql(b))
 
   private val staticOracleSql: Map[String, String] = Map(
     "q_parse_roundtrip" -> qParseRoundtripSql,
@@ -1971,7 +1984,6 @@ object EntryQueries {
     "q_similarity_ivfpq_rerank" -> qSimilarityTopkSql,
     "q_similarity_ivf" -> qSimilarityTopkSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
-    "q_dedup_embedding_lsh" -> qDedupEmbeddingLshSql,
     "q_similarity_lsh" -> qSimilarityLshSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_seq_packing" -> qSeqPackingSql,

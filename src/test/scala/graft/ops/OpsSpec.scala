@@ -150,6 +150,15 @@ class OpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.contains((1L, 5L)))
     assert(lsh.subsetOf(exact)) // verification prevents false positives
+
+    // auto-sized buckets (nBits < 0): a tiny corpus clamps to the
+    // 4-bit floor and still recalls the near-identical pair — the
+    // corpus-adaptive default exists so bucket occupancy (and with it
+    // candidate volume per vector) stays CONSTANT as n grows
+    val auto = Dedup.embeddingDuplicatesLsh(vecs, "embedding", "vec_id",
+      threshold = 0.99, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.contains((1L, 5L)) && auto.subsetOf(exact))
   }
 
   test("repeatedSpans: maximal shared spans with exact positions, short overlaps cut") {
