@@ -88,20 +88,37 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_GC=1: System.gc() between reps (untimed) so the
+    // ContextCleaner can delete shuffle files whose RDDs are dead — a
+    // long multi-query run at high SF otherwise accumulates every rep's
+    // spill on local disk until the JVM exits (observed: ENOSPC at
+    // ~sf10 with 27 interleaved query-reps in one JVM)
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
+      // a failed rep records NO sample — its elapsed time is
+      // time-to-failure, not query time, and silently averaging it in
+      // once produced a plausible-looking number for a rep that died
+      // on a full disk
       try {
         evalFully(fn(spark, sfDir))
         seededSleep.get(name).foreach(Thread.sleep)
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        failures(name) = failures(name) + 1
+      }
+      if (gcBetween) System.gc()
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // trimmed mean: drop the single min and max sample (when >=3 reps),
     // average the rest — one contention spike can no longer move the
@@ -110,7 +127,7 @@ object Bench {
     def trimmedMean(xs: Vector[Double]): Double = {
       val s = xs.sorted
       val t = if (s.size >= 3) s.slice(1, s.size - 1) else s
-      t.sum / t.size
+      if (t.isEmpty) -1.0 else t.sum / t.size
     }
     val results = names.map { case (name, _) => name -> trimmedMean(samples(name)) }
     // The recorder keeps only a ~2000-char tail of stdout and parses the
@@ -127,8 +144,16 @@ object Bench {
       "\"" + name + "\":" + f3(median(samples(name)))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // failed-rep counts ride the JSON line (only when nonempty) so a
+    // contaminated run is visible in the recorded evidence, not just in
+    // a discarded stderr stream
+    val failedJson =
+      if (failures.isEmpty) ""
+      else failures.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(",\"failed_reps\":{", ",", "}")
     System.err.println(s"""[bench-samples] {"reps":$reps,"stat":"trimmed_mean","samples":$all,"medians":$meds}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
