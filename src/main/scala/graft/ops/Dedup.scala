@@ -153,6 +153,34 @@ object Dedup {
     * `maxBucketSize` caps pathological buckets (boilerplate that hashes
     * thousands of docs into one band) to bound the pair blow-up.
     */
+  /** (id, hs, sig) per document — the persisted form of a corpus for
+    * incremental near-dedup: `hs` (distinct 64-bit shingle hashes)
+    * feeds exact-Jaccard verification, `sig` regenerates band keys
+    * without reparsing text. Write it once per corpus; each ingest
+    * batch joins against it via [[incrementalNearDedup]].
+    */
+  def nearDedupIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3, seed: Int = 42): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      shingle_hashes(col(textCol), shingleSize, seed).as("hs"))
+      .withColumn("sig", minhash_from_hashes(col("hs"), numHashes))
+
+  /** Band rows carry only (id, band, bandKey) — never the shingle
+    * arrays, which would otherwise ride through the self-join and the
+    * distinct (the dominant cost at scale).
+    */
+  private def bandRows(sigDf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigDf.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandKey")
+  }
+
   def minhashCandidates(
       df: DataFrame,
       textCol: String,
@@ -163,22 +191,9 @@ object Dedup {
       seed: Int = 42,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
 
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingle_hashes(col(textCol), shingleSize, seed).as("hs"))
-      .withColumn("sig", minhash_from_hashes(col("hs"), numHashes))
-
-    // Band rows carry only (id, band, bandKey) — never the shingle
-    // arrays, which would otherwise ride through the self-join and the
-    // distinct (the dominant cost at scale).
-    val banded = withSig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandKey")
+    val withSig = nearDedupIndex(df, textCol, idCol, numHashes, shingleSize, seed)
+    val banded = bandRows(withSig.select(col("id"), col("sig")), numHashes, bands)
 
     // Cap bucket size to bound the quadratic pair expansion per bucket.
     val wBucket = Window.partitionBy("band", "bandKey").orderBy("id")
@@ -220,6 +235,65 @@ object Dedup {
       shingleSize: Int = 3, seed: Int = 42): DataFrame =
     minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, seed)
       .where(col("jaccard") >= threshold)
+
+  /** Incremental MinHash near-dedup: the pairs [[minhashDuplicates]]
+    * would emit on `history ∪ newBatch`, restricted to pairs whose
+    * NEWER side is in the batch — computed WITHOUT re-pairing history
+    * against itself. `index` is [[nearDedupIndex]] over the history
+    * corpus (persisted once, appended per batch).
+    *
+    * Contract: every history id precedes every batch id (the natural
+    * ingest ordering). Under it the result is EXACTLY the batch run's
+    * restriction — including `maxBucketSize` semantics, because history
+    * rows outrank batch rows in every bucket just as they do in the
+    * union (spec-pinned).
+    *
+    * The 100 TB shape: batch band keys are batch-sized, so the touched
+    * bucket set broadcasts and the history side is scan+filter — the
+    * index never shuffles on the banding leg. History `hs` arrays are
+    * fetched only for verified-candidate ids (a broadcast-able pair
+    * list), so the heavy column never crosses an exchange either.
+    */
+  def incrementalNearDedup(
+      newBatch: DataFrame, textCol: String, idCol: String, index: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Int = 42,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newIdx = nearDedupIndex(newBatch, textCol, idCol, numHashes, shingleSize, seed)
+    val newBands = bandRows(newIdx.select(col("id"), col("sig")), numHashes, bands)
+      .withColumn("src", lit(1))
+    val touched = newBands.select(col("band"), col("bandKey")).distinct()
+    val histBands = bandRows(index.select(col("id"), col("sig")), numHashes, bands)
+      .join(broadcast(touched), Seq("band", "bandKey"), "leftsemi")
+      .withColumn("src", lit(0))
+
+    // Union-cap reproduction: ordering by id ranks every history row in
+    // a bucket ahead of every batch row (the id contract), so the rows
+    // admitted here are the rows the batch run admits.
+    val w = Window.partitionBy("band", "bandKey").orderBy("id")
+    val capped = histBands.unionByName(newBands)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxBucketSize)
+      .drop("__rn")
+
+    val aSide = capped.select(col("band"), col("bandKey"), col("id").as("id_a"))
+    val bSide = capped.where(col("src") === 1)
+      .select(col("band"), col("bandKey"), col("id").as("id_b"))
+    val pairs = aSide.join(bSide, Seq("band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val sets = index.select(col("id"), col("hs"))
+      .unionByName(newIdx.select(col("id"), col("hs")))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(newIdx.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard_long(col("hs_a"), col("hs_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** SimHash near-duplicate pairs: block on 16-bit bands of the 64-bit
     * fingerprint (any pair within Hamming distance 3 shares at least

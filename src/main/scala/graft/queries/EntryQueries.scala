@@ -985,6 +985,21 @@ object EntryQueries {
     Dedup.minhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
       threshold = 0.2)
 
+  /** Incremental near-dedup over an ingest split: documents above the
+    * median id arrive as the "daily batch" against a
+    * [[Dedup.nearDedupIndex]] of the rest. The op guarantees exact
+    * equivalence with the batch run restricted to batch-side pairs, so
+    * the oracle is the minhash oracle plus one predicate.
+    */
+  def qDedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    import spark.implicits._
+    val split = docs.agg(max(col("doc_id"))).as[Long].head / 2
+    val idx = Dedup.nearDedupIndex(docs.where(col("doc_id") <= split), "text", "doc_id")
+    Dedup.incrementalNearDedup(
+      docs.where(col("doc_id") > split), "text", "doc_id", idx, threshold = 0.2)
+  }
+
   /** SimHash near-dup pairs — full value oracle, same machinery. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
@@ -1881,6 +1896,7 @@ object EntryQueries {
     "q_repetition" -> qRepetition _,
     "q_pii_redact" -> qPiiRedact _,
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_incremental_near" -> qDedupIncrementalNear _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
@@ -1977,6 +1993,7 @@ object EntryQueries {
     "q_repetition" -> qRepetitionSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_dedup_minhash" -> HashOracleSql.minhashSql,
+    "q_dedup_incremental_near" -> HashOracleSql.incrementalNearSql,
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:

@@ -181,4 +181,15 @@ private[queries] object HashOracleSql {
        |      FROM prs p JOIN hset x ON x.id = p.id_a JOIN hset y ON y.id = p.id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
   }
+
+  /** Incremental near-dedup ≡ the batch run restricted to pairs whose
+    * newer side is in the ingest batch (ids above the median) — the
+    * exact-equivalence contract of `Dedup.incrementalNearDedup`, so the
+    * oracle is [[minhashSql]] plus one predicate. `floor(max/2)` in
+    * double is exact for any plausible id, matching Scala's `max / 2`
+    * long division.
+    */
+  val incrementalNearSql: String =
+    minhashSql +
+      " AND id_b > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)"
 }

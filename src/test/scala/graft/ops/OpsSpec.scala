@@ -58,6 +58,43 @@ class OpsSpec extends AnyFunSuite {
     assert(!dups.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(5L) })
   }
 
+  test("incrementalNearDedup: union-equivalent pairs for the batch side") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for good measure"
+    val corpus = Seq(
+      (1L, base + " alpha"), (2L, base + " alpha"), // history near-dup pair
+      (3L, "totally different content about catalyst optimizer rule ordering"),
+      (10L, base + " alpha"), // batch: cross-dup of 1 and 2
+      (11L, base + " beta extension"), (12L, base + " beta extension"), // batch intra pair
+      (13L, "unrelated singleton document mentioning parquet row groups")
+    ).toDF("doc_id", "text")
+    val split = 3L
+    val idx = Dedup.nearDedupIndex(corpus.where($"doc_id" <= split), "text", "doc_id")
+    val inc = Dedup.incrementalNearDedup(
+      corpus.where($"doc_id" > split), "text", "doc_id", idx, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashDuplicates(corpus, "text", "doc_id", threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == full.filter(_._2 > split)) // the equivalence contract
+    assert(inc.contains((1L, 10L)) && inc.contains((11L, 12L))) // cross + intra
+    assert(inc.forall(_._2 > split)) // history-history pairs never re-emitted
+  }
+
+  test("incrementalNearDedup: bucket cap admits the union run's rows exactly") {
+    val t = "same boilerplate text repeated across every document in this bucket"
+    val corpus = Seq(1L, 2L, 10L, 11L).map(i => (i, t)).toDF("doc_id", "text")
+    val idx = Dedup.nearDedupIndex(corpus.where($"doc_id" <= 2), "text", "doc_id")
+    def incAt(cap: Int) = Dedup.incrementalNearDedup(
+      corpus.where($"doc_id" > 2), "text", "doc_id", idx,
+      threshold = 0.2, maxBucketSize = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cap 2: both bucket slots go to history ids 1,2 — no batch row is
+    // admitted, exactly as in the union run, so the batch side is empty
+    assert(incAt(2).isEmpty)
+    // cap 3: slots 1,2,10 — batch doc 10 pairs with both history docs,
+    // 11 stays un-admitted
+    assert(incAt(3) == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("simhash finds exact and near duplicates by hamming distance") {
     val pairs = Dedup.simhashDuplicates(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b", "hamming").collect()
