@@ -87,9 +87,20 @@ object Amplify {
     write("embeddings")(copies(read("embeddings")) { (df, c) =>
       val dim = 64
       val rot = c % dim
-      val emb = if (rot == 0) col("embedding")
+      // Rotation alone wraps at `dim` copies: copy c and copy c+dim
+      // would carry IDENTICAL vectors — cross-copy exact-duplicate
+      // pairs, a quadratic input at factor > dim. Negating every odd
+      // wrap cycle keeps the transform orthogonal (within-copy cosine
+      // structure exact) while cosine(x, -x) = -1 kills cross-cycle
+      // near-dup collisions, giving 2*dim distinct copies.
+      val sign = if ((c / dim) % 2 == 0) 1.0f else -1.0f
+      require(factor <= 2 * dim,
+        s"amplify factor $factor exceeds ${2 * dim} distinct embedding transforms")
+      val rotated = if (rot == 0) col("embedding")
       else concat(slice(col("embedding"), rot + 1, dim - rot),
         slice(col("embedding"), 1, rot))
+      val emb = if (sign > 0) rotated
+      else transform(rotated, x => x * lit(sign))
       df.withColumn("vec_id", col("vec_id") + lit(c * Shift))
         .withColumn("embedding", emb)
     })
