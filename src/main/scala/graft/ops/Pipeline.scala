@@ -116,6 +116,7 @@ object Pipeline {
     // counts above materialized every cache; the returned frames read
     // them lazily, so drop the intermediates the caller never sees
     gated.unpersist(); deduped.unpersist(); cleaned.unpersist()
+    typical.unpersist() // split is cached + materialized by its count
     CurateResult(packed, split, report)
   }
 }

@@ -409,6 +409,76 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Incremental index maintenance: append an ingest batch to an
+    * existing [[writeCellPartitioned]] store under the store's FROZEN
+    * centroid matrix — the standard billion-scale ingest contract
+    * (re-fitting is a scheduled rebuild decided by [[cellDriftReport]],
+    * never a per-batch cost). Assignment uses the SAME expression as
+    * the full write, so the grown store's per-cell contents are
+    * identical to a one-shot write over the union (file boundaries
+    * differ; readers see the union with unchanged partition pruning),
+    * and the append plan touches ONLY the batch: one scan, no shuffle,
+    * and no read or rewrite of the existing store's files
+    * (spec-asserted on the pre-existing file set).
+    */
+  def appendCellPartitioned(
+      newVecs: DataFrame, centroids: Array[Array[Double]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    newVecs.select(col(idCol), col(vecCol),
+      element_at(GraftFunctions.nearest_cells(col(vecCol), centroids, 1), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** [[appendCellPartitioned]] for the PQ sibling store: the batch is
+    * encoded with the FROZEN codebooks (same expression as the full
+    * write), so exhaustive-probe search over the grown store stays
+    * bit-identical to [[pqTopK]] over the union corpus.
+    */
+  def appendCellPartitionedPq(
+      newVecs: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    newVecs.select(col(idCol),
+      column(graft.functions.PqEncode(
+        expression(normalizeExpr(col(vecCol))), codebooks)).as("pq_codes"),
+      element_at(GraftFunctions.nearest_cells(col(vecCol), centroids, 1), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** The re-fit trigger for an incrementally-grown store: per-cell
+    * occupancy and mean angular quantization error of `vecs` (a store
+    * read-back, or just a candidate batch) against the frozen
+    * centroids. Fully distributed — one hash aggregation; the only
+    * small data is the nlist-sized centroid table (broadcast) and the
+    * one-row total (broadcast). Rising `mean_qerr` or a growing
+    * `occupancy` skew versus the fit-time report is the standard
+    * "schedule a rebuild" signal; the store keeps answering queries
+    * correctly either way (assignment stays frozen-consistent), it
+    * just prunes less effectively as the data drifts.
+    */
+  def cellDriftReport(
+      vecs: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "__centroid")
+    val assigned = vecs.select(
+      element_at(GraftFunctions.nearest_cells(col(vecCol), centroids, 1), 1).as("cell"),
+      col(vecCol).as("__v"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"),
+        (lit(1.0) - GraftFunctions.cosine_similarity(col("__v"), col("__centroid"))).as("__qerr"))
+    val perCell = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      round(avg(col("__qerr")), 6).as("mean_qerr"))
+    val total = perCell.agg(sum(col("n")).as("__total"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("cell"), col("n"),
+        round(col("n") / col("__total"), 6).as("occupancy"),
+        col("mean_qerr"))
+  }
+
   /** IVF-PQ search over a [[writeCellPartitionedPq]] store: probe the
     * `nprobe` nearest cells (static partition filter — the scan lists
     * only those directories), score ONLY the probed cells' codes via

@@ -353,4 +353,79 @@ class SimilarityIvfSpec extends AnyFunSuite {
     val pqDist = canon(Similarity.pqTopKDistributed(encoded, queries, k = 5, codebooks))
     assert(pqDist == pqDriver, "PQ executor path diverged")
   }
+
+  test("incremental store append: grown store == one-shot store, existing files untouched, drift report sane") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val history = mk(0 until 200)
+    val batch = mk(200 until 300)
+    val union = history.unionByName(batch)
+
+    // centroids frozen from history only — the ingest contract
+    val cs = Similarity.fitCentroids(history, nlist = 5)
+    val grown = java.nio.file.Files.createTempDirectory("graft_incr_a").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_incr_b").toString
+    Similarity.writeCellPartitioned(history, cs, grown)
+
+    def dataFiles(base: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = dataFiles(grown)
+    Similarity.appendCellPartitioned(batch, cs, grown)
+    val after = dataFiles(grown)
+    // append-only: every pre-existing data file survives byte-for-byte
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "append rewrote or dropped existing store files")
+    assert(after.size > before.size, "append added no files")
+
+    // grown store content == one-shot store over the union
+    Similarity.writeCellPartitioned(union, cs, oneShot)
+    def content(base: String) = spark.read.parquet(base)
+      .select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).toSet
+    assert(content(grown) == content(oneShot),
+      "incrementally-grown store diverged from one-shot build")
+
+    // search equivalence at PARTIAL probe (same frozen centroids, so
+    // plans and candidate sets match cell-for-cell)
+    val queries = union.where(col("vec_id") < 10)
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(
+      canon2(Similarity.ivfTopKPartitioned(spark, grown, queries, k = 3, cs, nprobe = 2)) ==
+        canon2(Similarity.ivfTopKPartitioned(spark, oneShot, queries, k = 3, cs, nprobe = 2)),
+      "partial-probe search over grown store diverged")
+
+    // PQ sibling: exhaustive probe over a grown PQ store == pqTopK on
+    // the union encoded with the same frozen codebooks
+    val cb = Similarity.pqTrain(history, m = 4, ksub = 16)
+    val grownPq = java.nio.file.Files.createTempDirectory("graft_incr_pq").toString
+    Similarity.writeCellPartitionedPq(history, cs, cb, grownPq)
+    Similarity.appendCellPartitionedPq(batch, cs, cb, grownPq)
+    val viaStore = canon2(Similarity.ivfpqTopK(spark, grownPq, queries, k = 3, cs, cb, nprobe = 5))
+    val direct = canon2(Similarity.pqTopK(Similarity.pqEncode(union, cb), queries, k = 3, cb))
+    assert(viaStore == direct, "grown PQ store diverged from direct PQ over the union")
+
+    // drift report: distributed, occupancy sums to 1, and a decorrelated
+    // batch (shuffled dims break the fitted structure) drifts more than
+    // the fit corpus itself
+    val baseRep = Similarity.cellDriftReport(history, cs)
+    assert(math.abs(baseRep.agg(sum("occupancy")).head.getDouble(0) - 1.0) < 1e-4)
+    def meanQerr(df: org.apache.spark.sql.DataFrame) = {
+      val r = Similarity.cellDriftReport(df, cs)
+        .agg((sum(col("mean_qerr") * col("n")) / sum(col("n"))).as("m"))
+      r.head.getDouble(0)
+    }
+    val drifted = history.select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    assert(meanQerr(drifted) > meanQerr(history),
+      "decorrelated batch should report higher mean quantization error")
+  }
 }
