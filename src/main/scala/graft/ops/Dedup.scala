@@ -728,9 +728,14 @@ object Dedup {
     loopSession.conf.set("spark.sql.shuffle.partitions", loopWidth)
     val rawLoop = loopSession.createDataFrame(raw.rdd, raw.schema)
     val (labels, iters) = duplicateClustersLoop(rawLoop, raw, maxIters, strict)
-    // hand the (cached, materialized) labels back in the caller's
-    // session so downstream composition never mixes sessions
-    (spark.createDataFrame(labels.rdd, labels.schema), iters)
+    // hand the labels back in the caller's session, re-cached THERE so
+    // the caller's `unpersist()` actually releases them — unpersisting
+    // a frame bridged from a child-session cache is a silent no-op
+    // (CacheManager matches on the plan, and the bridge plan differs)
+    val bridged = spark.createDataFrame(labels.rdd, labels.schema).cache()
+    bridged.count() // copy out of the child cache before dropping it
+    labels.unpersist()
+    (bridged, iters)
   }
 
   private def duplicateClustersLoop(
@@ -805,6 +810,10 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = checksum(next)
       edges.unpersist()
+      // rounds > 1: the retired frame is a localCheckpoint whose blocks
+      // Dataset.unpersist does NOT release — drop them at the RDD level
+      // (deterministic, instead of waiting on ContextCleaner GC)
+      org.apache.spark.sql.graft.RddBridge.unpersistLocalCheckpoint(edges)
       edges = next
       converged = cur == prev
       prev = cur
@@ -825,6 +834,7 @@ object Dedup {
     cachedSource.unpersist()
     nodes.unpersist()
     edges.unpersist()
+    org.apache.spark.sql.graft.RddBridge.unpersistLocalCheckpoint(edges)
     if (!converged) {
       // star fixpoint not reached: labels are only partially
       // propagated, so extra survivors would leak through silently

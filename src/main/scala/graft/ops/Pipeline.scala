@@ -117,6 +117,8 @@ object Pipeline {
     // them lazily, so drop the intermediates the caller never sees
     gated.unpersist(); deduped.unpersist(); cleaned.unpersist()
     typical.unpersist() // split is cached + materialized by its count
+    labels.unpersist()  // cached inside duplicateClusters; split's count
+                        // above already materialized everything keyed on it
     CurateResult(packed, split, report)
   }
 }

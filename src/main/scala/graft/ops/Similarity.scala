@@ -472,8 +472,15 @@ object Similarity {
     val perCell = assigned.groupBy("cell").agg(
       count(lit(1)).as("n"),
       round(avg(col("__qerr")), 6).as("mean_qerr"))
-    val total = perCell.agg(sum(col("n")).as("__total"))
-    perCell.crossJoin(broadcast(total))
+    // outer-join against the full centroid list so a fully-starved
+    // cell shows up as n=0 / occupancy=0 — an empty cell is exactly
+    // the skew signal the rebuild trigger watches for
+    val filled = centDf.select(col("cell"))
+      .join(perCell.hint("broadcast"), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_qerr"))
+    val total = filled.agg(sum(col("n")).as("__total"))
+    filled.crossJoin(broadcast(total))
       .select(col("cell"), col("n"),
         round(col("n") / col("__total"), 6).as("occupancy"),
         col("mean_qerr"))

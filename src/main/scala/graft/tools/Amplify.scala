@@ -38,6 +38,11 @@ object Amplify {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // validate BEFORE any table is written: the embeddings transform
+    // (rotation × sign flip over dim=64) admits at most 128 distinct
+    // copies, and failing mid-run would leave a partial dest behind
+    require(factor >= 1 && factor <= 128,
+      s"amplify factor $factor outside [1, 128] distinct embedding transforms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,8 +99,6 @@ object Amplify {
       // structure exact) while cosine(x, -x) = -1 kills cross-cycle
       // near-dup collisions, giving 2*dim distinct copies.
       val sign = if ((c / dim) % 2 == 0) 1.0f else -1.0f
-      require(factor <= 2 * dim,
-        s"amplify factor $factor exceeds ${2 * dim} distinct embedding transforms")
       val rotated = if (rot == 0) col("embedding")
       else concat(slice(col("embedding"), rot + 1, dim - rot),
         slice(col("embedding"), 1, rot))

@@ -81,4 +81,21 @@ class PipelineComposeSpec extends AnyFunSuite {
       split2.select("doc_id", "split").collect().toSet)
     assert(packed1.collect().toSet == packed2.collect().toSet)
   }
+
+  test("Pipeline.curate leaves no cached RDDs behind") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Pipeline.curate(corpus, evalSet)
+    // the returned frames are the caller's to consume; materialize and
+    // release them the way a job would
+    res.report.count(); res.split.count(); res.packedTrain.count()
+    res.split.unpersist(); res.packedTrain.unpersist()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"curate leaked ${leaked.size} cached RDD(s): $leaked")
+  }
 }

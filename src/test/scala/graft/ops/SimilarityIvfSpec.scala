@@ -371,11 +371,18 @@ class SimilarityIvfSpec extends AnyFunSuite {
     val oneShot = java.nio.file.Files.createTempDirectory("graft_incr_b").toString
     Similarity.writeCellPartitioned(history, cs, grown)
 
-    def dataFiles(base: String): Map[String, (Long, Long)] = {
+    def dataFiles(base: String): Map[String, String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
       walk(new java.io.File(base)).filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+        .map { f =>
+          // content hash, not (size, mtime): 1s mtime granularity would
+          // let a same-length same-second rewrite slip through
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          f.getAbsolutePath -> md5
+        }.toMap
     }
     val before = dataFiles(grown)
     Similarity.appendCellPartitioned(batch, cs, grown)
