@@ -285,8 +285,25 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val sets = index.select(col("id"), col("hs"))
-      .unionByName(newIdx.select(col("id"), col("hs")))
+    // Fetch history `hs` only for CANDIDATE ids: the fat shingle-hash
+    // column is the index's dominant bytes, and a plain join reads it
+    // for the whole corpus (the broadcast prunes rows after the scan,
+    // not the scan itself — measured: incremental discovery tied full
+    // recompute at 100× because of exactly this). The candidate list
+    // is batch-bounded (band collisions, bucket-capped), so inline it
+    // as a scan FILTER — parquet row-group stats on `id` prune the
+    // untouched corpus's hs bytes when the index is written id-sorted
+    // ([[writeNearDedupIndex]]). Costs one extra banding pass (the
+    // cheap, sig-only leg) to enumerate ids; falls back to the
+    // full-scan join when the candidate set would bloat the plan.
+    val candIds = pairs.select(col("id_a")).distinct()
+      .limit(50001).collect().map(_.getLong(0))
+    val histSets =
+      if (candIds.length <= 50000)
+        index.select(col("id"), col("hs"))
+          .where(col("id").isin(candIds.map(Long.box).toSeq: _*))
+      else index.select(col("id"), col("hs"))
+    val sets = histSets.unionByName(newIdx.select(col("id"), col("hs")))
     pairs
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(newIdx.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -294,6 +311,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Write [[nearDedupIndex]] id-sorted so [[incrementalNearDedup]]'s
+    * candidate-id scan filter prunes at the parquet row-group level —
+    * the untouched corpus's shingle arrays are never read.
+    */
+  def writeNearDedupIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      numHashes: Int = 64, shingleSize: Int = 3, seed: Int = 42): Unit =
+    nearDedupIndex(df, textCol, idCol, numHashes, shingleSize, seed)
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(path)
 
   /** SimHash near-duplicate pairs: block on 16-bit bands of the 64-bit
     * fingerprint (any pair within Hamming distance 3 shares at least
@@ -917,6 +945,35 @@ object Dedup {
       .select("doc_id", "cluster_id")
     (untouched.unionByName(merged.select("doc_id", "cluster_id")), iters)
   }
+
+  /** Persisted cluster-label store: the converged `(doc_id,
+    * cluster_id)` labeling written once per corpus, so daily ingest
+    * runs [[mergeDuplicateClusters]] against DISK state instead of
+    * re-deriving the precondition — the same operational pattern as
+    * [[nearDedupIndex]] (near-dup) and `Similarity.appendCellPartitioned`
+    * (ANN). Plain parquet: splittable, schema-checked on read, and the
+    * merge's untouched-label leg stays a pure scan of it.
+    */
+  def writeClusterLabelStore(labels: DataFrame, path: String): Unit =
+    labels.select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+      .write.mode("overwrite").parquet(path)
+
+  def readClusterLabelStore(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("doc_id"), col("cluster_id"))
+
+  /** Merge a batch's pair graph into the labeling persisted at `path`.
+    * Returns the merged labeling (≡ a from-scratch run over old ∪ new
+    * pairs); the caller decides when to write it back — write to a NEW
+    * versioned path and swap, never overwrite a store a lazy plan may
+    * still be reading.
+    */
+  def mergeClusterLabelStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newPairs: DataFrame, maxIters: Int = 20,
+      strict: Boolean = false): DataFrame =
+    mergeDuplicateClusters(
+      readClusterLabelStore(spark, path), newPairs, maxIters, strict)
 
   /** Apply cluster resolution: drop every non-canonical member, keep
     * canonical docs and untouched singletons — the end-to-end dedup.

@@ -333,6 +333,28 @@ class OpsSpec extends AnyFunSuite {
       existing.as[(Long, Long)].collect().toSet)
   }
 
+  test("cluster label store: disk roundtrip, merge-from-store == full recompute") {
+    val oldPairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 50L)) ++
+      (20L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 10L), (11L, 12L), (60L, 61L)).toDF("id_a", "id_b")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_labelstore").toString + "/labels"
+
+    val labels = Dedup.duplicateClusters(oldPairs)
+    Dedup.writeClusterLabelStore(labels, store)
+    labels.unpersist()
+    // roundtrip: the store IS the labeling
+    assert(Dedup.readClusterLabelStore(spark, store)
+      .as[(Long, Long)].collect().toSet ==
+      Dedup.duplicateClusters(oldPairs).as[(Long, Long)].collect().toSet)
+
+    // merging a batch against disk state == from-scratch over old ∪ new
+    val merged = Dedup.mergeClusterLabelStore(spark, store, newPairs)
+    val full = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+  }
+
   test("incrementalExactDedup drops known fingerprints then dedups the batch") {
     val known = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
     val batch = Seq(

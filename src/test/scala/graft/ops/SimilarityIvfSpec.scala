@@ -435,4 +435,95 @@ class SimilarityIvfSpec extends AnyFunSuite {
     assert(meanQerr(drifted) > meanQerr(history),
       "decorrelated batch should report higher mean quantization error")
   }
+
+  test("drift-triggered re-fit: append past the drift threshold, rebuild restores pruning") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // history: 4 tight clusters on disjoint one-hot blocks — the
+    // distribution the centroids are fit on
+    def around(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val oldCenters = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j / 4 == c) 1.0f else 0.0f))
+    val history = oldCenters.zipWithIndex.flatMap { case (c, ci) =>
+      around(c, ci * 100 until ci * 100 + 100)
+    }.toSeq.toDF("vec_id", "embedding")
+    // drifted ingest: NEGATED block mixes — anti-correlated with every
+    // fitted centroid (quantization error > 1 whatever local optimum
+    // the fit found), and their frozen assignment tie-breaks on noise
+    // sign, splitting each new cluster across cells — the regime where
+    // the store still answers but prunes badly
+    def mix(a: Int, b: Int, s: Float) = Array.tabulate(dim)(j =>
+      (if (j / 4 == a || j / 4 == b) s else 0.0f))
+    val batch = (around(mix(0, 1, -0.7f), 1000 until 1100) ++
+      around(mix(2, 3, -0.7f), 1100 until 1200)).toDF("vec_id", "embedding")
+
+    val cs = Similarity.fitCentroids(history, nlist = 4)
+    val store = java.nio.file.Files.createTempDirectory("graft_drift_store").toString
+    Similarity.writeCellPartitioned(history, cs, store)
+
+    def meanQerr(df: org.apache.spark.sql.DataFrame, c: Array[Array[Double]]) =
+      Similarity.cellDriftReport(df, c)
+        .agg((sum(col("mean_qerr") * col("n")) / sum(col("n"))).as("m"))
+        .head.getDouble(0)
+    val fitTimeQerr = meanQerr(history, cs)
+
+    // the batch alone starves cells 2..3's report rows? No — it lands
+    // in all 4 (two straddling clusters). A SINGLE straddling cluster
+    // does starve cells: every fitted cell must still appear, n=0
+    val lone = around(mix(0, 1, 0.7f), 5000 until 5020).toDF("vec_id", "embedding")
+    val loneRep = Similarity.cellDriftReport(lone, cs)
+    assert(loneRep.count() == 4, "report must list every fitted cell")
+    assert(loneRep.where(col("n") === 0).count() >= 2,
+      "starved cells must appear with n=0, not vanish")
+
+    // ingest the drifted batch; the monitored qerr crosses a 1.5×
+    // rebuild threshold (the maintenance loop's trigger condition)
+    Similarity.appendCellPartitioned(batch, cs, store)
+    val readback = spark.read.parquet(store).select("vec_id", "embedding")
+    val driftedQerr = meanQerr(readback, cs)
+    assert(driftedQerr > fitTimeQerr * 1.5,
+      s"drift signal did not fire: $fitTimeQerr -> $driftedQerr")
+
+    // rebuild: re-fit on the store read-back, rewrite, re-measure
+    val cs2 = Similarity.fitCentroids(readback, nlist = 8)
+    val store2 = java.nio.file.Files.createTempDirectory("graft_drift_rebuilt").toString
+    Similarity.writeCellPartitioned(readback, cs2, store2)
+    assert(meanQerr(readback, cs2) < driftedQerr,
+      "rebuilt centroids must quantize the drifted corpus better")
+
+    // the contract under drift: answers stay CORRECT (frozen-consistent
+    // assignment), what degrades is PRUNING — drifted vectors collapse
+    // into whichever frozen cell wins the argmin, so a nprobe=1 query
+    // scans a bloated slice. The rebuild restores the slice size.
+    val queries = batch.where(col("vec_id").isin(1000L, 1050L, 1100L, 1150L))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]) =
+      truth.intersect(pairs(df)).size.toDouble / truth.size
+    val truth = pairs(Similarity.bruteForceTopK(readback, queries, k = 10))
+    val staleRecall = recall(Similarity.ivfTopKPartitioned(
+      spark, store, queries, k = 10, cs, nprobe = 1), truth)
+    val rebuiltRecall = recall(Similarity.ivfTopKPartitioned(
+      spark, store2, queries, k = 10, cs2, nprobe = 1), truth)
+    assert(staleRecall >= 0.9 && rebuiltRecall >= 0.9,
+      s"both stores must keep answering: stale=$staleRecall rebuilt=$rebuiltRecall")
+
+    // rows a nprobe=1 query scans = its probed cell's partition size
+    def scannedRows(path: String, c: Array[Array[Double]]): Double = {
+      val probed = queries.select(element_at(
+        graft.functions.GraftFunctions.nearest_cells(col("embedding"), c, 1), 1).as("cell"))
+        .as[Int].collect()
+      val counts = spark.read.parquet(path).groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap
+      probed.map(counts.getOrElse(_, 0L).toDouble).sum / probed.length
+    }
+    val staleScan = scannedRows(store, cs)
+    val rebuiltScan = scannedRows(store2, cs2)
+    assert(staleScan > rebuiltScan * 1.5,
+      s"rebuild must restore pruning: stale scans $staleScan rows/query, " +
+        s"rebuilt $rebuiltScan")
+  }
 }
