@@ -30,10 +30,10 @@ object RangeJoin {
       bucketWidthUs: Long = 3600000000L): DataFrame = {
     require(bucketWidthUs > 0, "bucketWidthUs must be positive")
     val p = points.withColumn("__b",
-      floor(unix_micros(col(tsCol)) / bucketWidthUs))
+      floor(TimeCols.epochMicros(col(tsCol)) / bucketWidthUs))
     val iv = intervals.withColumn("__b", explode(sequence(
-      floor(unix_micros(col(startCol)) / bucketWidthUs),
-      floor(unix_micros(col(endCol)) / bucketWidthUs))))
+      floor(TimeCols.epochMicros(col(startCol)) / bucketWidthUs),
+      floor(TimeCols.epochMicros(col(endCol)) / bucketWidthUs))))
     p.join(iv, keyCols :+ "__b")
       .where(col(startCol) <= col(tsCol) && col(tsCol) <= col(endCol))
       .drop("__b")

@@ -27,7 +27,7 @@ object Sessionize {
       idCol: String = "event_id",
       gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val us = unix_micros(col(tsCol))
+    val us = TimeCols.epochMicros(col(tsCol))
     val prevUs = lag(us, 1).over(w)
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val isNew = when(prevUs.isNull || (us - prevUs) > gapUs, 1L).otherwise(0L)
