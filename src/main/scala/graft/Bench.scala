@@ -162,7 +162,10 @@ object Bench {
     val meds = names.map { case (name, _) =>
       "\"" + name + "\":" + f3(median(samples(name)))
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a query with no successful rep reports the -1.0 sentinel; keep it
+    // out of the suite total (r9's recorded total was ~2 s low because
+    // two sentinels rode the sum)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // failed-rep counts ride the JSON line (only when nonempty) so a
     // contaminated run is visible in the recorded evidence, not just in
     // a discarded stderr stream

@@ -33,6 +33,7 @@ object Verify {
       case _                   => false
     }
     var schemaFailures = 0
+    val thrown = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -54,6 +55,7 @@ object Verify {
         } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        thrown += (name -> String.valueOf(e.getMessage).takeWhile(_ != '\n'))
       }
     }
     if (schemaFailures > 0)
@@ -84,6 +86,18 @@ object Verify {
     if (schemaFailures > 0) {
       Files.writeString(Paths.get(s"$outDir/REJECTIONS.txt"),
         s"$schemaFailures tz-aware schema rejections\n")
+      sys.exit(1)
+    }
+    // Fail CLOSED on thrown queries too: in round 9 two analysis-time
+    // failures printed one stderr line each and then VANISHED from the
+    // correctness record (the compare only sees dumped dirs), so a
+    // 66/66 "all green" masked the only regression. The marker file
+    // names each failed query + its first error line; the nonzero exit
+    // makes a shrunken dump impossible to mistake for a green run.
+    if (thrown.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/FAILURES.txt"),
+        thrown.map { case (n, m) => s"$n\t$m" }.mkString("", "\n", "\n"))
+      System.err.println(s"[verify] ${thrown.size} queries threw — failing closed")
       sys.exit(1)
     }
   }
