@@ -270,10 +270,19 @@ class OpsSpec extends AnyFunSuite {
     // large-star/small-star rewrite must finish in ~log2(255)=8 rounds
     // plus a small constant (incl. the final no-change detection round)
     val chain = (1L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain, maxIters = 20)
+    // driverMaxEdges = 0 forces the distributed loop — the default
+    // would collect 255 edges and label them driver-side (rounds = 0)
+    val (labels, rounds) =
+      Dedup.duplicateClustersWithRounds(chain, maxIters = 20, driverMaxEdges = 0L)
     assert(rounds <= 12, s"expected <=12 star rounds for diameter 255, got $rounds")
     val m = labels.as[(Long, Long)].collect().toMap
     assert(m.size == 256 && (1L to 256L).forall(m(_) == 1L))
+
+    // the driver fast path (default ceiling) must produce the SAME
+    // labeling with zero star rounds
+    val (fast, r) = Dedup.duplicateClustersWithRounds(chain, maxIters = 20)
+    assert(r == 0, s"255 edges under the ceiling should skip the loop, ran $r rounds")
+    assert(fast.as[(Long, Long)].collect().toMap == m)
   }
 
   test("duplicateClusters: empty pair input is a no-op, not a crash") {
@@ -288,13 +297,17 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("duplicateClusters: strict mode throws when maxIters cuts propagation short") {
+    // maxIters semantics belong to the distributed loop — force it
+    // (the driver fast path is exact and never bails out)
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxIters = 1, strict = true).collect()
+      Dedup.duplicateClusters(chain, maxIters = 1, strict = true,
+        driverMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // non-strict returns partial labels (documented behavior, WARN logged)
-    assert(Dedup.duplicateClusters(chain, maxIters = 1).count() == 8L)
+    assert(Dedup.duplicateClusters(chain, maxIters = 1,
+      driverMaxEdges = 0L).count() == 8L)
   }
 
   test("mergeDuplicateClusters: incremental == full recompute; untouched components skip the loop") {
@@ -307,9 +320,17 @@ class OpsSpec extends AnyFunSuite {
     // node 12, and starts a brand-new component {60,61}
     val newPairs = Seq((3L, 10L), (11L, 12L), (60L, 61L)).toDF("id_a", "id_b")
 
+    // force the distributed loop so the round-count assertion below
+    // actually pins that untouched components stay out of it
     val (inc, rounds) =
-      Dedup.mergeDuplicateClustersWithRounds(existing, newPairs)
+      Dedup.mergeDuplicateClustersWithRounds(existing, newPairs,
+        driverMaxEdges = 0L)
     val full = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+    // and the default (driver fast path over the touched sliver) must
+    // agree with the forced-loop labeling
+    assert(Dedup.mergeDuplicateClusters(existing, newPairs)
+      .as[(Long, Long)].collect().toSet ==
+      inc.as[(Long, Long)].collect().toSet)
     assert(inc.as[(Long, Long)].collect().toSet ==
       full.as[(Long, Long)].collect().toSet)
 
