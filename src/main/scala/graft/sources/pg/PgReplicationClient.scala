@@ -89,6 +89,12 @@ final class PgReplicationClient(
   /** Whether the current connection negotiated TLS (observability/tests). */
   def isTls: Boolean = tlsActive
 
+  /** Whether the underlying socket is still open — false after
+    * [[close]]. A receiver that reports stopped while this is true has
+    * leaked its walsender (the server keeps the slot acquired).
+    */
+  def isOpen: Boolean = connected && socket != null && !socket.isClosed
+
   /** Idempotent: a second call on a live connection is a no-op. */
   def connect(): Unit = {
     if (connected) return
@@ -255,10 +261,26 @@ final class PgReplicationClient(
     try { simpleQuery(s"CREATE_REPLICATION_SLOT $name LOGICAL $plugin"); true }
     catch { case e: PgError if e.sqlState == "42710" => false }
 
-  /** Idempotent slot drop (42704 = undefined object). */
-  def dropSlot(name: String): Unit =
-    try simpleQuery(s"DROP_REPLICATION_SLOT $name")
-    catch { case e: PgError if e.sqlState == "42704" => () }
+  /** Idempotent slot drop (42704 = undefined object). SQLSTATE 55006
+    * ("replication slot is active for PID …") is retried for up to
+    * `activeWaitMillis`: slot release on the server is asynchronous to
+    * the walsender's socket close, so an admin drop issued right after
+    * a streaming client shuts down can briefly race the reaper — the
+    * reference avoids the race only by timing (itests tear down the
+    * whole container); a bounded wait is the deterministic version.
+    */
+  def dropSlot(name: String, activeWaitMillis: Long = 15000L): Unit = {
+    val deadline = System.nanoTime() + activeWaitMillis * 1000000L
+    var done = false
+    while (!done) {
+      try { simpleQuery(s"DROP_REPLICATION_SLOT $name"); done = true }
+      catch {
+        case e: PgError if e.sqlState == "42704" => done = true
+        case e: PgError if e.sqlState == "55006" && System.nanoTime() < deadline =>
+          Thread.sleep(200)
+      }
+    }
+  }
 
   /** Advance the LSN the next StandbyStatusUpdate will carry. Called by
     * the ack edge (committed stream offsets → slot trim), monotone.
@@ -273,12 +295,24 @@ final class PgReplicationClient(
 
   /** Enter the copy-both loop; blocks until `requestStop()` or the
     * server ends the stream. Each XLogData frame is decoded and passed
-    * to `handler` in WAL order.
+    * to `handler` in WAL order. `pluginOptions` are output-plugin
+    * arguments appended walsender-grammar style —
+    * `("name" 'value', …)` — default none, matching the reference's
+    * empty `PluginArgs` (replication/client/conn/manager.go:76);
+    * tests pass e.g. `skip-empty-xacts` to keep concurrent
+    * autovacuum txns from injecting empty BEGIN/COMMIT frames.
     */
-  def startReplication(slot: String, startLsn: Long)(handler: XLogData => Unit): Unit = {
+  def startReplication(slot: String, startLsn: Long,
+                       pluginOptions: Seq[(String, String)] = Nil)(
+                       handler: XLogData => Unit): Unit = {
+    val opts =
+      if (pluginOptions.isEmpty) ""
+      else pluginOptions
+        .map { case (k, v) => "\"" + k + "\" '" + v + "'" }
+        .mkString(" (", ", ", ")")
     writeMsg(out, Tpe.Query,
       new Builder().cstring(
-        s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)}").result())
+        s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)}$opts").result())
     // Expect CopyBothResponse (or an error, e.g. slot in use / missing).
     var entered = false
     while (!entered) {

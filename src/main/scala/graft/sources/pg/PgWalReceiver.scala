@@ -337,7 +337,8 @@ final class PgWalReceiver(
     * current LSN (a data gap is accepted by design). `startLsn` 0 = the
     * slot's position.
     */
-  def start(slot: String, startLsn: Long = 0L): Unit = {
+  def start(slot: String, startLsn: Long = 0L,
+            pluginOptions: Seq[(String, String)] = Nil): Unit = {
     idxWriter = new java.io.FileOutputStream(idxFile, true)
     registerAckHook()
     thread = new Thread(() => {
@@ -350,7 +351,7 @@ final class PgWalReceiver(
         started.countDown()
         while (proceed) {
           proceed = false
-          try client.startReplication(slot, lsn)(spool)
+          try client.startReplication(slot, lsn, pluginOptions)(spool)
           catch {
             // recover from server errors AND connection-level failures
             // (EOF, reset, mid-frame timeout) — any of them breaks the
@@ -377,7 +378,9 @@ final class PgWalReceiver(
           }
         }
       } catch {
-        case t: Throwable => failure = t
+        // an error after stop() began is shutdown fallout (our own
+        // close breaking the read loop), not a stream failure
+        case t: Throwable => if (!stopping) failure = t
       } finally started.countDown()
     }, s"graft-pg-receiver-$slot")
     thread.setDaemon(true)
@@ -406,6 +409,14 @@ final class PgWalReceiver(
         thread.join(5000)
       }
     }
+    // Close the replication connection so the server releases the slot:
+    // a stopped receiver that leaves its walsender attached makes the
+    // slot unacquirable (SQLSTATE 55006) for the next run — a slot leak
+    // on every restart. requestStop only exits the copy-both loop; the
+    // socket (and the server's walsender) lives until this close. The
+    // reference releases it by tearing down the whole connection on
+    // shutdown (replication/client/conn/manager.go Close path).
+    if (client != null) { try client.close() catch { case _: Throwable => () } }
     spoolLock.synchronized {
       if (writer != null) { writer.close(); writer = null }
       if (idxWriter != null) { idxWriter.close(); idxWriter = null }

@@ -45,6 +45,12 @@ final class FakePgServer(
   val acks = new java.util.concurrent.CopyOnWriteArrayList[Long]()
   val slots: mutable.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
+  /** Slots with a live walsender attached: DROP on one fails with the
+    * real server's SQLSTATE 55006 until the streaming connection goes
+    * away (release is tied to connection teardown, like Postgres).
+    */
+  val activeSlots: mutable.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
   @volatile private var running = true
   @volatile var lastAuthResponse: String = _
 
@@ -150,6 +156,7 @@ final class FakePgServer(
   private def handle(sock0: Socket): Unit = {
     val script = scriptFor(connCount.getAndIncrement())
     var sock = sock0
+    var streamedSlot: String = null // slot this connection holds active
     var in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
     var out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
@@ -224,10 +231,14 @@ final class FakePgServer(
               sendReady(out)
             } else if (sql.startsWith("DROP_REPLICATION_SLOT")) {
               val name = sql.split("\\s+")(1)
-              if (!slots.remove(name)) sendError(out, "42704", s"""replication slot "$name" does not exist""")
+              if (activeSlots.contains(name))
+                sendError(out, "55006", s"""replication slot "$name" is active for PID 12345""")
+              else if (!slots.remove(name)) sendError(out, "42704", s"""replication slot "$name" does not exist""")
               else sendCommandComplete(out, "DROP_REPLICATION_SLOT")
               sendReady(out)
             } else if (sql.startsWith("START_REPLICATION")) {
+              streamedSlot = sql.split("\\s+")(2)
+              activeSlots.add(streamedSlot)
               // CopyBothResponse: overall format 0, zero columns
               writeMsg(out, Tpe.CopyBothResponse,
                 new Builder().byte(0).byte(0).byte(0).result())
@@ -301,6 +312,7 @@ final class FakePgServer(
     } catch {
       case _: EOFException | _: SocketException => ()
     } finally {
+      if (streamedSlot != null) activeSlots.remove(streamedSlot)
       try sock.close() catch { case _: Throwable => () }
     }
   }

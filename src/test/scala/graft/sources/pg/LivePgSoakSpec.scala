@@ -49,12 +49,20 @@ object LivePg {
 
   lazy val isRoot: Boolean = runQuiet(Seq("id", "-u"))._2.trim == "0"
 
+  /** Absolute runuser path: the test runner's JVM often lacks
+    * /usr/sbin on PATH, so the discovered path is reused verbatim by
+    * [[LivePgServer.asPg]] rather than trusting ProcessBuilder's
+    * PATH lookup.
+    */
+  lazy val runuserPath: Option[String] =
+    Seq("/usr/sbin/runuser", "/usr/bin/runuser").find(exec)
+
   /** Root cannot start postgres directly; require runuser + a postgres
     * system account to drop privileges.
     */
   lazy val canRun: Boolean =
     if (!isRoot) true
-    else Seq("/usr/sbin/runuser", "/usr/bin/runuser").exists(exec) &&
+    else runuserPath.isDefined &&
       runQuiet(Seq("id", "-u", "postgres"))._1 == 0
 
   lazy val available: Boolean = binDir.isDefined && canRun
@@ -86,7 +94,9 @@ final class LivePgServer {
 
   /** Wrap for the unprivileged postgres user when running as root. */
   private def asPg(cmd: Seq[String]): Seq[String] =
-    if (isRoot) Seq("runuser", "-u", "postgres", "--") ++ cmd else cmd
+    if (isRoot)
+      Seq(runuserPath.getOrElse(sys.error("no runuser")), "-u", "postgres", "--") ++ cmd
+    else cmd
 
   private def must(cmd: Seq[String]): String = {
     // cwd = cluster base: the postgres user cannot chdir into the
@@ -204,7 +214,11 @@ class LivePgSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val streamClient = srv.connect()
       receiver = new PgWalReceiver(streamClient, spool)
-      receiver.start("soak_stream")
+      // skip-empty-xacts: concurrent autovacuum/autoanalyze txns on a
+      // live cluster would otherwise interleave empty BEGIN/COMMIT
+      // frames into the positional assertions below
+      receiver.start("soak_stream",
+        pluginOptions = Seq("skip-empty-xacts" -> "1"))
       // 3 autocommit txns: (B,I,I,C) (B,U,C) (B,D,C) = 10 frames
       assert(receiver.awaitLines(10), "expected 10 test_decoding frames")
 
@@ -217,13 +231,13 @@ class LivePgSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         "BEGIN", "DELETE", "COMMIT"))
       val ins = parsed(1)
       assert(ins.relation == "public.soak_users")
-      assert(ins.columns("id").value == "1" && ins.columns("name").value == "a")
+      assert(ins.columns("id").v == "1" && ins.columns("name").v == "a")
       val upd = parsed(5)
       // REPLICA IDENTITY FULL → real old-key section carries the
       // pre-image; new-tuple the post-image
-      assert(upd.oldColumns("name").value == "a" && upd.columns("name").value == "z")
+      assert(upd.oldColumns("name").v == "a" && upd.columns("name").v == "z")
       val del = parsed(8)
-      assert(del.columns("id").value == "2" && del.columns("name").value == "b")
+      assert(del.columns("id").v == "2" && del.columns("name").v == "b")
 
       // ack everything spooled; the translated LSN must reach the
       // server's slot state (confirmed_flush_lsn) via StandbyStatusUpdate
@@ -241,12 +255,14 @@ class LivePgSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       admin.simpleQuery("INSERT INTO soak_users VALUES (3, 'c')")
       val spool2 = Files.createTempDirectory("graft_soak_spool2").toString
       receiver = new PgWalReceiver(srv.connect(), spool2)
-      receiver.start("soak_stream") // startLsn 0/0 → continue from confirmed_flush
+      // startLsn 0/0 → continue from confirmed_flush
+      receiver.start("soak_stream",
+        pluginOptions = Seq("skip-empty-xacts" -> "1"))
       assert(receiver.awaitLines(3), "resume should deliver exactly the new txn")
       val parsed2 = spoolLines(spool2).take(3).map(l => TestDecodingParser.parse(l)
         .fold(e => fail(s"parse failed: $e [$l]"), identity))
       assert(parsed2.map(_.operation) == Seq("BEGIN", "INSERT", "COMMIT"))
-      assert(parsed2(1).columns("id").value == "3")
+      assert(parsed2(1).columns("id").v == "3")
       assert(!spoolLines(spool2).exists(l => l.contains("id[integer]:1") || l.contains("id[integer]:2")),
         "acked transactions must not replay")
     } finally {
@@ -289,8 +305,13 @@ class LivePgSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       runOnce()
 
       val spark = TestSpark.spark
+      // read the sink ROOT so Spark consults the streaming file sink's
+      // _spark_metadata commit log — a retried micro-batch may leave
+      // orphan part files a raw glob would double-count, which is
+      // exactly the exactly-once property this test asserts
       def records(): Seq[String] =
-        spark.read.text(outDir + "/*/*/*/*/*.gz").collect().map(_.getString(0)).toSeq
+        spark.read.text(outDir).select("value")
+          .collect().map(_.getString(0)).toSeq
       val first = records()
       // 2 inserts + 1 update + 2000 bulk inserts; soak_skip blacklisted
       assert(first.length == 2003, s"expected 2003 records, got ${first.length}")

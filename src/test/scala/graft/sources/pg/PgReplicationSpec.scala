@@ -374,4 +374,57 @@ class PgReplicationSpec extends AnyFunSuite {
       assert(c2.currentAckLsn == 0x130L, "acks are monotone")
     } finally srv.stop()
   }
+
+  test("receiver stop() closes the replication connection and releases the slot") {
+    val srv = new FakePgServer(txnLines, keepaliveAfterFrames = false)
+    val dir = Files.createTempDirectory("graft_pg_stopclose").toString
+    try {
+      val admin = newClient(srv.port)
+      admin.connect()
+      assert(admin.createSlot("s_close"))
+      val c = newClient(srv.port)
+      val r = new PgWalReceiver(c, dir)
+      r.start("s_close", 0L)
+      assert(r.awaitLines(txnLines.size.toLong))
+      assert(srv.activeSlots.contains("s_close"), "walsender holds the slot while streaming")
+      r.stop()
+      // the production slot-leak guard: a stopped receiver must not
+      // leave its walsender attached (the next run would get 55006)
+      assert(!c.isOpen, "stop() must close the replication connection")
+      assert(awaitTrue()(!srv.activeSlots.contains("s_close")),
+        "server releases the slot once the connection is gone")
+      admin.dropSlot("s_close")
+      assert(!srv.slots.contains("s_close"))
+      admin.close()
+    } finally srv.stop()
+  }
+
+  test("dropSlot: bounded 55006 retry while a walsender is attached, succeeds once it detaches") {
+    val srv = new FakePgServer(txnLines, keepaliveAfterFrames = false)
+    try {
+      val admin = newClient(srv.port)
+      admin.connect()
+      assert(admin.createSlot("s_active"))
+      val streamer = newClient(srv.port)
+      streamer.connect()
+      val t = new Thread(() => {
+        try streamer.startReplication("s_active", 0L) { _ => () }
+        catch { case _: Throwable => () }
+      })
+      t.setDaemon(true); t.start()
+      assert(awaitTrue()(srv.activeSlots.contains("s_active")))
+
+      // within the bounded wait the drop keeps retrying; past it, the
+      // real error surfaces instead of spinning forever
+      val e = intercept[PgError](admin.dropSlot("s_active", activeWaitMillis = 300L))
+      assert(e.sqlState == "55006")
+      assert(srv.slots.contains("s_active"), "failed drop leaves the slot")
+
+      // release the walsender mid-retry: drop completes on its own
+      new Thread(() => { Thread.sleep(500); streamer.close() }).start()
+      admin.dropSlot("s_active") // default wait rides out the detach
+      assert(!srv.slots.contains("s_active"))
+      admin.close()
+    } finally srv.stop()
+  }
 }
