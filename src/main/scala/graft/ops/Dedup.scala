@@ -589,11 +589,13 @@ object Dedup {
     *
     *  1. one native pass stamps every k-gram of the normalized text
     *     with (position, rolling hash) ([[graft.functions.GramPositionHashes]]);
-    *  2. an inverted index joins positions sharing a gram hash across
+    *  2. an inverted index pairs positions sharing a gram hash across
     *     documents — RARE grams only (global frequency in
     *     [2, maxGramFreq]): boilerplate grams are stopword-like and
     *     would explode the candidate set, same blocking rationale as
-    *     [[ngramJaccardDuplicates]];
+    *     [[ngramJaccardDuplicates]]. Pairing is posting-list expansion
+    *     (group by hash, explode the ≤ maxGramFreq list twice in-row),
+    *     not a self-join — one pass over the gram stream, no merge;
     *  3. hits on the same (doc pair, diagonal pos_a − pos_b) at
     *     consecutive positions are one shared span: classic
     *     gaps-and-islands (`pos − row_number` per diagonal, windows
@@ -605,10 +607,11 @@ object Dedup {
     * whose interior crosses a blocked (ubiquitous) gram split into
     * fragments — the documented cost of bounding step 2's join.
     *
-    * The 100 TB story: the gram stream shuffles once to build the
-    * frequency index and once to join — both keyed on 64-bit-ish gram
-    * hashes; candidate volume is bounded by maxGramFreq² per gram
-    * value; the span merge touches only actual cross-doc hits.
+    * The 100 TB story: the gram stream shuffles ONCE, keyed on the
+    * 64-bit-ish gram hash — frequency filter, posting-list build, and
+    * pair expansion all ride that one exchange; candidate volume is
+    * bounded by maxGramFreq² per gram value; the span merge touches
+    * only actual cross-doc hits.
     */
   def repeatedSpans(
       df: DataFrame, textCol: String, idCol: String,
@@ -624,21 +627,30 @@ object Dedup {
     // the two sides are canonically identical subtrees, so ReuseExchange
     // collapses them to one compute under a shuffle join.
     val wH = Window.partitionBy("h")
-    // Measured alternative (rejected): a trailing repartition(h) would
-    // lift the exchange-reuse boundary above the window so the blocking
-    // pass runs once — but the added shuffle of the survivors measured
-    // ~45% SLOWER at sf0.1 than letting each join side re-sort the
-    // reused exchange output (SpanPlanSpec pins the reuse structurally).
     val b = g.withColumn("cnt", count(lit(1)).over(wH))
       .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
-    val x = b.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
-    val y = b.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b"))
+    // Posting-list pair expansion (round 11, replacing the former
+    // h-keyed self-join): group the surviving gram stream by h — the
+    // window's exchange already hash-partitioned it on h, so the
+    // aggregation adds NO shuffle — then expand candidate pairs in-row
+    // with two explodes. The self-join paid a second sort+window pass
+    // over the full gram stream plus the SortMergeJoin merge even with
+    // ReuseExchange collapsing the two scans; this shape pays one pass.
+    // collect_list is bounded at any corpus size because it runs AFTER
+    // the frequency filter: no posting list exceeds maxGramFreq
+    // entries, so per-group state is ≤ 50 structs regardless of how
+    // ubiquitous a gram is in the raw corpus.
+    val posts = b.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("ps"))
     // (id, pos) carries exactly one hash, so hit rows are already
     // distinct; d identifies the alignment diagonal
-    val hits = x.join(y, Seq("h"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
-        (col("pos_a") - col("pos_b")).as("d"))
+    val hits = posts
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("o"))
+      .where(col("a.id") < col("o.id"))
+      .select(col("a.id").as("id_a"), col("o.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("o.pos").as("pos_b"),
+        (col("a.pos") - col("o.pos")).as("d"))
     val wOrd = Window.partitionBy("id_a", "id_b", "d").orderBy("pos_a")
     hits.withColumn("island", col("pos_a") - row_number().over(wOrd))
       .groupBy("id_a", "id_b", "d", "island")
