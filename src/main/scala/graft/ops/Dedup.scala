@@ -603,45 +603,47 @@ object Dedup {
     *     maximal spans of length `run + k − 1 ≥ minLen`.
     *
     * Output: (id_a, id_b, start_a, start_b, span_len) per maximal
-    * shared span (1-based starts into the NORMALIZED text). Spans
-    * whose interior crosses a blocked (ubiquitous) gram split into
-    * fragments — the documented cost of bounding step 2's join.
+    * shared span (1-based starts into the NORMALIZED text); ids are
+    * returned as longs (the id column must be integral). Spans whose
+    * interior crosses a blocked (ubiquitous) gram split into
+    * fragments — the documented cost of bounding step 2's pairing.
     *
     * The 100 TB story: the gram stream shuffles ONCE, keyed on the
-    * 64-bit-ish gram hash — frequency filter, posting-list build, and
-    * pair expansion all ride that one exchange; candidate volume is
-    * bounded by maxGramFreq² per gram value; the span merge touches
-    * only actual cross-doc hits.
+    * 64-bit-ish gram hash, and what ships is map-side-combined partial
+    * posting states (≤ maxGramFreq+1 entries per gram per partition),
+    * not raw occurrences — frequency cutoff, posting-list build, and
+    * pair expansion all ride that one exchange with NO sort of the
+    * gram stream anywhere; candidate volume is bounded by maxGramFreq²
+    * per gram value; the span merge touches only actual cross-doc hits.
     */
   def repeatedSpans(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50): DataFrame = {
-    val g = df.select(col(idCol).as("id"),
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"repeatedSpans requires an integral $idCol (got $idType): the " +
+        "bounded posting-list aggregate stores ids as 64-bit longs")
+    val g = df.select(col(idCol).cast("long").as("id"),
         explode(column(graft.functions.GramPositionHashes(
           expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    // Rare-gram blocking as a count-over-window on h, NOT a groupBy +
-    // semi-join: the join form inlines the frequency subquery into BOTH
-    // self-join sides, so the gram explode ran 4x; this form shuffles
-    // the gram stream once per side on the SAME key the join needs, and
-    // the two sides are canonically identical subtrees, so ReuseExchange
-    // collapses them to one compute under a shuffle join.
-    val wH = Window.partitionBy("h")
-    val b = g.withColumn("cnt", count(lit(1)).over(wH))
-      .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
-    // Posting-list pair expansion (round 11, replacing the former
-    // h-keyed self-join): group the surviving gram stream by h — the
-    // window's exchange already hash-partitioned it on h, so the
-    // aggregation adds NO shuffle — then expand candidate pairs in-row
-    // with two explodes. The self-join paid a second sort+window pass
-    // over the full gram stream plus the SortMergeJoin merge even with
-    // ReuseExchange collapsing the two scans; this shape pays one pass.
-    // collect_list is bounded at any corpus size because it runs AFTER
-    // the frequency filter: no posting list exceeds maxGramFreq
-    // entries, so per-group state is ≤ 50 structs regardless of how
-    // ubiquitous a gram is in the raw corpus.
-    val posts = b.groupBy("h")
-      .agg(collect_list(struct(col("id"), col("pos"))).as("ps"))
+    // Inverted-index build + frequency cutoff as ONE aggregation
+    // ([[graft.functions.BoundedPostingList]]): per-group state is
+    // hard-capped at maxGramFreq+1 postings — ubiquitous grams evaluate
+    // to an empty list, dropped by the size filter below with exactly
+    // the semantics of the former count-over-window blocking — so the
+    // gram stream needs NO sort anywhere and aggregates map-side before
+    // its single shuffle (duplicate grams combine per partition; the
+    // exchange ships partial posting states, not raw occurrences).
+    // Rounds ≤10 paid a full window sort here just to make collect_list
+    // memory-safe, plus a second sort and a SortMergeJoin for the
+    // candidate self-join.
+    val posts = g.groupBy("h")
+      .agg(column(graft.functions.BoundedPostingList(
+          expression(struct(col("id"), col("pos"))), maxGramFreq)
+        .toAggregateExpression()).as("ps"))
+      .where(size(col("ps")).between(2, maxGramFreq))
     // (id, pos) carries exactly one hash, so hit rows are already
     // distinct; d identifies the alignment diagonal
     val hits = posts

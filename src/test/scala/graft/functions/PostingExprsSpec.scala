@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[BoundedPostingList]] must implement EXACTLY the semantics of the
+  * count-over-window + collect_list pair it replaced in
+  * [[graft.ops.Dedup.repeatedSpans]]: groups with 2..cap entries keep
+  * every posting; groups outside that band vanish. The overflow
+  * representation (empty array once a group exceeds cap) must survive
+  * partial/final merges and serialization, or a 100-TB run would
+  * resurrect boilerplate grams the cutoff exists to drop.
+  */
+class PostingExprsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def agg(cap: Int) = column(BoundedPostingList(
+    expression(struct(col("id"), col("pos"))), cap).toAggregateExpression())
+
+  test("bounded_posting_list matches window-count + collect_list on every group band") {
+    // h=1: single entry (below band), h=2: exactly 2, h=3: exactly cap,
+    // h=4: cap+1 (overflow), h=5: far over cap — across many partitions
+    // so merge() paths run
+    val cap = 5
+    val rows = Seq.tabulate(1)(i => (1L, 100L + i, 10 + i)) ++
+      Seq.tabulate(2)(i => (2L, 200L + i, 20 + i)) ++
+      Seq.tabulate(5)(i => (3L, 300L + i, 30 + i)) ++
+      Seq.tabulate(6)(i => (4L, 400L + i, 40 + i)) ++
+      Seq.tabulate(40)(i => (5L, 500L + i, 50 + i))
+    val df = rows.toDF("h", "id", "pos").repartition(7)
+
+    val got = df.groupBy("h").agg(agg(cap).as("ps"))
+      .where(size(col("ps")).between(2, cap))
+      .select(col("h"), explode(col("ps")).as("p"))
+      .select(col("h"), col("p.id").as("id"), col("p.pos").as("pos"))
+      .as[(Long, Long, Int)].collect().toSet
+
+    val wH = Window.partitionBy("h")
+    val want = df.withColumn("cnt", count(lit(1)).over(wH))
+      .where(col("cnt") >= 2 && col("cnt") <= cap)
+      .select(col("h"), col("id"), col("pos"))
+      .as[(Long, Long, Int)].collect().toSet
+
+    assert(got == want)
+    assert(want.map(_._1) == Set(2L, 3L)) // the fixture exercises both drops
+  }
+
+  test("overflow survives merge: two half-full partials that together exceed cap drop the group") {
+    val cap = 4
+    // 6 entries for one h, split so no single partition exceeds cap on
+    // its own — only the merge can detect the overflow
+    val df = Seq.tabulate(6)(i => (7L, i.toLong, i)).toDF("h", "id", "pos")
+      .repartition(6)
+    val out = df.groupBy("h").agg(agg(cap).as("ps"))
+      .where(size(col("ps")).between(2, cap))
+    assert(out.count() == 0)
+  }
+
+  test("serialize/deserialize round-trips entries and the overflow marker") {
+    val a = BoundedPostingList(expression(struct(lit(1L), lit(1))), 3)
+    val buf = a.createAggregationBuffer()
+    buf.add(11L, 1); buf.add(12L, 2)
+    val rt = a.deserialize(a.serialize(buf))
+    assert(rt.n == 2 && rt.ids.take(2).toSeq == Seq(11L, 12L) &&
+      rt.poss.take(2).toSeq == Seq(1, 2))
+    // overflow: cap+1 entries stored, further adds ignored, n stays cap+1
+    (1 to 6).foreach(i => buf.add(20L + i, i))
+    assert(buf.n == 4)
+    val rtOver = a.deserialize(a.serialize(buf))
+    assert(rtOver.n == 4)
+    assert(a.eval(rtOver).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
+}

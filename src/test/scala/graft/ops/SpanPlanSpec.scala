@@ -46,5 +46,12 @@ class SpanPlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
     assert(exchanges == 2,
       s"expected 2 hash exchanges (gram h + island window), saw $exchanges:\n${finalPlan.take(4000)}")
+    // the frequency cutoff lives inside bounded_posting_list — there
+    // must be no count-over-window on h (only the island-merge window)
+    assert(finalPlan.contains("bounded_posting_list"),
+      s"expected the bounded posting-list aggregate:\n${finalPlan.take(4000)}")
+    val windows = "Window ".r.findAllIn(finalPlan).size
+    assert(windows == 1,
+      s"expected ONE window (island merge), saw $windows:\n${finalPlan.take(4000)}")
   }
 }
