@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Randomized cross-check of [[Dedup.repeatedSpans]] and
+  * [[Dedup.dropRepeatedSpans]] against a direct per-pair reference.
+  *
+  * The fixed fixture in OpsSpec and the DuckDB oracle pin a handful of
+  * hand-constructed cases; this spec pins the ALGEBRA — gram-band
+  * blocking by total occurrence count, per-(pair, diagonal) island
+  * merge, keep-first interval surgery with overlap/nesting — on random
+  * corpora with planted shared substrings, where blocking fragments
+  * and overlapping cuts actually occur. The reference uses string
+  * k-gram equality where the implementation uses Rabin–Karp hashes;
+  * agreement also bounds the collision exposure on realistic gram
+  * volumes.
+  */
+class SpanBruteForceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference spans over already-normalized strings: grams with total
+    * corpus occurrence count in [2, maxFreq] pair across documents;
+    * runs of consecutive positions on one (pair, diagonal) merge into
+    * maximal spans of run + k - 1 chars. 1-based positions, matching
+    * `gram_position_hashes`.
+    */
+  private def refSpans(norm: Map[Long, String], k: Int, minLen: Int,
+                       maxFreq: Int): Set[(Long, Long, Int, Int, Long)] = {
+    def grams(s: String): Array[String] =
+      if (s.length < k) Array.empty[String]
+      else Array.tabulate(s.length - k + 1)(i => s.substring(i, i + k))
+    val g = norm.map { case (id, s) => id -> grams(s) }
+    val cnt = g.values.flatten.toSeq.groupBy(identity)
+      .map { case (x, xs) => x -> xs.size }
+    def inBand(x: String) = { val c = cnt(x); c >= 2 && c <= maxFreq }
+    val out = scala.collection.mutable.Set[(Long, Long, Int, Int, Long)]()
+    val ids = norm.keys.toSeq.sorted
+    for {
+      ai <- ids.indices
+      bi <- (ai + 1) until ids.size
+    } {
+      val a = ids(ai); val b = ids(bi)
+      val ga = g(a); val gb = g(b)
+      val byDiag = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+      for (pa <- ga.indices if inBand(ga(pa)); pb <- gb.indices if ga(pa) == gb(pb))
+        byDiag.getOrElseUpdate(pa - pb, scala.collection.mutable.ArrayBuffer.empty) += pa
+      for ((d, psRaw) <- byDiag) {
+        val ps = psRaw.sorted
+        var i = 0
+        while (i < ps.size) {
+          var j = i
+          while (j + 1 < ps.size && ps(j + 1) == ps(j) + 1) j += 1
+          val len = ps(j) - ps(i) + k
+          if (len >= minLen)
+            out += ((a, b, ps(i) + 1, ps(i) - d + 1, len.toLong))
+          i = j + 1
+        }
+      }
+    }
+    out.toSet
+  }
+
+  /** Reference keep-first surgery: excise the merged cut intervals
+    * (1-based [start, start+len)) from the normalized text — the same
+    * sorted fold `dropRepeatedSpans` runs as a Catalyst `aggregate`.
+    */
+  private def refCut(s: String, cuts: Seq[(Int, Long)]): String = {
+    val sb = new StringBuilder
+    var pos = 1
+    for ((st, l) <- cuts.sorted) {
+      if (st > pos) sb.append(s.substring(pos - 1, st - 1))
+      pos = math.max(pos, st + l.toInt)
+    }
+    if (pos <= s.length) sb.append(s.substring(pos - 1))
+    sb.toString
+  }
+
+  /** Random docs over a small alphabet (so band blocking actually
+    * bites) with planted cross-document substrings (so spans actually
+    * exist). Spaces exercise normalize's whitespace collapse — the
+    * reference reads the NORMALIZED text back from Spark, so positions
+    * stay aligned by construction.
+    */
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val alpha = "abcdef "
+    def rand(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val base = Array.tabulate(nDocs)(_ => new StringBuilder(rand(60 + rnd.nextInt(120))))
+    for (_ <- 0 until 2 * nDocs) {
+      val src = rnd.nextInt(nDocs); val dst = rnd.nextInt(nDocs)
+      if (src != dst && base(src).length > 40) {
+        val s = base(src).toString
+        val from = rnd.nextInt(s.length - 40)
+        val piece = s.substring(from, from + 12 + rnd.nextInt(25))
+        base(dst).insert(rnd.nextInt(base(dst).length), piece)
+      }
+    }
+    base.zipWithIndex.map { case (sb, i) => ((i + 1).toLong, sb.toString) }.toSeq
+  }
+
+  test("repeatedSpans + dropRepeatedSpans match the direct reference on random corpora") {
+    val k = 4; val minLen = 9; val maxFreq = 12
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = corpus(seed, 10).toDF("doc_id", "text").repartition(5)
+      val norm = docs.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("n"))
+        .as[(Long, String)].collect().toMap
+
+      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq)
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      val want = refSpans(norm, k, minLen, maxFreq)
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
+
+      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq)
+        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      for ((id, s) <- norm) {
+        val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
+        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed doc=$id")
+      }
+      // the point of the random fixture: blocking and overlap must occur
+      val anyCut = norm.keys.exists(id => want.exists(_._2 == id))
+      assert(anyCut, s"seed=$seed produced no cut side")
+    }
+  }
+}
