@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Profiling/diagnostic hook: SPARK_GRAFT_JAVA_OPTS injects extra JVM
+  // flags (e.g. -XX:StartFlightRecording for tools/profile_gate.py)
+  // into the forked run/test JVMs without editing the build.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

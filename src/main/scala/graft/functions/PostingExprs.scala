@@ -13,10 +13,10 @@ import org.apache.spark.sql.types._
 /** Aggregation state for [[BoundedPostingList]]: up to `cap` + 1
   * postings of (id, pos). The +1 slot is the overflow marker — a group
   * that receives more than `cap` entries stops storing at `cap` + 1
-  * and evaluates to an EMPTY list, which the caller's size filter then
-  * drops exactly like a too-frequent gram. Per-group state is
-  * therefore O(cap) regardless of how ubiquitous the gram is — the
-  * property that lets the aggregation run map-side at any corpus size.
+  * and evaluates to NULL, which the caller's null filter then drops
+  * exactly like a too-frequent gram. Per-group state is therefore
+  * O(cap) regardless of how ubiquitous the gram is — the property that
+  * lets the aggregation run map-side at any corpus size.
   */
 final class PostingBuf(val cap: Int) {
   val ids = new Array[Long](cap + 1)
@@ -30,34 +30,41 @@ final class PostingBuf(val cap: Int) {
   }
 }
 
-/** `bounded_posting_list(struct<id:bigint,pos:int>, cap)` — the
-  * inverted-index build step of [[graft.ops.Dedup.repeatedSpans]] as a
-  * single aggregation with HARD-BOUNDED per-group state.
+/** `bounded_posting_list(struct<id:bigint,pos:int>, cap, minSize)` —
+  * the inverted-index build step of [[graft.ops.Dedup.repeatedSpans]]
+  * as a single aggregation with HARD-BOUNDED per-group state.
   *
   * Replaces the count-over-window + collect_list pair: the window
   * needed a full sort of the gram stream just to count occurrences
   * before collect_list could safely run (unbounded lists would OOM on
   * boilerplate grams). This aggregate enforces the frequency cutoff
-  * INSIDE the accumulator — beyond `cap` entries it stops storing and
-  * yields an empty list — so it needs no pre-sort, runs with map-side
-  * partial aggregation (duplicate grams combine before the shuffle),
-  * and ships ≤ `cap` + 1 postings per distinct gram per map partition.
+  * INSIDE the accumulator — beyond `cap` entries it stops storing —
+  * so it needs no pre-sort, runs with map-side partial aggregation
+  * (duplicate grams combine before the shuffle), and ships ≤ `cap` + 1
+  * postings per distinct gram per map partition.
   *
-  * Output: the postings array when the group's total count is ≤ `cap`,
-  * else an empty array. Callers filter `size(...) between 2 and cap`,
-  * which reads identically for both representations (an overflowed
-  * group's true count is > cap, so it must be dropped; the empty array
-  * drops it). Ordering within the array is accumulation order —
-  * callers must not rely on it (the span detector doesn't: pair
-  * expansion is order-insensitive and the island merge re-sorts).
+  * Output: the postings array when the group's total count is in
+  * `[minSize, cap]`, else NULL. The band lives in `eval` rather than a
+  * downstream `size(...)` filter because eval runs once per DISTINCT
+  * group: on a real corpus the overwhelming majority of grams are
+  * singletons, and banding here means those groups allocate NOTHING
+  * (profiled round 12: the former always-materialize eval put
+  * per-posting row allocation at the top of the span family's
+  * allocation profile). An overflowed group's true count is > cap, so
+  * NULL drops it with exactly the former size-filter semantics.
+  * Ordering within the array is accumulation order — callers must not
+  * rely on it (the span detector doesn't: pair expansion is
+  * order-insensitive and the island merge re-sorts).
   */
 case class BoundedPostingList(
     child: Expression,
     cap: Int,
+    minSize: Int = 2,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PostingBuf] with UnaryLike[Expression] {
   require(cap >= 1, "cap must be positive")
+  require(minSize >= 0 && minSize <= cap, "minSize must be in [0, cap]")
 
   override def createAggregationBuffer(): PostingBuf = new PostingBuf(cap)
 
@@ -65,7 +72,10 @@ case class BoundedPostingList(
     val v = child.eval(input)
     if (v != null) {
       val r = v.asInstanceOf[InternalRow]
-      buf.add(r.getLong(0), r.getInt(1))
+      // A null id or pos field would unbox to 0 and silently pair as
+      // doc 0 / position 0 — skip it, matching the null-propagating
+      // comparison semantics of the join form this aggregate replaced.
+      if (!r.isNullAt(0) && !r.isNullAt(1)) buf.add(r.getLong(0), r.getInt(1))
     }
     buf
   }
@@ -80,7 +90,7 @@ case class BoundedPostingList(
   }
 
   override def eval(buf: PostingBuf): Any =
-    if (buf.n > cap) new GenericArrayData(Array.empty[Any])
+    if (buf.n > cap || buf.n < minSize) null
     else {
       val out = new Array[Any](buf.n)
       var i = 0
@@ -121,7 +131,7 @@ case class BoundedPostingList(
       StructField("id", LongType, nullable = false),
       StructField("pos", IntegerType, nullable = false))),
     containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "bounded_posting_list"
 
   override def withNewMutableAggBufferOffset(n: Int): BoundedPostingList =

@@ -607,6 +607,10 @@ object Dedup {
     * returned as longs (the id column must be integral). Spans whose
     * interior crosses a blocked (ubiquitous) gram split into
     * fragments — the documented cost of bounding step 2's pairing.
+    * With `includeSelf = true`, same-document repeats (a doc repeating
+    * its own template/chrome — the within-document half of Lee et
+    * al.'s ExactSubstr) are also emitted, as id_a = id_b rows with
+    * start_a < start_b (one row per mirrored diagonal pair).
     *
     * The 100 TB story: the gram stream shuffles ONCE, keyed on the
     * 64-bit-ish gram hash, and what ships is map-side-combined partial
@@ -618,38 +622,70 @@ object Dedup {
     */
   def repeatedSpans(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50): DataFrame = {
+      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50,
+      includeSelf: Boolean = false,
+      strategy: String = SpanIndexAuto): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"repeatedSpans requires an integral $idCol (got $idType): the " +
         "bounded posting-list aggregate stores ids as 64-bit longs")
-    val g = df.select(col(idCol).cast("long").as("id"),
+    // Null ids can't participate in span pairing (the old join form
+    // dropped them via null-propagating id comparisons; the aggregate
+    // also guards, but filtering here skips gram generation entirely).
+    val g = df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         explode(column(graft.functions.GramPositionHashes(
           expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    // Inverted-index build + frequency cutoff as ONE aggregation
-    // ([[graft.functions.BoundedPostingList]]): per-group state is
-    // hard-capped at maxGramFreq+1 postings — ubiquitous grams evaluate
-    // to an empty list, dropped by the size filter below with exactly
-    // the semantics of the former count-over-window blocking — so the
-    // gram stream needs NO sort anywhere and aggregates map-side before
-    // its single shuffle (duplicate grams combine per partition; the
-    // exchange ships partial posting states, not raw occurrences).
-    // Rounds ≤10 paid a full window sort here just to make collect_list
-    // memory-safe, plus a second sort and a SortMergeJoin for the
-    // candidate self-join.
-    val posts = g.groupBy("h")
-      .agg(column(graft.functions.BoundedPostingList(
-          expression(struct(col("id"), col("pos"))), maxGramFreq)
-        .toAggregateExpression()).as("ps"))
-      .where(size(col("ps")).between(2, maxGramFreq))
+    // Inverted-index build + frequency cutoff, strategy-selected (the
+    // measured crossover is documented in SCALE.md; `auto` picks by
+    // estimated input size — see [[resolveSpanStrategy]]):
+    //
+    //  - `bounded` (the spill-regime winner, ≥ ~sf3): ONE aggregation
+    //    ([[graft.functions.BoundedPostingList]]) whose per-group state
+    //    is hard-capped at maxGramFreq+1 postings — out-of-band grams
+    //    (singletons and ubiquitous boilerplate) evaluate to NULL — so
+    //    the gram stream needs NO global sort and aggregates map-side
+    //    before its single shuffle (duplicate grams combine per
+    //    partition; the exchange ships partial posting states, not raw
+    //    occurrences). At sf10 this is −27 %/−8 % vs the window form
+    //    and, unlike it, never builds an unbounded collect_list.
+    //  - `window` (the in-memory winner, ≤ ~sf1): count-over-window on
+    //    h then collect_list — ONE codegen'd sort of the gram stream,
+    //    which beats the object-aggregate's per-partition fallback
+    //    sorts while everything fits in memory (~2× at sf0.1). The
+    //    collect_list is memory-safe only BECAUSE it runs after the
+    //    frequency filter (≤ maxGramFreq entries per group).
+    val posts = resolveSpanStrategy(df, textCol, idCol, strategy) match {
+      case SpanIndexBounded =>
+        g.groupBy("h")
+          .agg(column(graft.functions.BoundedPostingList(
+              expression(struct(col("id"), col("pos"))), maxGramFreq, minSize = 2)
+            .toAggregateExpression()).as("ps"))
+          .where(col("ps").isNotNull)
+      case SpanIndexWindow =>
+        val wH = Window.partitionBy("h")
+        g.withColumn("cnt", count(lit(1)).over(wH))
+          .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
+          .groupBy("h")
+          .agg(collect_list(struct(col("id"), col("pos"))).as("ps"))
+    }
     // (id, pos) carries exactly one hash, so hit rows are already
-    // distinct; d identifies the alignment diagonal
+    // distinct; d identifies the alignment diagonal. Cross-doc pairs
+    // order by id; same-doc pairs (ExactSubstr's within-document
+    // boilerplate case, Lee et al. §4.1) order by position — pos_a <
+    // pos_b keeps one of each mirrored diagonal pair and makes side A
+    // the EARLIER occurrence, which the keep-first surgery relies on.
+    val pairCond =
+      if (includeSelf)
+        col("a.id") < col("o.id") ||
+          (col("a.id") === col("o.id") && col("a.pos") < col("o.pos"))
+      else col("a.id") < col("o.id")
     val hits = posts
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("o"))
-      .where(col("a.id") < col("o.id"))
+      .where(pairCond)
       .select(col("a.id").as("id_a"), col("o.id").as("id_b"),
         col("a.pos").as("pos_a"), col("o.pos").as("pos_b"),
         (col("a.pos") - col("o.pos")).as("d"))
@@ -663,6 +699,43 @@ object Dedup {
         (col("start_a") - col("d")).as("start_b"), col("span_len"))
   }
 
+  /** [[repeatedSpans]] index strategies: `auto` selects by estimated
+    * input size, `bounded`/`window` force one side of the measured
+    * crossover (SCALE.md, round 11–12 A/B at three decades).
+    */
+  val SpanIndexAuto = "auto"
+  val SpanIndexBounded = "bounded"
+  val SpanIndexWindow = "window"
+
+  /** Conf key overriding the auto-select threshold: estimated
+    * (id, text) input bytes at or above which `auto` uses the bounded
+    * posting-list aggregate. The default sits between the measured sf1
+    * (window wins by ~30 %) and sf10 (bounded wins, and the window
+    * form's global sort is the thing that OOM'd) corpora — biased LOW
+    * because the bounded form degrades gracefully (it pays ~30 % in
+    * the in-memory regime) while the window form degrades
+    * catastrophically (unbounded sort spill at corpus scale).
+    */
+  val SpanBoundedMinBytesKey = "spark.graft.span.boundedMinBytes"
+  val SpanBoundedMinBytesDefault: Long = 16L * 1024 * 1024
+
+  private def resolveSpanStrategy(
+      df: DataFrame, textCol: String, idCol: String, strategy: String): String =
+    strategy match {
+      case SpanIndexBounded | SpanIndexWindow => strategy
+      case SpanIndexAuto =>
+        // Catalyst's own size estimate of the pruned (id, text)
+        // projection — no job runs; unknown-size sources estimate
+        // conservatively LARGE, which picks the scale-safe bounded form.
+        val bytes = df.select(col(idCol), col(textCol))
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val threshold = BigInt(df.sparkSession.conf
+          .get(SpanBoundedMinBytesKey, SpanBoundedMinBytesDefault.toString))
+        if (bytes >= threshold) SpanIndexBounded else SpanIndexWindow
+      case other => throw new IllegalArgumentException(
+        s"unknown span index strategy '$other' (auto|bounded|window)")
+    }
+
   /** Apply [[repeatedSpans]]: remove each repeated span from every
     * document EXCEPT its first occurrence (lowest doc id — the
     * keep-first policy of Lee et al.'s ExactSubstr dedup), returning
@@ -673,15 +746,21 @@ object Dedup {
     * carries (next uncut position, output so far); overlapping and
     * nested intervals merge naturally through the running
     * `greatest(pos, s + l)`. Chains behave like the paper: a span
-    * shared by docs a < b < c survives only in a.
+    * shared by docs a < b < c survives only in a. With `includeSelf`,
+    * a document repeating its own boilerplate also keeps only the
+    * FIRST (lowest-position) occurrence — the later copies arrive as
+    * same-id cut intervals and fold through the identical machinery.
     *
     * Zero extra shuffles beyond [[repeatedSpans]] + one groupBy(doc)
     * of the span rows and a (broadcastable) join back to the corpus.
     */
   def dropRepeatedSpans(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50): DataFrame = {
-    val spans = repeatedSpans(df, textCol, idCol, k, minLen, maxGramFreq)
+      k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50,
+      includeSelf: Boolean = false,
+      strategy: String = SpanIndexAuto): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, k, minLen, maxGramFreq,
+      includeSelf, strategy)
     val cuts = spans.select(col("id_b").as("__cut_id"),
         struct(col("start_b").as("s"), col("span_len").cast("int").as("l")).as("c"))
       .groupBy("__cut_id").agg(sort_array(collect_list(col("c"))).as("__cs"))

@@ -305,11 +305,7 @@ final class PgReplicationClient(
   def startReplication(slot: String, startLsn: Long,
                        pluginOptions: Seq[(String, String)] = Nil)(
                        handler: XLogData => Unit): Unit = {
-    val opts =
-      if (pluginOptions.isEmpty) ""
-      else pluginOptions
-        .map { case (k, v) => "\"" + k + "\" '" + v + "'" }
-        .mkString(" (", ", ", ")")
+    val opts = PgReplicationClient.formatPluginOptions(pluginOptions)
     writeMsg(out, Tpe.Query,
       new Builder().cstring(
         s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)}$opts").result())
@@ -441,9 +437,31 @@ final class PgReplicationClient(
 
   def close(): Unit = {
     stopRequested.set(true)
+    // Clear the liveness flag BEFORE the best-effort Terminate/socket
+    // teardown: if socket.close() throws, isOpen must still report
+    // closed — the slot-leak guard it feeds would otherwise see a
+    // connection as open forever.
+    connected = false
     try if (out != null) writeMsg(out, Tpe.Terminate, Array.emptyByteArray)
     catch { case _: Throwable => () }
     try if (socket != null) socket.close()
     catch { case _: Throwable => () }
   }
+}
+
+object PgReplicationClient {
+  /** Render output-plugin options in walsender grammar —
+    * `("name" 'value', …)` — with proper quoting: keys are
+    * double-quoted identifiers (embedded `"` doubles to `""`), values
+    * single-quoted literals (embedded `'` doubles to `''`). Without
+    * the doubling, a value containing a quote would break out of the
+    * literal and inject into the START_REPLICATION command.
+    */
+  def formatPluginOptions(pluginOptions: Seq[(String, String)]): String =
+    if (pluginOptions.isEmpty) ""
+    else pluginOptions
+      .map { case (k, v) =>
+        "\"" + k.replace("\"", "\"\"") + "\" '" + v.replace("'", "''") + "'"
+      }
+      .mkString(" (", ", ", ")")
 }

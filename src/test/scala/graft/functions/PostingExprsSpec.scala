@@ -9,9 +9,10 @@ import graft.TestSpark
 
 /** [[BoundedPostingList]] must implement EXACTLY the semantics of the
   * count-over-window + collect_list pair it replaced in
-  * [[graft.ops.Dedup.repeatedSpans]]: groups with 2..cap entries keep
-  * every posting; groups outside that band vanish. The overflow
-  * representation (empty array once a group exceeds cap) must survive
+  * [[graft.ops.Dedup.repeatedSpans]]: groups with minSize..cap entries
+  * keep every posting; groups outside that band vanish (NULL — banding
+  * lives in eval so out-of-band groups, the overwhelming majority on a
+  * real corpus, allocate nothing). The overflow marker must survive
   * partial/final merges and serialization, or a 100-TB run would
   * resurrect boilerplate grams the cutoff exists to drop.
   */
@@ -35,7 +36,7 @@ class PostingExprsSpec extends AnyFunSuite {
     val df = rows.toDF("h", "id", "pos").repartition(7)
 
     val got = df.groupBy("h").agg(agg(cap).as("ps"))
-      .where(size(col("ps")).between(2, cap))
+      .where(col("ps").isNotNull)
       .select(col("h"), explode(col("ps")).as("p"))
       .select(col("h"), col("p.id").as("id"), col("p.pos").as("pos"))
       .as[(Long, Long, Int)].collect().toSet
@@ -50,6 +51,22 @@ class PostingExprsSpec extends AnyFunSuite {
     assert(want.map(_._1) == Set(2L, 3L)) // the fixture exercises both drops
   }
 
+  test("null id/pos postings are skipped, not stored as doc 0 / pos 0") {
+    // a null id used to unbox to 0L and pair as a phantom doc 0
+    // (round-11 advice); the aggregate must drop the posting, keeping
+    // the group's OTHER postings and its count semantics intact
+    val df = Seq(
+      (1L, Some(10L), Some(1)), (1L, None, Some(2)), (1L, Some(11L), None),
+      (1L, Some(12L), Some(3)),
+      (2L, None, Some(9))).toDF("h", "id", "pos").repartition(3)
+    val got = df.groupBy("h").agg(agg(5).as("ps"))
+      .where(col("ps").isNotNull)
+      .select(col("h"), explode(col("ps")).as("p"))
+      .select(col("h"), col("p.id"), col("p.pos"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (1L, 12L, 3)))
+  }
+
   test("overflow survives merge: two half-full partials that together exceed cap drop the group") {
     val cap = 4
     // 6 entries for one h, split so no single partition exceeds cap on
@@ -57,7 +74,7 @@ class PostingExprsSpec extends AnyFunSuite {
     val df = Seq.tabulate(6)(i => (7L, i.toLong, i)).toDF("h", "id", "pos")
       .repartition(6)
     val out = df.groupBy("h").agg(agg(cap).as("ps"))
-      .where(size(col("ps")).between(2, cap))
+      .where(col("ps").isNotNull)
     assert(out.count() == 0)
   }
 
@@ -68,12 +85,16 @@ class PostingExprsSpec extends AnyFunSuite {
     val rt = a.deserialize(a.serialize(buf))
     assert(rt.n == 2 && rt.ids.take(2).toSeq == Seq(11L, 12L) &&
       rt.poss.take(2).toSeq == Seq(1, 2))
+    assert(a.eval(rt) != null, "in-band group must materialize")
     // overflow: cap+1 entries stored, further adds ignored, n stays cap+1
     (1 to 6).foreach(i => buf.add(20L + i, i))
     assert(buf.n == 4)
     val rtOver = a.deserialize(a.serialize(buf))
     assert(rtOver.n == 4)
-    assert(a.eval(rtOver).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .numElements() == 0)
+    assert(a.eval(rtOver) == null, "overflowed group must evaluate to NULL")
+    // below band: a singleton evaluates to NULL too (minSize default 2)
+    val single = a.createAggregationBuffer()
+    single.add(1L, 1)
+    assert(a.eval(single) == null, "singleton group must evaluate to NULL")
   }
 }

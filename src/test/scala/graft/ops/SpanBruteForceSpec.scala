@@ -13,23 +13,29 @@ import graft.TestSpark
   * blocking by total occurrence count, per-(pair, diagonal) island
   * merge, keep-first interval surgery with overlap/nesting — on random
   * corpora with planted shared substrings, where blocking fragments
-  * and overlapping cuts actually occur. The reference uses string
-  * k-gram equality where the implementation uses Rabin–Karp hashes;
-  * agreement also bounds the collision exposure on realistic gram
-  * volumes.
+  * and overlapping cuts actually occur, under BOTH index strategies
+  * (window and bounded must be result-identical everywhere — the
+  * auto-select is a pure performance decision). The reference uses
+  * string k-gram equality where the implementation uses Rabin–Karp
+  * hashes; agreement also bounds the collision exposure on realistic
+  * gram volumes.
   */
 class SpanBruteForceSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  private val strategies = Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)
+
   /** Reference spans over already-normalized strings: grams with total
-    * corpus occurrence count in [2, maxFreq] pair across documents;
-    * runs of consecutive positions on one (pair, diagonal) merge into
-    * maximal spans of run + k - 1 chars. 1-based positions, matching
-    * `gram_position_hashes`.
+    * corpus occurrence count in [2, maxFreq] pair across documents —
+    * and, with `includeSelf`, across position pairs WITHIN a document
+    * (earlier position is side A); runs of consecutive positions on
+    * one (pair, diagonal) merge into maximal spans of run + k - 1
+    * chars. 1-based positions, matching `gram_position_hashes`.
     */
   private def refSpans(norm: Map[Long, String], k: Int, minLen: Int,
-                       maxFreq: Int): Set[(Long, Long, Int, Int, Long)] = {
+                       maxFreq: Int, includeSelf: Boolean = false):
+      Set[(Long, Long, Int, Int, Long)] = {
     def grams(s: String): Array[String] =
       if (s.length < k) Array.empty[String]
       else Array.tabulate(s.length - k + 1)(i => s.substring(i, i + k))
@@ -39,14 +45,11 @@ class SpanBruteForceSpec extends AnyFunSuite {
     def inBand(x: String) = { val c = cnt(x); c >= 2 && c <= maxFreq }
     val out = scala.collection.mutable.Set[(Long, Long, Int, Int, Long)]()
     val ids = norm.keys.toSeq.sorted
-    for {
-      ai <- ids.indices
-      bi <- (ai + 1) until ids.size
-    } {
-      val a = ids(ai); val b = ids(bi)
-      val ga = g(a); val gb = g(b)
+
+    def mergeDiagonals(a: Long, b: Long,
+                       pairs: Iterator[(Int, Int)]): Unit = {
       val byDiag = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Int]]()
-      for (pa <- ga.indices if inBand(ga(pa)); pb <- gb.indices if ga(pa) == gb(pb))
+      for ((pa, pb) <- pairs)
         byDiag.getOrElseUpdate(pa - pb, scala.collection.mutable.ArrayBuffer.empty) += pa
       for ((d, psRaw) <- byDiag) {
         val ps = psRaw.sorted
@@ -60,6 +63,25 @@ class SpanBruteForceSpec extends AnyFunSuite {
           i = j + 1
         }
       }
+    }
+
+    for {
+      ai <- ids.indices
+      bi <- (ai + 1) until ids.size
+    } {
+      val a = ids(ai); val b = ids(bi)
+      val ga = g(a); val gb = g(b)
+      mergeDiagonals(a, b, for {
+        pa <- ga.indices.iterator if inBand(ga(pa))
+        pb <- gb.indices.iterator if ga(pa) == gb(pb)
+      } yield (pa, pb))
+    }
+    if (includeSelf) for (a <- ids) {
+      val ga = g(a)
+      mergeDiagonals(a, a, for {
+        pa <- ga.indices.iterator if inBand(ga(pa))
+        pb <- (pa + 1) until ga.length if ga(pa) == ga(pb)
+      } yield (pa, pb))
     }
     out.toSet
   }
@@ -81,18 +103,22 @@ class SpanBruteForceSpec extends AnyFunSuite {
 
   /** Random docs over a small alphabet (so band blocking actually
     * bites) with planted cross-document substrings (so spans actually
-    * exist). Spaces exercise normalize's whitespace collapse — the
-    * reference reads the NORMALIZED text back from Spark, so positions
-    * stay aligned by construction.
+    * exist); with `allowSelf`, ~half the insertions copy a piece of a
+    * doc into ITSELF (so within-document repeats exist too). Spaces
+    * exercise normalize's whitespace collapse — the reference reads the
+    * NORMALIZED text back from Spark, so positions stay aligned by
+    * construction.
     */
-  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+  private def corpus(seed: Int, nDocs: Int,
+                     allowSelf: Boolean = false): Seq[(Long, String)] = {
     val rnd = new scala.util.Random(seed)
     val alpha = "abcdef "
     def rand(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
     val base = Array.tabulate(nDocs)(_ => new StringBuilder(rand(60 + rnd.nextInt(120))))
     for (_ <- 0 until 2 * nDocs) {
-      val src = rnd.nextInt(nDocs); val dst = rnd.nextInt(nDocs)
-      if (src != dst && base(src).length > 40) {
+      val src = rnd.nextInt(nDocs)
+      val dst = if (allowSelf && rnd.nextBoolean()) src else rnd.nextInt(nDocs)
+      if ((src != dst || allowSelf) && base(src).length > 40) {
         val s = base(src).toString
         val from = rnd.nextInt(s.length - 40)
         val piece = s.substring(from, from + 12 + rnd.nextInt(25))
@@ -104,27 +130,57 @@ class SpanBruteForceSpec extends AnyFunSuite {
 
   test("repeatedSpans + dropRepeatedSpans match the direct reference on random corpora") {
     val k = 4; val minLen = 9; val maxFreq = 12
-    for (seed <- Seq(1, 2, 3)) {
+    for (seed <- Seq(1, 2, 3); strategy <- strategies) {
       val docs = corpus(seed, 10).toDF("doc_id", "text").repartition(5)
       val norm = docs.select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("n"))
         .as[(Long, String)].collect().toMap
 
-      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq)
+      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+          strategy = strategy)
         .as[(Long, Long, Int, Int, Long)].collect().toSet
       val want = refSpans(norm, k, minLen, maxFreq)
-      assert(got == want, s"seed=$seed")
+      assert(got == want, s"seed=$seed strategy=$strategy")
       assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
 
-      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq)
+      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+          strategy = strategy)
         .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
       for ((id, s) <- norm) {
         val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
-        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed doc=$id")
+        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed strategy=$strategy doc=$id")
       }
       // the point of the random fixture: blocking and overlap must occur
       val anyCut = norm.keys.exists(id => want.exists(_._2 == id))
       assert(anyCut, s"seed=$seed produced no cut side")
+    }
+  }
+
+  test("includeSelf: within-document repeats match the reference, and surgery keeps only the first occurrence") {
+    val k = 4; val minLen = 9; val maxFreq = 12
+    for (seed <- Seq(11, 12, 13); strategy <- strategies) {
+      val docs = corpus(seed, 8, allowSelf = true).toDF("doc_id", "text").repartition(5)
+      val norm = docs.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("n"))
+        .as[(Long, String)].collect().toMap
+
+      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+          includeSelf = true, strategy = strategy)
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      val want = refSpans(norm, k, minLen, maxFreq, includeSelf = true)
+      assert(got == want, s"seed=$seed strategy=$strategy")
+      val selfRows = want.filter(r => r._1 == r._2)
+      assert(selfRows.nonEmpty, s"seed=$seed planted no SELF repeats — fixture too weak")
+      // every self row pairs an earlier occurrence with a later one
+      assert(selfRows.forall(r => r._3 < r._4), "self rows must have start_a < start_b")
+
+      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+          includeSelf = true, strategy = strategy)
+        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      for ((id, s) <- norm) {
+        val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
+        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed strategy=$strategy doc=$id")
+      }
     }
   }
 }

@@ -427,4 +427,18 @@ class PgReplicationSpec extends AnyFunSuite {
       admin.close()
     } finally srv.stop()
   }
+  test("plugin options quote walsender-style; embedded quotes are doubled, not injected") {
+    import PgReplicationClient.formatPluginOptions
+    assert(formatPluginOptions(Nil) == "")
+    assert(formatPluginOptions(Seq("skip-empty-xacts" -> "1")) ==
+      """ ("skip-empty-xacts" '1')""")
+    assert(formatPluginOptions(Seq("a" -> "x", "b" -> "y")) ==
+      """ ("a" 'x', "b" 'y')""")
+    // a value with an embedded ' must not close the literal early
+    assert(formatPluginOptions(Seq("opt" -> "it's")) ==
+      """ ("opt" 'it''s')""")
+    // a key with an embedded " must not close the identifier early
+    assert(formatPluginOptions(Seq("""we"ird""" -> "v")) ==
+      " (\"we\"\"ird\" 'v')")
+  }
 }

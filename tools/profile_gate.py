@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Per-symbol performance-regression gate over a JFR profile.
+
+The reference's third test layer diffs pprof CPU/mem profiles of a
+50k-record run against checked-in base profiles and fails on >5 % mem /
+>50 % CPU growth per symbol (reference itests/common.bash:24-25,259-287).
+This is the Spark-side analog:
+
+  1. run `graft.Bench` restricted to the flagship queries under
+     `-XX:StartFlightRecording` (injected via the build's
+     SPARK_GRAFT_JAVA_OPTS hook),
+  2. fold jdk.ExecutionSample stacks to a flat per-symbol CPU profile
+     (each sample attributed to its LEAFMOST graft.* frame, so a
+     regression localizes to the graft operator that got hotter; samples
+     with no graft frame bucket under their leaf package, which tracks
+     time that moved INTO Spark machinery, e.g. a new sort),
+  3. same fold over jdk.ObjectAllocationSample weighted by bytes,
+  4. diff against the checked-in base (tools/profile_base.json):
+       CPU : fail if a symbol's share of total samples grew by more than
+             --cpu-grow x (default 1.5, the reference's +50 %) AND by at
+             least --min-delta percentage points (sampling noise floor),
+       MEM : fail if a symbol's share of sampled bytes grew by more than
+             --mem-grow x (default 1.25 — tighter than CPU, looser than
+             the reference's +5 % absolute because allocation sampling
+             is throttled and noisier than pprof's exact accounting)
+             AND by at least --min-delta points.
+     Symbols below --min-share in BOTH runs are ignored (noise).
+
+Usage:
+  python3 tools/profile_gate.py record   # run bench+JFR, write current.json
+  python3 tools/profile_gate.py gate     # record, then diff vs the base
+  python3 tools/profile_gate.py rebase   # record, then overwrite the base
+
+The base must be re-recorded (rebase) whenever a deliberate perf change
+lands — same contract as the reference's checked-in pprof bases.
+"""
+import json
+import os
+import subprocess
+import sys
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.path.join(REPO, "tools", "profile_base.json")
+CURRENT = os.path.join(REPO, "tools", "profile_current.json")
+JFR_PATH = "/tmp/graft_profile.jfr"
+# The flagship CDC path + the span family (the two hottest code paths);
+# keep this list short — the gate wants a comparable, quick run.
+QUERIES = "q_cdc_pipeline,q_dedup_spans,q_dedup_span_drop"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+CPU_GROW = float(os.environ.get("PROFILE_GATE_CPU_GROW", "1.5"))
+MEM_GROW = float(os.environ.get("PROFILE_GATE_MEM_GROW", "1.25"))
+MIN_SHARE = float(os.environ.get("PROFILE_GATE_MIN_SHARE", "0.01"))
+MIN_DELTA = float(os.environ.get("PROFILE_GATE_MIN_DELTA", "0.02"))
+
+
+def record():
+    if os.path.exists(JFR_PATH):
+        os.remove(JFR_PATH)
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": SF_DIR,
+        "SPARK_GRAFT_BENCH_ONLY": QUERIES,
+        "SPARK_GRAFT_BENCH_REPS": "3",
+        "SPARK_GRAFT_BENCH_WARMUP": "1",
+        # profile settings enable ObjectAllocationSample (throttled)
+        "SPARK_GRAFT_JAVA_OPTS":
+            f"-XX:StartFlightRecording=settings=profile,filename={JFR_PATH},dumponexit=true",
+    })
+    print(f"[profile_gate] running Bench({QUERIES}) at {SF_DIR} under JFR ...")
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env, capture_output=True, text=True)
+    if r.returncode != 0 or not os.path.exists(JFR_PATH):
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit(f"[profile_gate] bench run failed (rc={r.returncode})")
+    prof = {
+        "queries": QUERIES,
+        "sf_dir": SF_DIR,
+        "cpu": fold("jdk.ExecutionSample"),
+        "mem": fold("jdk.ObjectAllocationSample", weight_field="weight"),
+    }
+    with open(CURRENT, "w") as f:
+        json.dump(prof, f, indent=1, sort_keys=True)
+    print(f"[profile_gate] wrote {CURRENT}")
+    return prof
+
+
+def fold(event, weight_field=None):
+    """Flat per-symbol profile: symbol -> share of total weight."""
+    r = subprocess.run(
+        ["jfr", "print", "--json", "--events", event, JFR_PATH],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.exit(f"[profile_gate] jfr print failed: {r.stderr[-2000:]}")
+    events = json.loads(r.stdout)["recording"].get("events", [])
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        v = e.get("values", {})
+        st = v.get("stackTrace")
+        frames = (st or {}).get("frames", [])
+        w = float(v.get(weight_field, 1.0)) if weight_field else 1.0
+        agg[attribute(frames)] += w
+        total += w
+    if total == 0:
+        return {}
+    return {s: round(w / total, 5) for s, w in agg.items()
+            if w / total >= 0.001}
+
+
+def attribute(frames):
+    """Leafmost graft.* frame, else the leaf frame's package bucket."""
+    for f in frames:
+        m = f.get("method") or {}
+        t = (((m.get("type") or {}).get("name")) or "").replace("/", ".")
+        if t.startswith("graft."):
+            return f"{t}.{m.get('name', '?')}"
+    if frames:
+        m = frames[0].get("method") or {}
+        t = (((m.get("type") or {}).get("name")) or "?").replace("/", ".")
+        return "pkg:" + ".".join(t.split(".")[:4])
+    return "pkg:unknown"
+
+
+def gate(prof):
+    if not os.path.exists(BASE):
+        sys.exit(f"[profile_gate] no base at {BASE}; run `rebase` first")
+    base = json.load(open(BASE))
+    failures = []
+    for kind, grow in (("cpu", CPU_GROW), ("mem", MEM_GROW)):
+        b, c = base.get(kind, {}), prof.get(kind, {})
+        for sym in sorted(set(b) | set(c)):
+            bs, cs = b.get(sym, 0.0), c.get(sym, 0.0)
+            if max(bs, cs) < MIN_SHARE:
+                continue
+            if bs > 0 and cs > bs * grow and cs - bs >= MIN_DELTA:
+                failures.append(
+                    f"{kind.upper()} {sym}: share {bs:.3f} -> {cs:.3f} "
+                    f"({cs / bs:.2f}x > {grow}x)")
+            elif bs == 0 and cs >= max(MIN_SHARE, MIN_DELTA):
+                failures.append(
+                    f"{kind.upper()} {sym}: NEW hot symbol at share {cs:.3f}")
+    if failures:
+        print("[profile_gate] FAIL — per-symbol regressions vs base:")
+        for f in failures:
+            print("  " + f)
+        sys.exit(1)
+    print("[profile_gate] PASS — no per-symbol CPU/mem regression vs base")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gate"
+    if mode == "record":
+        record()
+    elif mode == "rebase":
+        prof = record()
+        os.replace(CURRENT, BASE)
+        print(f"[profile_gate] base rewritten at {BASE}")
+    elif mode == "gate":
+        gate(record())
+    else:
+        sys.exit(f"unknown mode {mode}")
