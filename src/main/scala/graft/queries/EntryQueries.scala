@@ -530,6 +530,49 @@ object EntryQueries {
        |SELECT doc_id, text_deduped FROM fin""".stripMargin
   }
 
+  /** Repeated spans INCLUDING within-document repeats (the other half
+    * of Lee et al.'s ExactSubstr: a doc repeating its own
+    * template/chrome), at a finer gram size so the corpus's self
+    * repeats — rarer than cross-doc ones — actually surface. Forces
+    * the BOUNDED index strategy so the 100 TB path (the posting-list
+    * aggregate the auto-select picks at scale) keeps direct DuckDB
+    * oracle coverage; the headline span queries ride auto and take the
+    * in-memory window form at oracle/bench scale.
+    */
+  def qDedupSpansSelf(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(T(spark, dir, "documents"), "text", "doc_id",
+      k = 10, minLen = 20, maxGramFreq = 50,
+      includeSelf = true, strategy = Dedup.SpanIndexBounded)
+
+  val qDedupSpansSelfSql: String = {
+    val k = 10
+    val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
+      .mkString("[", ",", "]")
+    s"""WITH nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |kgl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
+       |      j -> (CAST(unicode(substring(t, CAST(i + j AS INTEGER), 1)) AS BIGINT)
+       |           * ($pows[j + 1])) % 2147483647)) % 2147483647 AS BIGINT)})) AS u
+       |  FROM nrm WHERE length(t) >= $k),
+       |kg AS (SELECT doc_id AS id, u.i AS pos, u.h AS h FROM kgl),
+       |rare AS (SELECT h FROM kg GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+       |b AS (SELECT kg.* FROM kg JOIN rare USING (h)),
+       |hits AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pos_a, y.pos AS pos_b,
+       |    x.pos - y.pos AS d
+       |  FROM b x JOIN b y ON x.h = y.h
+       |    AND (x.id < y.id OR (x.id = y.id AND x.pos < y.pos))),
+       |isl AS (SELECT *, pos_a - row_number()
+       |    OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS island FROM hits),
+       |sp AS (SELECT id_a, id_b, d, island, min(pos_a) AS start_a,
+       |    max(pos_a) - min(pos_a) + $k AS span_len
+       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, CAST(start_a AS INTEGER) AS start_a,
+       |  CAST(start_a - d AS INTEGER) AS start_b, CAST(span_len AS BIGINT) AS span_len
+       |FROM sp WHERE span_len >= 20""".stripMargin
+  }
+
   /** Point-in-time join: each event picks up the user's latest order
     * at-or-before the event timestamp (leak-free feature attachment).
     * Spark side is the union + running-last window ([[Asof]]); the
@@ -1955,6 +1998,7 @@ object EntryQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_dedup_spans" -> qDedupSpans _,
+    "q_dedup_spans_self" -> qDedupSpansSelf _,
     "q_dedup_span_drop" -> qDedupSpanDrop _,
     "q_text_typicality" -> qTextTypicality _,
     "q_asof_orders" -> qAsofOrders _,
@@ -2013,6 +2057,7 @@ object EntryQueries {
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_spans" -> qDedupSpansSql,
+    "q_dedup_spans_self" -> qDedupSpansSelfSql,
     "q_dedup_span_drop" -> qDedupSpanDropSql,
     "q_text_typicality" -> qTextTypicalitySql,
     "q_asof_orders" -> qAsofOrdersSql,
