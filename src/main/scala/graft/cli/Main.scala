@@ -396,8 +396,10 @@ object Main {
         res.packedTrain.write.mode("overwrite").parquet(s"${c.outPath}/packed")
         res.report.write.mode("overwrite").parquet(s"${c.outPath}/report")
         res.report.orderBy("stage_idx").collect().foreach { r =>
+          val secs = res.stageSecs.get(r.getString(0))
+            .map(s => f" secs=$s%.2f").getOrElse("")
           Console.out.println(
-            s"[curate] stage=${r.getString(0)} rows=${r.getLong(2)}")
+            s"[curate] stage=${r.getString(0)} rows=${r.getLong(2)}$secs")
         }
         0
       }

@@ -55,10 +55,15 @@ object Pipeline {
   /** `report` rows: (stage, stage_idx, n_rows) — n_rows is the stage's
     * surviving doc count (for `pack_bins`, the bin count). `split`
     * carries every surviving doc with its split; `packedTrain` is the
-    * packed training set (id, shard, bin, n_tokens).
+    * packed training set (id, shard, bin, n_tokens). `stageSecs` is
+    * the MARGINAL wall time each stage's materialization took (stages
+    * cache, so each count pays only its own stage's compute) — the
+    * per-stage breakdown the scale audits read; it is deliberately not
+    * part of `report` (whose schema is oracle-pinned).
     */
   final case class CurateResult(
-      packedTrain: DataFrame, split: DataFrame, report: DataFrame)
+      packedTrain: DataFrame, split: DataFrame, report: DataFrame,
+      stageSecs: Map[String, Double] = Map.empty)
 
   def curate(docs: DataFrame, evalDocs: DataFrame,
              cfg: CurateConfig = CurateConfig()): CurateResult = {
@@ -101,15 +106,24 @@ object Pipeline {
     val packed = Packing.packGreedy(train, cfg.packBudget,
       cfg.packShardSize, id, cfg.textCol).cache()
 
+    // each count materializes that stage's cache, so its elapsed time
+    // is the stage's MARGINAL cost (parents are already cached)
+    val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timedCount(stage: String)(n: => Long): Long = {
+      val t0 = System.nanoTime()
+      val r = n
+      stageSecs(stage) = (System.nanoTime() - t0) / 1e9
+      r
+    }
     val counts = Seq(
-      ("corpus", 0L, docs.count()),
-      ("quality_gate", 1L, gated.count()),
-      ("cluster_dedup", 2L, deduped.count()),
-      ("decontaminate", 3L, cleaned.count()),
-      ("typicality_filter", 4L, typical.count()),
-      ("train_split", 5L, train.count()),
-      ("pack_bins", 6L,
-        packed.select("shard", "bin").distinct().count()))
+      ("corpus", 0L, timedCount("corpus")(docs.count())),
+      ("quality_gate", 1L, timedCount("quality_gate")(gated.count())),
+      ("cluster_dedup", 2L, timedCount("cluster_dedup")(deduped.count())),
+      ("decontaminate", 3L, timedCount("decontaminate")(cleaned.count())),
+      ("typicality_filter", 4L, timedCount("typicality_filter")(typical.count())),
+      ("train_split", 5L, timedCount("train_split")(train.count())),
+      ("pack_bins", 6L, timedCount("pack_bins")(
+        packed.select("shard", "bin").distinct().count())))
     val report = spark.createDataFrame(counts)
       .toDF("stage", "stage_idx", "n_rows")
 
@@ -119,6 +133,6 @@ object Pipeline {
     typical.unpersist() // split is cached + materialized by its count
     labels.unpersist()  // cached inside duplicateClusters; split's count
                         // above already materialized everything keyed on it
-    CurateResult(packed, split, report)
+    CurateResult(packed, split, report, stageSecs.toMap)
   }
 }
