@@ -395,11 +395,18 @@ object Main {
         res.split.write.mode("overwrite").parquet(s"${c.outPath}/split")
         res.packedTrain.write.mode("overwrite").parquet(s"${c.outPath}/packed")
         res.report.write.mode("overwrite").parquet(s"${c.outPath}/report")
-        res.report.orderBy("stage_idx").collect().foreach { r =>
+        val reportStages = res.report.orderBy("stage_idx").collect()
+        reportStages.foreach { r =>
           val secs = res.stageSecs.get(r.getString(0))
             .map(s => f" secs=$s%.2f").getOrElse("")
           Console.out.println(
             s"[curate] stage=${r.getString(0)} rows=${r.getLong(2)}$secs")
+        }
+        // phases timed outside the stage counts (eager construction
+        // work, e.g. pair detection + component resolution)
+        val named = reportStages.map(_.getString(0)).toSet
+        res.stageSecs.filterNot { case (k, _) => named(k) }.foreach {
+          case (k, s) => Console.out.println(f"[curate] phase=$k secs=$s%.2f")
         }
         0
       }

@@ -290,15 +290,30 @@ object Curation {
       meanTokenLenRange: (Double, Double) = (2.0, 12.0),
       maxPunctRatio: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def fenced(c: Column): Column =
+      column(graft.functions.PushdownBarrier(expression(c)))
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
     val prof = column(graft.functions.RepetitionProfile(expression(toks), Seq(2)))
     // whitespace-collapsed (but case-preserving) text: its length is
     // sum(token lengths) + (tokens - 1)
-    val collapsed = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val collapsedLen = length(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val unpunctLen = length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
+    // The three expensive per-row computations (tokenize+profile, the
+    // two regex passes) are materialized ONCE behind
+    // [[graft.functions.PushdownBarrier]]: a caller's
+    // `.where(col("keep"))` otherwise lets predicate pushdown inline
+    // them into the Filter condition — 13 copies of the profile
+    // subtree, measured 8× at sf1 / ~40× at sf10 (round-12 per-stage
+    // breakdown of the curation pipeline) — because FilterExec does no
+    // subexpression elimination. Everything derived below is cheap
+    // field math over these columns.
+    val base = df.select(col(idCol), col(textCol),
+      fenced(prof).as("_profile"),
+      fenced(collapsedLen).as("_clen"),
+      fenced(unpunctLen).as("_uplen"))
     val p = col("_profile")
     val tokCnt = p.getField("tok_cnt")
-    val metrics = df
-      .select(col(idCol), col(textCol), prof.as("_profile"))
+    val metrics = base
       .select(
         col(idCol),
         tokCnt.as("token_cnt"),
@@ -308,12 +323,11 @@ object Curation {
         round(p.getField("dup2").cast("double") /
           p.getField("cnt2").cast("double"), 6).as("dup2_frac"),
         when(tokCnt === 0L, 0.0d)
-          .otherwise(round((length(collapsed) - tokCnt + 1L).cast("double") /
+          .otherwise(round((col("_clen") - tokCnt + 1L).cast("double") /
             tokCnt.cast("double"), 6)).as("mean_token_len"),
         when(length(col(textCol)) === 0, 0.0d)
           .otherwise(round(
-            (length(col(textCol)) -
-              length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double") /
+            (length(col(textCol)) - col("_uplen")).cast("double") /
             length(col(textCol)).cast("double"), 6)).as("punct_ratio"))
     val failed = concat_ws(",",
       when(col("token_cnt") < minTokens, "too_short"),

@@ -70,44 +70,13 @@ object Pipeline {
     val spark = docs.sparkSession
     val id = cfg.idCol
 
-    // 1. quality gate
-    val keep = Curation.qualityGate(docs, cfg.textCol, id,
-        cfg.minTokens, cfg.maxTokens, cfg.minDistinctRatio, cfg.maxDup2Frac)
-      .where(col("keep")).select(col(id))
-    val gated = docs.join(keep, Seq(id), "left_semi").cache()
-
-    // 2. duplicate-cluster dedup (transitive keep-canonical)
-    val pairs = Dedup.ngramJaccardDuplicates(gated, cfg.textCol, id,
-      cfg.shingleSize, cfg.jaccardThreshold, cfg.maxShingleFreq)
-    val labels = Dedup.duplicateClusters(pairs) // cached by the op
-    val losers = labels.where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as(id))
-    val deduped = gated.join(losers, Seq(id), "left_anti").cache()
-
-    // 3. decontamination vs the eval holdout
-    val contaminated = Curation
-      .contaminationReport(deduped, evalDocs, cfg.textCol, id, cfg.contamN)
-      .select(col(id))
-    val cleaned = deduped.join(contaminated, Seq(id), "left_anti").cache()
-
-    // 4. typicality filter: per-domain terciles, drop the tail
-    val buckets = TextAnalysis.typicalityBuckets(cleaned, cfg.textCol, id,
-      cfg.domainCol, cfg.typicalityBuckets)
-    val typical = cleaned.join(
-      buckets.where(col("bucket") >= cfg.keepBucketsFrom).select(col(id)),
-      Seq(id), "left_semi").cache()
-
-    // 5. leakage-safe split keyed on the stage-2 canonical labels
-    val split = Sampling.leakageSafeSplitLabeled(typical, labels, id,
-      cfg.splits).cache()
-    val train = split.where(col("split") === "train").drop("split")
-
-    // 6. pack the training split
-    val packed = Packing.packGreedy(train, cfg.packBudget,
-      cfg.packShardSize, id, cfg.textCol).cache()
-
-    // each count materializes that stage's cache, so its elapsed time
-    // is the stage's MARGINAL cost (parents are already cached)
+    // Each stage's cache is materialized by a timed count IMMEDIATELY
+    // after construction, so every entry in stageSecs is that stage's
+    // MARGINAL cost (its parents are already cached). Lazily deferring
+    // the counts to the end mis-attributes: duplicateClusters
+    // materializes eagerly, so the first pairs job would silently pull
+    // the quality gate's compute through gated's cold cache (observed
+    // at sf10: the whole gate cost hiding inside the pair phase).
     val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timedCount(stage: String)(n: => Long): Long = {
       val t0 = System.nanoTime()
@@ -115,15 +84,66 @@ object Pipeline {
       stageSecs(stage) = (System.nanoTime() - t0) / 1e9
       r
     }
+
+    val nCorpus = timedCount("corpus")(docs.count())
+
+    // 1. quality gate
+    val keep = Curation.qualityGate(docs, cfg.textCol, id,
+        cfg.minTokens, cfg.maxTokens, cfg.minDistinctRatio, cfg.maxDup2Frac)
+      .where(col("keep")).select(col(id))
+    val gated = docs.join(keep, Seq(id), "left_semi").cache()
+    val nGated = timedCount("quality_gate")(gated.count())
+
+    // 2. duplicate-cluster dedup (transitive keep-canonical).
+    // duplicateClusters materializes EAGERLY (it caches+counts the pair
+    // list before choosing the CC path), so the whole pair-detection +
+    // component-resolution cost lands in this stage's timing along with
+    // the anti-join — the pipeline's dominant phase at scale.
+    val pairs = Dedup.ngramJaccardDuplicates(gated, cfg.textCol, id,
+      cfg.shingleSize, cfg.jaccardThreshold, cfg.maxShingleFreq)
+    val tCc0 = System.nanoTime()
+    val labels = Dedup.duplicateClusters(pairs) // cached by the op
+    val losers = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(id))
+    val deduped = gated.join(losers, Seq(id), "left_anti").cache()
+    val nDeduped = deduped.count()
+    stageSecs("cluster_dedup") = (System.nanoTime() - tCc0) / 1e9
+
+    // 3. decontamination vs the eval holdout
+    val contaminated = Curation
+      .contaminationReport(deduped, evalDocs, cfg.textCol, id, cfg.contamN)
+      .select(col(id))
+    val cleaned = deduped.join(contaminated, Seq(id), "left_anti").cache()
+    val nCleaned = timedCount("decontaminate")(cleaned.count())
+
+    // 4. typicality filter: per-domain terciles, drop the tail
+    val buckets = TextAnalysis.typicalityBuckets(cleaned, cfg.textCol, id,
+      cfg.domainCol, cfg.typicalityBuckets)
+    val typical = cleaned.join(
+      buckets.where(col("bucket") >= cfg.keepBucketsFrom).select(col(id)),
+      Seq(id), "left_semi").cache()
+    val nTypical = timedCount("typicality_filter")(typical.count())
+
+    // 5. leakage-safe split keyed on the stage-2 canonical labels
+    val split = Sampling.leakageSafeSplitLabeled(typical, labels, id,
+      cfg.splits).cache()
+    val train = split.where(col("split") === "train").drop("split")
+    val nTrain = timedCount("train_split")(train.count())
+
+    // 6. pack the training split
+    val packed = Packing.packGreedy(train, cfg.packBudget,
+      cfg.packShardSize, id, cfg.textCol).cache()
+    val nBins = timedCount("pack_bins")(
+      packed.select("shard", "bin").distinct().count())
+
     val counts = Seq(
-      ("corpus", 0L, timedCount("corpus")(docs.count())),
-      ("quality_gate", 1L, timedCount("quality_gate")(gated.count())),
-      ("cluster_dedup", 2L, timedCount("cluster_dedup")(deduped.count())),
-      ("decontaminate", 3L, timedCount("decontaminate")(cleaned.count())),
-      ("typicality_filter", 4L, timedCount("typicality_filter")(typical.count())),
-      ("train_split", 5L, timedCount("train_split")(train.count())),
-      ("pack_bins", 6L, timedCount("pack_bins")(
-        packed.select("shard", "bin").distinct().count())))
+      ("corpus", 0L, nCorpus),
+      ("quality_gate", 1L, nGated),
+      ("cluster_dedup", 2L, nDeduped),
+      ("decontaminate", 3L, nCleaned),
+      ("typicality_filter", 4L, nTypical),
+      ("train_split", 5L, nTrain),
+      ("pack_bins", 6L, nBins))
     val report = spark.createDataFrame(counts)
       .toDF("stage", "stage_idx", "n_rows")
 
