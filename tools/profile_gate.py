@@ -61,9 +61,9 @@ def record():
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": SF_DIR,
-        "SPARK_GRAFT_BENCH_ONLY": QUERIES,
-        "SPARK_GRAFT_BENCH_REPS": "3",
-        "SPARK_GRAFT_BENCH_WARMUP": "1",
+        "SPARK_GRAFT_BENCH_ONLY": os.environ.get("PROFILE_GATE_QUERIES", QUERIES),
+        "SPARK_GRAFT_BENCH_REPS": os.environ.get("PROFILE_GATE_REPS", "3"),
+        "SPARK_GRAFT_BENCH_WARMUP": os.environ.get("PROFILE_GATE_WARMUP", "1"),
         # profile settings enable ObjectAllocationSample (throttled)
         "SPARK_GRAFT_JAVA_OPTS":
             f"-XX:StartFlightRecording=settings=profile,filename={JFR_PATH},dumponexit=true",
