@@ -50,7 +50,17 @@ object Pipeline {
       keepBucketsFrom: Int = 2, // drop bucket 1 = the least-typical tail
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
       packBudget: Int = 512,
-      packShardSize: Long = 1000L)
+      packShardSize: Long = 1000L,
+      // Optional ExactSubstr span surgery (Lee et al. arXiv:2107.06499)
+      // between cluster dedup and decontamination: cuts every repeated
+      // span (cross-document AND within-document) from all but its
+      // first occurrence, so downstream stages see the surgered text.
+      // Default OFF — the oracle-pinned stage chain is unchanged.
+      spanDedup: Boolean = false,
+      spanK: Int = 20,
+      spanMinLen: Int = 40,
+      spanMaxGramFreq: Int = 50,
+      spanIncludeSelf: Boolean = true)
 
   /** `report` rows: (stage, stage_idx, n_rows) — n_rows is the stage's
     * surviving doc count (for `pack_bins`, the bin count). `split`
@@ -109,11 +119,29 @@ object Pipeline {
     val nDeduped = deduped.count()
     stageSecs("cluster_dedup") = (System.nanoTime() - tCc0) / 1e9
 
+    // 2b. optional repeated-span surgery on the cluster-deduped
+    // survivors: doc-level dedup first (it removes whole near-dup
+    // documents cheaply), then the span pass only pays for the text
+    // that is actually kept. The surgered text REPLACES textCol for
+    // every downstream stage (decontamination grams, typicality,
+    // packing token counts) — that is the point: boilerplate that
+    // survives doc-level dedup must not leak into the training set.
+    val surged =
+      if (!cfg.spanDedup) deduped
+      else {
+        val s = Dedup.dropRepeatedSpans(deduped, cfg.textCol, id,
+            cfg.spanK, cfg.spanMinLen, cfg.spanMaxGramFreq, cfg.spanIncludeSelf)
+          .withColumn(cfg.textCol, col("text_deduped")).drop("text_deduped")
+          .cache()
+        timedCount("span_dedup")(s.count())
+        s
+      }
+
     // 3. decontamination vs the eval holdout
     val contaminated = Curation
-      .contaminationReport(deduped, evalDocs, cfg.textCol, id, cfg.contamN)
+      .contaminationReport(surged, evalDocs, cfg.textCol, id, cfg.contamN)
       .select(col(id))
-    val cleaned = deduped.join(contaminated, Seq(id), "left_anti").cache()
+    val cleaned = surged.join(contaminated, Seq(id), "left_anti").cache()
     val nCleaned = timedCount("decontaminate")(cleaned.count())
 
     // 4. typicality filter: per-domain terciles, drop the tail
@@ -136,20 +164,22 @@ object Pipeline {
     val nBins = timedCount("pack_bins")(
       packed.select("shard", "bin").distinct().count())
 
-    val counts = Seq(
-      ("corpus", 0L, nCorpus),
-      ("quality_gate", 1L, nGated),
-      ("cluster_dedup", 2L, nDeduped),
-      ("decontaminate", 3L, nCleaned),
-      ("typicality_filter", 4L, nTypical),
-      ("train_split", 5L, nTrain),
-      ("pack_bins", 6L, nBins))
+    // stage_idx follows execution order; the span stage (present only
+    // when enabled) slots between cluster_dedup and decontaminate, so
+    // the DEFAULT chain keeps the oracle-pinned indices 0-6 exactly.
+    val stages = Seq(("corpus", nCorpus), ("quality_gate", nGated),
+        ("cluster_dedup", nDeduped)) ++
+      (if (cfg.spanDedup) Seq(("span_dedup", nDeduped)) else Nil) ++
+      Seq(("decontaminate", nCleaned), ("typicality_filter", nTypical),
+        ("train_split", nTrain), ("pack_bins", nBins))
+    val counts = stages.zipWithIndex.map { case ((s, n), i) => (s, i.toLong, n) }
     val report = spark.createDataFrame(counts)
       .toDF("stage", "stage_idx", "n_rows")
 
     // counts above materialized every cache; the returned frames read
     // them lazily, so drop the intermediates the caller never sees
     gated.unpersist(); deduped.unpersist(); cleaned.unpersist()
+    if (cfg.spanDedup) surged.unpersist()
     typical.unpersist() // split is cached + materialized by its count
     labels.unpersist()  // cached inside duplicateClusters; split's count
                         // above already materialized everything keyed on it

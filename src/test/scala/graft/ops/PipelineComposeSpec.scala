@@ -98,4 +98,47 @@ class PipelineComposeSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"curate leaked ${leaked.size} cached RDD(s): $leaked")
   }
+
+  test("curate with spanDedup=true runs the surgery stage: boilerplate cut, report row present, default chain untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val boiler = "shared boilerplate chrome that is long enough to span the gram window easily "
+    val docs = (1L to 30L).map { i =>
+      val body = s"document $i body " + (s"tok$i uniq$i word$i five$i six$i seven$i eight$i nine$i ten$i " * 8)
+      (i, if (i % 3 == 0) body + boiler + "tail " + boiler else body + boiler, "web")
+    }.toDF("doc_id", "text", "source")
+    val evalDocs = Seq((1000L, "completely unrelated eval text", "eval"))
+      .toDF("doc_id", "text", "source")
+
+    val cfg = Pipeline.CurateConfig(
+      minTokens = 5, maxTokens = 100000, minDistinctRatio = 0.0, maxDup2Frac = 1.0,
+      spanDedup = true, spanK = 10, spanMinLen = 20, spanMaxGramFreq = 100)
+    val res = Pipeline.curate(docs, evalDocs, cfg)
+
+    val report = res.report.orderBy("stage_idx")
+      .select("stage", "n_rows").as[(String, Long)].collect()
+    assert(report.map(_._1).toSeq == Seq("corpus", "quality_gate", "cluster_dedup",
+      "span_dedup", "decontaminate", "typicality_filter", "train_split", "pack_bins"),
+      s"stage chain with surgery: ${report.toSeq}")
+    assert(res.stageSecs.contains("span_dedup"))
+
+    // keep-first: the boilerplate may survive only in doc 1 (the
+    // lowest-id occurrence at surgery time); every later doc had it
+    // cut, whatever the downstream filters keep
+    val texts = res.split.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val carriers = texts.filter(_._2.contains(boiler.trim)).map(_._1)
+    assert(carriers.forall(_ == 1L),
+      s"boilerplate must survive only in doc 1, found in ${carriers.toSeq}")
+    assert(texts.exists(t => t._1 > 1L && !t._2.contains(boiler.trim)),
+      "fixture must include a later doc whose boilerplate was cut")
+
+    // default config: no span stage, indices 0-6 exactly as the oracle pins
+    val resDefault = Pipeline.curate(docs, evalDocs, Pipeline.CurateConfig(
+      minTokens = 5, maxTokens = 100000, minDistinctRatio = 0.0, maxDup2Frac = 1.0))
+    val defStages = resDefault.report.orderBy("stage_idx")
+      .select("stage").as[String].collect().toSeq
+    assert(defStages == Seq("corpus", "quality_gate", "cluster_dedup",
+      "decontaminate", "typicality_filter", "train_split", "pack_bins"))
+    assert(!resDefault.stageSecs.contains("span_dedup"))
+  }
 }
