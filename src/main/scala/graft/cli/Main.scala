@@ -74,7 +74,8 @@ object Main {
       master: String = "local[*]",
       once: Boolean = false,
       input: String = "",
-      evalInput: String = "")
+      evalInput: String = "",
+      spanDedup: Boolean = false)
 
   def usage: String =
     """usage: graft <create|drop|replicate|curate> [sink] [--flag value ...]
@@ -93,9 +94,11 @@ object Main {
       |      kinesis:  --kinesis-stream s [--aws-region r] [--endpoint e]
       |      rabbitmq: --rabbitmq-url u --exchange-name x [--rabbitmq-batch-size n]
       |  graft curate    --input docs.parquet --out-path dir [--eval-input eval.parquet]
-      |      runs the curation pipeline (gate -> cluster dedup -> decontaminate ->
-      |      typicality filter -> leakage-safe split -> pack); without --eval-input
-      |      the doc_id % 50 == 0 holdout is the decontamination reference""".stripMargin
+      |      [--span-dedup true]
+      |      runs the curation pipeline (gate -> cluster dedup -> [repeated-span
+      |      surgery] -> decontaminate -> typicality filter -> leakage-safe split
+      |      -> pack); without --eval-input the doc_id % 50 == 0 holdout is the
+      |      decontamination reference""".stripMargin
 
   /** Reference value precedence (main/main.go:561-566) minus the YAML
     * file: command-line flag > environment variable > default. Env
@@ -169,6 +172,7 @@ object Main {
       case "once" => bool(value).map(v => c.copy(once = v))
       case "input" => Right(c.copy(input = value))
       case "eval-input" => Right(c.copy(evalInput = value))
+      case "span-dedup" => bool(value).map(v => c.copy(spanDedup = v))
       case other => Left(s"unknown flag: --$other")
     }
   }
@@ -391,7 +395,8 @@ object Main {
           if (c.evalInput.nonEmpty) (docs, spark.read.parquet(c.evalInput))
           else (docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
                 docs.where(pmod(col("doc_id"), lit(50)) === 0))
-        val res = graft.ops.Pipeline.curate(corpus, evalSet)
+        val res = graft.ops.Pipeline.curate(corpus, evalSet,
+          graft.ops.Pipeline.CurateConfig(spanDedup = c.spanDedup))
         res.split.write.mode("overwrite").parquet(s"${c.outPath}/split")
         res.packedTrain.write.mode("overwrite").parquet(s"${c.outPath}/packed")
         res.report.write.mode("overwrite").parquet(s"${c.outPath}/report")
