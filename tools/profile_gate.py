@@ -44,9 +44,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = os.path.join(REPO, "tools", "profile_base.json")
 CURRENT = os.path.join(REPO, "tools", "profile_current.json")
 JFR_PATH = "/tmp/graft_profile.jfr"
-# The flagship CDC path + the span family (the two hottest code paths);
-# keep this list short — the gate wants a comparable, quick run.
-QUERIES = "q_cdc_pipeline,q_dedup_spans,q_dedup_span_drop"
+# The flagship CDC path, the span family, and the composed curation
+# pipeline (the hottest code paths; curation also runtime-guards the
+# round-12 PushdownBarrier fix — a re-opened inlining hole would show
+# RepetitionProfile's CPU share exploding). Keep this list short — the
+# gate wants a comparable, quick run.
+QUERIES = "q_cdc_pipeline,q_dedup_spans,q_dedup_span_drop,q_curation_pipeline"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 CPU_GROW = float(os.environ.get("PROFILE_GATE_CPU_GROW", "1.5"))
