@@ -161,7 +161,12 @@ object Curation {
       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
-    val prof = column(graft.functions.RepetitionProfile(expression(toks), ns))
+    // fenced for the same reason as qualityGate: a caller filtering on
+    // several frac columns would otherwise inline the profile into the
+    // Filter condition once per referenced column (PushdownBarrier
+    // scaladoc; the gate measured 13 copies / ~40× at sf10)
+    val prof = column(graft.functions.PushdownBarrier(
+      graft.functions.RepetitionProfile(expression(toks), ns)))
     val p = col("_profile")
     val fracs = ns.flatMap { n =>
       // short/empty docs carry one whole-text shingle, so cnt >= 1 always
