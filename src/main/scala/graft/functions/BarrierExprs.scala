@@ -24,11 +24,13 @@ import org.apache.spark.sql.types.DataType
   * `With`/`RewriteWithExpression` machinery cannot serve here: the
   * rewrite runs in the FIRST optimizer batch and the later pushdown
   * batches re-substitute the hoisted projections right back into the
-  * filter.) The cost: filters on columns DERIVED from the barrier stay
-  * above its projection instead of reaching the source — exactly the
-  * intent — while filters on pass-through columns (ids, partition
-  * keys) still push, because only conditions REFERENCING the barrier
-  * column are blocked.
+  * filter.) The cost — measured, not assumed (BarrierExprsSpec): the
+  * pushdown guard is PROJECT-WIDE, so NO filter pushes below a
+  * projection containing a barrier, including filters on pass-through
+  * id columns that would otherwise reach the parquet scan. Place the
+  * fence where consumers filter on the DERIVED columns (quality
+  * verdicts, metric fractions) and apply source-level filters BEFORE
+  * calling the metric producer.
   */
 case class PushdownBarrier(child: Expression)
   extends UnaryExpression with UnaryLike[Expression] {

@@ -403,6 +403,10 @@ class CliSpec extends AnyFunSuite {
       "--input", "/root/testdata/sf0.001/documents.parquet",
       "--out-path", out)).toOption.get
     assert(c.command == "curate" && c.input.nonEmpty)
+    assert(!c.spanDedup, "surgery stage is opt-in")
+    assert(Main.parse(Seq("curate", "--input", "x", "--out-path", "y",
+      "--span-dedup", "true")).toOption.get.spanDedup,
+      "--span-dedup true must enable the surgery stage")
     assert(Main.run(c, Some(() => TestSpark.spark)) == 0)
 
     val spark = TestSpark.spark
