@@ -97,7 +97,9 @@ object Main {
       |      [--span-dedup true]
       |      runs the curation pipeline (gate -> cluster dedup -> [repeated-span
       |      surgery] -> decontaminate -> typicality filter -> leakage-safe split
-      |      -> pack); without --eval-input the doc_id % 50 == 0 holdout is the
+      |      -> pack); span surgery matches case/whitespace-insensitively but
+      |      cuts the ORIGINAL text (uncut docs pass through byte-identical);
+      |      without --eval-input the doc_id % 50 == 0 holdout is the
       |      decontamination reference""".stripMargin
 
   /** Reference value precedence (main/main.go:561-566) minus the YAML

@@ -715,6 +715,11 @@ object Dedup {
     * because the bounded form degrades gracefully (it pays ~30 % in
     * the in-memory regime) while the window form degrades
     * catastrophically (unbounded sort spill at corpus scale).
+    *
+    * Resolution happens at DataFrame-CONSTRUCTION time (a
+    * `repeatedSpans` call reads this conf and Catalyst's size estimate
+    * once, eagerly) — changing the conf after a frame is built does not
+    * re-route it; build a new frame to pick up the new threshold.
     */
   val SpanBoundedMinBytesKey = "spark.graft.span.boundedMinBytes"
   val SpanBoundedMinBytesDefault: Long = 16L * 1024 * 1024
@@ -739,17 +744,26 @@ object Dedup {
   /** Apply [[repeatedSpans]]: remove each repeated span from every
     * document EXCEPT its first occurrence (lowest doc id — the
     * keep-first policy of Lee et al.'s ExactSubstr dedup), returning
-    * the corpus with a `text_deduped` column over the normalized text.
+    * the corpus with a `text_deduped` column.
+    *
+    * By default `text_deduped` is over the NORMALIZED text (the
+    * coordinate space spans are measured in — reproducible in ANSI
+    * SQL, hence the value oracle). With `preserveRaw = true` the cut
+    * intervals are instead mapped back onto the ORIGINAL text by
+    * [[graft.functions.ApplyNormalizedCuts]], so surviving characters
+    * keep their raw case and spacing and a document with zero cuts
+    * comes back byte-identical — the behavior a curation pipeline
+    * wants (the reference ExactSubstr edits raw text).
     *
     * Per doc: collect its cut intervals (spans where it is the LATER
-    * side), sort, and fold once with `aggregate()` — the accumulator
-    * carries (next uncut position, output so far); overlapping and
-    * nested intervals merge naturally through the running
-    * `greatest(pos, s + l)`. Chains behave like the paper: a span
-    * shared by docs a < b < c survives only in a. With `includeSelf`,
-    * a document repeating its own boilerplate also keeps only the
-    * FIRST (lowest-position) occurrence — the later copies arrive as
-    * same-id cut intervals and fold through the identical machinery.
+    * side), sort, and fold once — the accumulator carries (next uncut
+    * position, output so far); overlapping and nested intervals merge
+    * naturally through the running max-end. Chains behave like the
+    * paper: a span shared by docs a < b < c survives only in a. With
+    * `includeSelf`, a document repeating its own boilerplate also
+    * keeps only the FIRST (lowest-position) occurrence — the later
+    * copies arrive as same-id cut intervals and fold through the
+    * identical machinery.
     *
     * Zero extra shuffles beyond [[repeatedSpans]] + one groupBy(doc)
     * of the span rows and a (broadcastable) join back to the corpus.
@@ -758,30 +772,42 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 20, minLen: Int = 40, maxGramFreq: Int = 50,
       includeSelf: Boolean = false,
-      strategy: String = SpanIndexAuto): DataFrame = {
+      strategy: String = SpanIndexAuto,
+      preserveRaw: Boolean = false): DataFrame = {
     val spans = repeatedSpans(df, textCol, idCol, k, minLen, maxGramFreq,
       includeSelf, strategy)
     val cuts = spans.select(col("id_b").as("__cut_id"),
         struct(col("start_b").as("s"), col("span_len").cast("int").as("l")).as("c"))
       .groupBy("__cut_id").agg(sort_array(collect_list(col("c"))).as("__cs"))
     val joined = df.join(cuts, df(idCol) === cuts("__cut_id"), "left")
-      .withColumn("__t", TextAnalysis.normalize(col(textCol)))
-    val folded = aggregate(col("__cs"),
-      struct(lit(1).as("pos"), lit("").as("out")),
-      (acc, c) => struct(
-        greatest(acc("pos"), c("s") + c("l")).as("pos"),
-        concat(acc("out"),
-          when(c("s") > acc("pos"),
-            col("__t").substr(acc("pos"), c("s") - acc("pos")))
-            .otherwise(lit(""))).as("out")),
-      acc => concat(acc("out"),
-        when(acc("pos") <= length(col("__t")),
-          col("__t").substr(acc("pos"), length(col("__t")) - acc("pos") + 1))
-          .otherwise(lit(""))))
-    joined
-      .withColumn("text_deduped",
-        when(col("__cs").isNull, col("__t")).otherwise(folded))
-      .drop("__cut_id", "__cs", "__t")
+    if (preserveRaw) {
+      // one native pass per doc-with-cuts: rebuild the normalization
+      // position map and excise the corresponding raw ranges
+      joined
+        .withColumn("text_deduped",
+          when(col("__cs").isNull, col(textCol))
+            .otherwise(column(graft.functions.ApplyNormalizedCuts(
+              expression(col(textCol)), expression(col("__cs"))))))
+        .drop("__cut_id", "__cs")
+    } else {
+      val normed = joined.withColumn("__t", TextAnalysis.normalize(col(textCol)))
+      val folded = aggregate(col("__cs"),
+        struct(lit(1).as("pos"), lit("").as("out")),
+        (acc, c) => struct(
+          greatest(acc("pos"), c("s") + c("l")).as("pos"),
+          concat(acc("out"),
+            when(c("s") > acc("pos"),
+              col("__t").substr(acc("pos"), c("s") - acc("pos")))
+              .otherwise(lit(""))).as("out")),
+        acc => concat(acc("out"),
+          when(acc("pos") <= length(col("__t")),
+            col("__t").substr(acc("pos"), length(col("__t")) - acc("pos") + 1))
+            .otherwise(lit(""))))
+      normed
+        .withColumn("text_deduped",
+          when(col("__cs").isNull, col("__t")).otherwise(folded))
+        .drop("__cut_id", "__cs", "__t")
+    }
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected

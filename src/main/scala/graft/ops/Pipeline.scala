@@ -55,6 +55,9 @@ object Pipeline {
       // between cluster dedup and decontamination: cuts every repeated
       // span (cross-document AND within-document) from all but its
       // first occurrence, so downstream stages see the surgered text.
+      // Spans are matched case/whitespace-insensitively but the cuts
+      // are applied to the ORIGINAL text (raw case and spacing are
+      // preserved; uncut documents pass through byte-identical).
       // Default OFF — the oracle-pinned stage chain is unchanged.
       spanDedup: Boolean = false,
       spanK: Int = 20,
@@ -126,14 +129,19 @@ object Pipeline {
     // every downstream stage (decontamination grams, typicality,
     // packing token counts) — that is the point: boilerplate that
     // survives doc-level dedup must not leak into the training set.
+    // preserveRaw: cuts are mapped back onto the ORIGINAL text, so
+    // surviving characters keep their raw case/spacing and an uncut
+    // document passes through byte-identical.
+    var nSurged = nDeduped
     val surged =
       if (!cfg.spanDedup) deduped
       else {
         val s = Dedup.dropRepeatedSpans(deduped, cfg.textCol, id,
-            cfg.spanK, cfg.spanMinLen, cfg.spanMaxGramFreq, cfg.spanIncludeSelf)
+            cfg.spanK, cfg.spanMinLen, cfg.spanMaxGramFreq, cfg.spanIncludeSelf,
+            preserveRaw = true)
           .withColumn(cfg.textCol, col("text_deduped")).drop("text_deduped")
           .cache()
-        timedCount("span_dedup")(s.count())
+        nSurged = timedCount("span_dedup")(s.count())
         s
       }
 
@@ -169,7 +177,7 @@ object Pipeline {
     // the DEFAULT chain keeps the oracle-pinned indices 0-6 exactly.
     val stages = Seq(("corpus", nCorpus), ("quality_gate", nGated),
         ("cluster_dedup", nDeduped)) ++
-      (if (cfg.spanDedup) Seq(("span_dedup", nDeduped)) else Nil) ++
+      (if (cfg.spanDedup) Seq(("span_dedup", nSurged)) else Nil) ++
       Seq(("decontaminate", nCleaned), ("typicality_filter", nTypical),
         ("train_split", nTrain), ("pack_bins", nBins))
     val counts = stages.zipWithIndex.map { case ((s, n), i) => (s, i.toLong, n) }

@@ -530,6 +530,69 @@ object EntryQueries {
        |SELECT doc_id, text_deduped FROM fin""".stripMargin
   }
 
+  /** Raw-preserving span surgery ([[Dedup.dropRepeatedSpans]] with
+    * `preserveRaw = true`): spans are matched over the normalized
+    * (lowercased) text but the cuts are applied to the ORIGINAL text,
+    * so surviving characters keep their case and an uncut document
+    * comes back byte-identical. To make the normalized→raw position
+    * mapping DuckDB-expressible, the input text is pre-collapsed
+    * (whitespace runs → one space, ends trimmed) while its CASE is
+    * kept — normalization then only lowercases, positions align 1:1,
+    * and the oracle can cut `pre` directly where the span CTEs (built
+    * over `lower(pre)`) say. The whitespace half of the mapping is
+    * pinned by the randomized `SpanBruteForceSpec` against an
+    * independent reference implementation.
+    */
+  def qDedupSpanDropRaw(spark: SparkSession, dir: String): DataFrame = {
+    val pre = T(spark, dir, "documents").withColumn("text",
+      trim(regexp_replace(col("text"), "\\s+", " ")))
+    Dedup.dropRepeatedSpans(pre, "text", "doc_id",
+      k = 20, minLen = 40, maxGramFreq = 50, preserveRaw = true)
+      .select(col("doc_id"), col("text_deduped"))
+  }
+
+  val qDedupSpanDropRawSql: String = {
+    val k = 20
+    val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
+      .mkString("[", ",", "]")
+    s"""WITH pre AS (
+       |  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS raw FROM documents),
+       |nrm AS (SELECT doc_id, raw, lower(raw) AS t FROM pre),
+       |kgl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
+       |      j -> (CAST(unicode(substring(t, CAST(i + j AS INTEGER), 1)) AS BIGINT)
+       |           * ($pows[j + 1])) % 2147483647)) % 2147483647 AS BIGINT)})) AS u
+       |  FROM nrm WHERE length(t) >= $k),
+       |kg AS (SELECT doc_id AS id, u.i AS pos, u.h AS h FROM kgl),
+       |rare AS (SELECT h FROM kg GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+       |b AS (SELECT kg.* FROM kg JOIN rare USING (h)),
+       |hits AS (SELECT x.id AS id_a, y.id AS id_b, x.pos AS pos_a, y.pos AS pos_b,
+       |    x.pos - y.pos AS d
+       |  FROM b x JOIN b y ON x.h = y.h AND x.id < y.id),
+       |isl AS (SELECT *, pos_a - row_number()
+       |    OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS island FROM hits),
+       |sp AS (SELECT id_a, id_b, d, island, min(pos_a) AS start_a,
+       |    max(pos_a) - min(pos_a) + $k AS span_len
+       |  FROM isl GROUP BY 1, 2, 3, 4),
+       |cuts AS (SELECT id_b AS id, start_a - d AS s, start_a - d + span_len - 1 AS e
+       |  FROM sp WHERE span_len >= 40),
+       |ord AS (SELECT id, s, e, coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe FROM cuts),
+       |agg AS (SELECT id,
+       |    string_agg(CASE WHEN s - 1 > pe
+       |      THEN substring(raw, CAST(pe + 1 AS INTEGER), CAST(s - 1 - pe AS INTEGER))
+       |      ELSE '' END, '' ORDER BY s, e) AS body,
+       |    max(e) AS me
+       |  FROM ord JOIN nrm ON nrm.doc_id = ord.id GROUP BY id),
+       |fin AS (SELECT n.doc_id,
+       |    CASE WHEN a.id IS NULL THEN n.raw
+       |         ELSE coalesce(a.body, '') || substring(n.raw, CAST(a.me + 1 AS INTEGER)) END
+       |      AS text_deduped
+       |  FROM nrm n LEFT JOIN agg a ON a.id = n.doc_id)
+       |SELECT doc_id, text_deduped FROM fin""".stripMargin
+  }
+
   /** Repeated spans INCLUDING within-document repeats (the other half
     * of Lee et al.'s ExactSubstr: a doc repeating its own
     * template/chrome), at a finer gram size so the corpus's self
@@ -2000,6 +2063,7 @@ object EntryQueries {
     "q_dedup_spans" -> qDedupSpans _,
     "q_dedup_spans_self" -> qDedupSpansSelf _,
     "q_dedup_span_drop" -> qDedupSpanDrop _,
+    "q_dedup_span_drop_raw" -> qDedupSpanDropRaw _,
     "q_text_typicality" -> qTextTypicality _,
     "q_asof_orders" -> qAsofOrders _,
     "q_asof_tolerance" -> qAsofTolerance _,
@@ -2059,6 +2123,7 @@ object EntryQueries {
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_spans_self" -> qDedupSpansSelfSql,
     "q_dedup_span_drop" -> qDedupSpanDropSql,
+    "q_dedup_span_drop_raw" -> qDedupSpanDropRawSql,
     "q_text_typicality" -> qTextTypicalitySql,
     "q_asof_orders" -> qAsofOrdersSql,
     "q_asof_tolerance" -> qAsofToleranceSql,

@@ -102,9 +102,12 @@ class PipelineComposeSpec extends AnyFunSuite {
   test("curate with spanDedup=true runs the surgery stage: boilerplate cut, report row present, default chain untouched") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val boiler = "shared boilerplate chrome that is long enough to span the gram window easily "
+    // MIXED case on purpose: the surgery must match case-insensitively
+    // yet emit the surviving text with its ORIGINAL case (the r12
+    // all-lowercase fixture could not catch a normalized-text leak)
+    val boiler = "Shared BOILERPLATE Chrome that is long enough to SPAN the gram window easily "
     val docs = (1L to 30L).map { i =>
-      val body = s"document $i body " + (s"tok$i uniq$i word$i five$i six$i seven$i eight$i nine$i ten$i " * 8)
+      val body = s"Document $i Body " + (s"tok$i Uniq$i word$i Five$i six$i SEVEN$i eight$i nine$i ten$i " * 8)
       (i, if (i % 3 == 0) body + boiler + "tail " + boiler else body + boiler, "web")
     }.toDF("doc_id", "text", "source")
     val evalDocs = Seq((1000L, "completely unrelated eval text", "eval"))
@@ -126,11 +129,20 @@ class PipelineComposeSpec extends AnyFunSuite {
     // lowest-id occurrence at surgery time); every later doc had it
     // cut, whatever the downstream filters keep
     val texts = res.split.select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val carriers = texts.filter(_._2.contains(boiler.trim)).map(_._1)
+    val carriers = texts.filter(_._2.toLowerCase.contains(boiler.trim.toLowerCase)).map(_._1)
     assert(carriers.forall(_ == 1L),
       s"boilerplate must survive only in doc 1, found in ${carriers.toSeq}")
-    assert(texts.exists(t => t._1 > 1L && !t._2.contains(boiler.trim)),
+    assert(texts.exists(t => t._1 > 1L && !t._2.toLowerCase.contains(boiler.trim.toLowerCase)),
       "fixture must include a later doc whose boilerplate was cut")
+    // raw preservation: where the boilerplate DID survive it keeps its
+    // original mixed case, and every emitted doc is a concatenation of
+    // verbatim substrings of its raw text (never lowercased/collapsed)
+    assert(texts.filter(_._1 == 1L).forall(_._2.contains(boiler.trim)),
+      "surviving boilerplate must keep its original case")
+    val rawById = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    for ((docId, t) <- texts)
+      assert(t.isEmpty || rawById(docId).contains(t.take(40)),
+        s"doc $docId output must start with a verbatim fragment of its raw text")
 
     // default config: no span stage, indices 0-6 exactly as the oracle pins
     val resDefault = Pipeline.curate(docs, evalDocs, Pipeline.CurateConfig(

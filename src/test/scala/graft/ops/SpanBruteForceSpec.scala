@@ -156,6 +156,86 @@ class SpanBruteForceSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent reference for raw-preserving surgery: re-derive the
+    * normalized→raw position map (trim strips only spaces; a \s run is
+    * one normalized space at the run's start; letters map 1:1 on this
+    * ASCII corpus) and excise the mapped raw ranges with the same
+    * running-max-end fold as [[refCut]].
+    */
+  private def refCutRaw(raw: String, cuts: Seq[(Int, Long)]): String = {
+    val ws = " \t\n\f\r"
+    var a = 0; while (a < raw.length && raw(a) == ' ') a += 1
+    var b = raw.length; while (b > a && raw(b - 1) == ' ') b -= 1
+    val norm2raw = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = a
+    while (i < b) {
+      norm2raw += i
+      if (ws.contains(raw(i))) { while (i < b && ws.contains(raw(i))) i += 1 }
+      else i += 1
+    }
+    def rawAt(norm0: Int): Int = if (norm0 >= norm2raw.size) b else norm2raw(norm0)
+    val sb = new StringBuilder
+    var cursor = 0
+    var pos = 1
+    for ((st, l) <- cuts.sorted) {
+      val cs = math.max(st, pos)
+      val ce = st + l.toInt
+      if (ce > cs) {
+        val rs = rawAt(cs - 1)
+        if (rs > cursor) sb.append(raw.substring(cursor, rs))
+        cursor = math.max(cursor, rawAt(ce - 1))
+        pos = ce
+      }
+    }
+    if (cursor < raw.length) sb.append(raw.substring(cursor))
+    sb.toString
+  }
+
+  /** Re-case and re-space the corpus WITHOUT changing its normalized
+    * text: random uppercasing and random whitespace-run inflation
+    * (' ' → tabs/newlines/multi-space) are both identities under
+    * normalize, so the spans of the decorated corpus are exactly the
+    * spans of the base corpus — while the raw texts differ everywhere.
+    */
+  private def decorate(s: String, rnd: scala.util.Random): String = {
+    val sb = new StringBuilder
+    for (c <- s) {
+      if (c == ' ') sb.append(Seq(" ", "  ", "\t", " \n", "\t ")(rnd.nextInt(5)))
+      else sb.append(if (rnd.nextBoolean()) c.toUpper else c)
+    }
+    sb.toString
+  }
+
+  test("preserveRaw: cuts land on the original text; uncut docs come back byte-identical") {
+    val k = 4; val minLen = 9; val maxFreq = 12
+    for (seed <- Seq(21, 22); strategy <- strategies) {
+      val rnd = new scala.util.Random(seed * 1000)
+      val raws = corpus(seed, 10).map { case (id, s) => (id, decorate(s, rnd)) }
+      val docs = raws.toDF("doc_id", "text").repartition(5)
+      val norm = docs.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("n"))
+        .as[(Long, String)].collect().toMap
+      val want = refSpans(norm, k, minLen, maxFreq)
+      assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
+
+      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+          strategy = strategy, preserveRaw = true)
+        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      val rawById = raws.toMap
+      var uncut = 0
+      for ((id, raw) <- rawById) {
+        val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
+        assert(gotCut(id) == refCutRaw(raw, cuts),
+          s"seed=$seed strategy=$strategy doc=$id")
+        if (cuts.isEmpty) {
+          assert(gotCut(id) == raw, s"uncut doc $id must be byte-identical")
+          uncut += 1
+        }
+      }
+      assert(uncut > 0, s"seed=$seed left no uncut doc — fixture too weak")
+    }
+  }
+
   test("includeSelf: within-document repeats match the reference, and surgery keeps only the first occurrence") {
     val k = 4; val minLen = 9; val maxFreq = 12
     for (seed <- Seq(11, 12, 13); strategy <- strategies) {

@@ -61,17 +61,21 @@ MIN_DELTA = float(os.environ.get("PROFILE_GATE_MIN_DELTA", "0.02"))
 def record():
     if os.path.exists(JFR_PATH):
         os.remove(JFR_PATH)
+    # the EFFECTIVE query list — what the bench actually runs and what
+    # the profile must be stamped with (a PROFILE_GATE_QUERIES override
+    # recorded as the default list would make gate()'s diff spurious)
+    queries = os.environ.get("PROFILE_GATE_QUERIES", QUERIES)
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": SF_DIR,
-        "SPARK_GRAFT_BENCH_ONLY": os.environ.get("PROFILE_GATE_QUERIES", QUERIES),
+        "SPARK_GRAFT_BENCH_ONLY": queries,
         "SPARK_GRAFT_BENCH_REPS": os.environ.get("PROFILE_GATE_REPS", "3"),
         "SPARK_GRAFT_BENCH_WARMUP": os.environ.get("PROFILE_GATE_WARMUP", "1"),
         # profile settings enable ObjectAllocationSample (throttled)
         "SPARK_GRAFT_JAVA_OPTS":
             f"-XX:StartFlightRecording=settings=profile,filename={JFR_PATH},dumponexit=true",
     })
-    print(f"[profile_gate] running Bench({QUERIES}) at {SF_DIR} under JFR ...")
+    print(f"[profile_gate] running Bench({queries}) at {SF_DIR} under JFR ...")
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=REPO, env=env, capture_output=True, text=True)
     if r.returncode != 0 or not os.path.exists(JFR_PATH):
@@ -79,7 +83,7 @@ def record():
         print(r.stderr[-4000:])
         sys.exit(f"[profile_gate] bench run failed (rc={r.returncode})")
     prof = {
-        "queries": QUERIES,
+        "queries": queries,
         "sf_dir": SF_DIR,
         "cpu": fold("jdk.ExecutionSample"),
         "mem": fold("jdk.ObjectAllocationSample", weight_field="weight"),
@@ -131,6 +135,15 @@ def gate(prof):
     if not os.path.exists(BASE):
         sys.exit(f"[profile_gate] no base at {BASE}; run `rebase` first")
     base = json.load(open(BASE))
+    # a per-symbol SHARE diff is only meaningful over the same workload:
+    # fail fast on a base recorded over a different query set or corpus
+    # rather than emit spurious pass/fail
+    for key in ("queries", "sf_dir"):
+        if base.get(key) != prof.get(key):
+            sys.exit(f"[profile_gate] base/current {key} mismatch: "
+                     f"base={base.get(key)!r} current={prof.get(key)!r} — "
+                     "rebase (or set PROFILE_GATE_QUERIES/SPARK_GRAFT_SF_DIR "
+                     "to match the base) before gating")
     failures = []
     for kind, grow in (("cpu", CPU_GROW), ("mem", MEM_GROW)):
         b, c = base.get(kind, {}), prof.get(kind, {})
