@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def asString(e: Expression): Expression = Cast(e, StringType)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Alias-level narrowing of the PushdownBarrier fence: filters on
+    // pass-through source columns regain scan pruning while
+    // barrier-fenced derived columns stay protected (see
+    // [[graft.plans.PushThroughBarrierProjects]]).
+    ext.injectOptimizerRule(_ => graft.plans.PushThroughBarrierProjects)
+
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

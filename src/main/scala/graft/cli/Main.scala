@@ -384,6 +384,7 @@ object Main {
         val spark = sparkProvider.map(_())
           .getOrElse(SparkSession.builder()
             .master(c.master)
+            .withExtensions(new graft.GraftExtensions)
             .config("spark.sql.shuffle.partitions",
               math.max(2, Runtime.getRuntime.availableProcessors() / 2))
             .config("spark.ui.enabled", "false")

@@ -24,13 +24,18 @@ import org.apache.spark.sql.types.DataType
   * `With`/`RewriteWithExpression` machinery cannot serve here: the
   * rewrite runs in the FIRST optimizer batch and the later pushdown
   * batches re-substitute the hoisted projections right back into the
-  * filter.) The cost — measured, not assumed (BarrierExprsSpec): the
-  * pushdown guard is PROJECT-WIDE, so NO filter pushes below a
-  * projection containing a barrier, including filters on pass-through
-  * id columns that would otherwise reach the parquet scan. Place the
-  * fence where consumers filter on the DERIVED columns (quality
-  * verdicts, metric fractions) and apply source-level filters BEFORE
-  * calling the metric producer.
+  * filter.)
+  *
+  * Fence width: Catalyst's stock pushdown refuses to push ANY
+  * predicate through a projection containing a non-deterministic
+  * field, so the raw fence is PROJECT-WIDE — even a filter on a
+  * pass-through id column loses parquet scan pruning.
+  * [[graft.plans.PushThroughBarrierProjects]] (installed by
+  * `GraftExtensions`) narrows it to alias-level: conjuncts not
+  * touching a fenced alias push below and keep pruning; fenced-alias
+  * conjuncts stay above. In a session WITHOUT the extension the
+  * project-wide cost stands — there, apply source-level filters
+  * BEFORE calling the metric producer.
   */
 case class PushdownBarrier(child: Expression)
   extends UnaryExpression with UnaryLike[Expression] {

@@ -633,10 +633,11 @@ object Dedup {
     // Null ids can't participate in span pairing (the old join form
     // dropped them via null-propagating id comparisons; the aggregate
     // also guards, but filtering here skips gram generation entirely).
-    val g = df.where(col(idCol).isNotNull)
+    def gramStream = df.where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         explode(column(graft.functions.GramPositionHashes(
           expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
+    lazy val g = gramStream
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
     // Inverted-index build + frequency cutoff, strategy-selected (the
     // measured crossover is documented in SCALE.md; `auto` picks by
@@ -658,6 +659,24 @@ object Dedup {
     //    collect_list is memory-safe only BECAUSE it runs after the
     //    frequency filter (≤ maxGramFreq entries per group).
     val posts = resolveSpanStrategy(df, textCol, idCol, strategy) match {
+      case SpanIndexBounded
+          if df.sparkSession.conf.get(SpanPackedPostingsKey, "true").toBoolean =>
+        // Packed layout (the default): the sort-based fallback sorts and
+        // spills the chars-proportional gram stream per partition, so
+        // row WIDTH is the bill — one packed long instead of (id, pos)
+        // drops a field from every sorted row and serializes postings
+        // at 8 bytes instead of 12. pack_id_pos fails loudly on ids ≥
+        // 2^34 (see its scaladoc); the conf routes full-range ids to
+        // the unpacked branch below.
+        gramStream
+          .select(column(graft.functions.PackIdPos(
+              expression(col("id")), expression(col("g.pos")))).as("p"),
+            col("g.h").as("h"))
+          .groupBy("h")
+          .agg(column(graft.functions.BoundedPostingList(
+              expression(col("p")), maxGramFreq, minSize = 2)
+            .toAggregateExpression()).as("ps"))
+          .where(col("ps").isNotNull)
       case SpanIndexBounded =>
         g.groupBy("h")
           .agg(column(graft.functions.BoundedPostingList(
@@ -723,6 +742,15 @@ object Dedup {
     */
   val SpanBoundedMinBytesKey = "spark.graft.span.boundedMinBytes"
   val SpanBoundedMinBytesDefault: Long = 16L * 1024 * 1024
+
+  /** Conf key (default `true`): pack each bounded-strategy posting as
+    * one [[graft.functions.PackIdPos]] long — narrower sorted/spilled
+    * rows and 8-byte shipped postings, at the cost of a range
+    * restriction (ids < 2^34, positions < 2^30; out-of-range FAILS
+    * LOUDLY). Set `false` for full-64-bit ids (e.g. xxhash64-derived).
+    * Like the strategy itself, resolved at construction time.
+    */
+  val SpanPackedPostingsKey = "spark.graft.span.packedPostings"
 
   private def resolveSpanStrategy(
       df: DataFrame, textCol: String, idCol: String, strategy: String): String =

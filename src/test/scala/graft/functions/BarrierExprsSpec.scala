@@ -54,23 +54,36 @@ class BarrierExprsSpec extends AnyFunSuite {
     assert(q.count() == bare)
   }
 
-  test("documented cost: NO filter pushes below a fenced projection (the guard is project-wide)") {
-    // this is why callers must apply source filters BEFORE the metric
-    // producer — pinned so a Spark upgrade changing the behavior is
-    // noticed (it would let the docs promise more)
+  test("narrowed fence: a pass-through id filter above a fenced projection reaches the scan") {
+    // round 12 shipped the barrier with a PROJECT-WIDE fence (no filter
+    // pushed below a fenced projection, measured and pinned here);
+    // round 13's PushThroughBarrierProjects rule narrows it to
+    // alias-level — this pins the recovered pruning
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val metric = df.select(col("doc_id"),
       column(PushdownBarrier(expression(length(col("text"))))).as("m"))
     val q = metric.where(col("doc_id") > 100L)
     val physical = { q.collect(); q.queryExecution.executedPlan.toString }
-    assert(!physical.contains("PushedFilters: [IsNotNull(doc_id)"),
-      s"expected the id filter to stay above the fence:\n${physical.take(1500)}")
-    // ...whereas filtering BEFORE the producer reaches the scan as usual
-    val pre = df.where(col("doc_id") > 100L).select(col("doc_id"),
+    assert(physical.contains("GreaterThan(doc_id,100)"),
+      s"id filter must reach the scan's PushedFilters through the fence:\n${physical.take(1500)}")
+    assert(q.count() == df.where(col("doc_id") > 100L).count())
+  }
+
+  test("narrowed fence: a mixed conjunction splits — id conjunct to the scan, fenced conjunct stays above") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val metric = df.select(col("doc_id"),
       column(PushdownBarrier(expression(length(col("text"))))).as("m"))
-    val prePhysical = { pre.collect(); pre.queryExecution.executedPlan.toString }
-    assert(prePhysical.contains("GreaterThan(doc_id,100)"),
-      s"pre-filter must reach the scan:\n${prePhysical.take(1500)}")
+    val q = metric.where(col("doc_id") > 100L && col("m") > 10)
+    val physical = { q.collect(); q.queryExecution.executedPlan.toString }
+    assert(physical.contains("GreaterThan(doc_id,100)"),
+      s"id conjunct must reach the scan:\n${physical.take(1500)}")
+    // the fenced conjunct must NOT be rewritten to length(text) in any
+    // Filter — the barrier child stays out of every filter condition
+    val filterLines = physical.split("\n").filter(_.contains("Filter"))
+    assert(filterLines.nonEmpty && filterLines.forall(!_.contains("length(")),
+      s"fenced child leaked into a filter:\n${filterLines.mkString("\n")}")
+    assert(q.count() ==
+      df.where(col("doc_id") > 100L && length(col("text")) > 10).count())
   }
 
   test("wrapping a (resolved) nondeterministic child is refused") {

@@ -78,6 +78,54 @@ class PostingExprsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("packed layout matches the unpacked struct layout on every group band") {
+    val cap = 5
+    val rows = Seq.tabulate(1)(i => (1L, 100L + i, 10 + i)) ++
+      Seq.tabulate(2)(i => (2L, 200L + i, 20 + i)) ++
+      Seq.tabulate(5)(i => (3L, 300L + i, 30 + i)) ++
+      Seq.tabulate(6)(i => (4L, 400L + i, 40 + i)) ++
+      Seq.tabulate(40)(i => (5L, 500L + i, 50 + i))
+    val df = rows.toDF("h", "id", "pos").repartition(7)
+    def run(aggCol: org.apache.spark.sql.Column) =
+      df.groupBy("h").agg(aggCol.as("ps"))
+        .where(col("ps").isNotNull)
+        .select(col("h"), explode(col("ps")).as("p"))
+        .select(col("h"), col("p.id").as("id"), col("p.pos").as("pos"))
+        .as[(Long, Long, Int)].collect().toSet
+    val packedAgg = column(BoundedPostingList(
+      PackIdPos(expression(col("id")), expression(col("pos"))), cap)
+      .toAggregateExpression())
+    assert(run(packedAgg) == run(agg(cap)))
+  }
+
+  test("pack_id_pos guards its range and round-trips the boundary values") {
+    assert(PackIdPos.pack(0L, 0) == 0L)
+    val p = PackIdPos.pack(PackIdPos.MaxId - 1, PackIdPos.MaxPos - 1)
+    assert(PackIdPos.unpackId(p) == PackIdPos.MaxId - 1)
+    assert(PackIdPos.unpackPos(p) == PackIdPos.MaxPos - 1)
+    intercept[IllegalArgumentException](PackIdPos.pack(PackIdPos.MaxId, 0))
+    intercept[IllegalArgumentException](PackIdPos.pack(-1L, 0))
+    intercept[IllegalArgumentException](PackIdPos.pack(0L, PackIdPos.MaxPos))
+    intercept[IllegalArgumentException](PackIdPos.pack(0L, -1))
+  }
+
+  test("packed buffers serialize at 8 bytes per posting (12 unpacked) and round-trip") {
+    val packed = BoundedPostingList(
+      PackIdPos(expression(lit(1L)), expression(lit(1))), 3)
+    val pb = packed.createAggregationBuffer()
+    pb.addPacked(PackIdPos.pack(11L, 1)); pb.addPacked(PackIdPos.pack(12L, 2))
+    val pBytes = packed.serialize(pb)
+    assert(pBytes.length == 4 + 2 * 8)
+    val prt = packed.deserialize(pBytes)
+    assert(prt.n == 2 && prt.ids.take(2).toSeq == pb.ids.take(2).toSeq)
+    assert(packed.eval(prt) != null)
+
+    val unpacked = BoundedPostingList(expression(struct(lit(1L), lit(1))), 3)
+    val ub = unpacked.createAggregationBuffer()
+    ub.add(11L, 1); ub.add(12L, 2)
+    assert(unpacked.serialize(ub).length == 4 + 2 * 12)
+  }
+
   test("serialize/deserialize round-trips entries and the overflow marker") {
     val a = BoundedPostingList(expression(struct(lit(1L), lit(1))), 3)
     val buf = a.createAggregationBuffer()

@@ -24,7 +24,20 @@ class SpanBruteForceSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private val strategies = Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)
+  /** (label, strategy, packedPostings): all three physical layouts —
+    * window, bounded with packed 8-byte postings (the default), and
+    * bounded with the full-range unpacked struct layout — must be
+    * result-identical everywhere.
+    */
+  private val variants = Seq(
+    ("window", Dedup.SpanIndexWindow, true),
+    ("bounded-packed", Dedup.SpanIndexBounded, true),
+    ("bounded-unpacked", Dedup.SpanIndexBounded, false))
+
+  private def withPacked[A](packed: Boolean)(f: => A): A = {
+    spark.conf.set(Dedup.SpanPackedPostingsKey, packed.toString)
+    try f finally spark.conf.unset(Dedup.SpanPackedPostingsKey)
+  }
 
   /** Reference spans over already-normalized strings: grams with total
     * corpus occurrence count in [2, maxFreq] pair across documents —
@@ -130,25 +143,27 @@ class SpanBruteForceSpec extends AnyFunSuite {
 
   test("repeatedSpans + dropRepeatedSpans match the direct reference on random corpora") {
     val k = 4; val minLen = 9; val maxFreq = 12
-    for (seed <- Seq(1, 2, 3); strategy <- strategies) {
+    for (seed <- Seq(1, 2, 3); (label, strategy, packed) <- variants) {
       val docs = corpus(seed, 10).toDF("doc_id", "text").repartition(5)
       val norm = docs.select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("n"))
         .as[(Long, String)].collect().toMap
 
-      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+      val got = withPacked(packed) {
+        Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
           strategy = strategy)
-        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      }.as[(Long, Long, Int, Int, Long)].collect().toSet
       val want = refSpans(norm, k, minLen, maxFreq)
-      assert(got == want, s"seed=$seed strategy=$strategy")
+      assert(got == want, s"seed=$seed variant=$label")
       assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
 
-      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+      val gotCut = withPacked(packed) {
+        Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
           strategy = strategy)
-        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      }.select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
       for ((id, s) <- norm) {
         val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
-        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed strategy=$strategy doc=$id")
+        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed variant=$label doc=$id")
       }
       // the point of the random fixture: blocking and overlap must occur
       val anyCut = norm.keys.exists(id => want.exists(_._2 == id))
@@ -208,7 +223,7 @@ class SpanBruteForceSpec extends AnyFunSuite {
 
   test("preserveRaw: cuts land on the original text; uncut docs come back byte-identical") {
     val k = 4; val minLen = 9; val maxFreq = 12
-    for (seed <- Seq(21, 22); strategy <- strategies) {
+    for (seed <- Seq(21, 22); (label, strategy, packed) <- variants) {
       val rnd = new scala.util.Random(seed * 1000)
       val raws = corpus(seed, 10).map { case (id, s) => (id, decorate(s, rnd)) }
       val docs = raws.toDF("doc_id", "text").repartition(5)
@@ -218,15 +233,16 @@ class SpanBruteForceSpec extends AnyFunSuite {
       val want = refSpans(norm, k, minLen, maxFreq)
       assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
 
-      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+      val gotCut = withPacked(packed) {
+        Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
           strategy = strategy, preserveRaw = true)
-        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      }.select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
       val rawById = raws.toMap
       var uncut = 0
       for ((id, raw) <- rawById) {
         val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
         assert(gotCut(id) == refCutRaw(raw, cuts),
-          s"seed=$seed strategy=$strategy doc=$id")
+          s"seed=$seed variant=$label doc=$id")
         if (cuts.isEmpty) {
           assert(gotCut(id) == raw, s"uncut doc $id must be byte-identical")
           uncut += 1
@@ -238,28 +254,30 @@ class SpanBruteForceSpec extends AnyFunSuite {
 
   test("includeSelf: within-document repeats match the reference, and surgery keeps only the first occurrence") {
     val k = 4; val minLen = 9; val maxFreq = 12
-    for (seed <- Seq(11, 12, 13); strategy <- strategies) {
+    for (seed <- Seq(11, 12, 13); (label, strategy, packed) <- variants) {
       val docs = corpus(seed, 8, allowSelf = true).toDF("doc_id", "text").repartition(5)
       val norm = docs.select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("n"))
         .as[(Long, String)].collect().toMap
 
-      val got = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+      val got = withPacked(packed) {
+        Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
           includeSelf = true, strategy = strategy)
-        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      }.as[(Long, Long, Int, Int, Long)].collect().toSet
       val want = refSpans(norm, k, minLen, maxFreq, includeSelf = true)
-      assert(got == want, s"seed=$seed strategy=$strategy")
+      assert(got == want, s"seed=$seed variant=$label")
       val selfRows = want.filter(r => r._1 == r._2)
       assert(selfRows.nonEmpty, s"seed=$seed planted no SELF repeats — fixture too weak")
       // every self row pairs an earlier occurrence with a later one
       assert(selfRows.forall(r => r._3 < r._4), "self rows must have start_a < start_b")
 
-      val gotCut = Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
+      val gotCut = withPacked(packed) {
+        Dedup.dropRepeatedSpans(docs, "text", "doc_id", k, minLen, maxFreq,
           includeSelf = true, strategy = strategy)
-        .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+      }.select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
       for ((id, s) <- norm) {
         val cuts = want.collect { case (_, b, _, sb, l) if b == id => (sb, l) }.toSeq
-        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed strategy=$strategy doc=$id")
+        assert(gotCut(id) == refCut(s, cuts), s"seed=$seed variant=$label doc=$id")
       }
     }
   }

@@ -45,6 +45,7 @@ class PlanInflationSpec extends AnyFunSuite {
     "winnow_fingerprint" -> 1,
     "gram_position_hashes" -> 1,
     "bounded_posting_list" -> 1,
+    "pack_id_pos" -> 1,
     "repetition_profile" -> 1)
 
   private def liveCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
