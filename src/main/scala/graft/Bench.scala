@@ -121,6 +121,29 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val failures = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    // SPARK_GRAFT_BENCH_HEAP=1: after each measured rep (+GC), record
+    // retained heap and block-manager state — the long-running-session
+    // leak probe behind the one-JVM Context-Cleaner OOM investigation
+    // (SCALE.md). Each entry: query, used-heap MB after back-to-back
+    // GCs, persistent RDD count, tracked blocks, storage MB, broadcast
+    // blocks. Emitted as one [bench-heap] stderr JSON line.
+    // The probe PERTURBS timings: the forced full-GC pairs between reps
+    // slow the following query 10-45 % (measured at sf0.1). Leak
+    // diagnosis and profile_gate only — never enable on an official
+    // bench run (the gate's base/current are both recorded with it on,
+    // so its comparisons stay apples-to-apples).
+    val heapProbe = sys.env.get("SPARK_GRAFT_BENCH_HEAP").contains("1")
+    val heapSeries =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Long, Long, Long)]
+    def probeState(tag: String): Unit = if (heapProbe) {
+      System.gc(); Thread.sleep(100); System.gc(); Thread.sleep(100)
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val (blocks, memBytes, bcast) =
+        org.apache.spark.graft.StateProbe.blockState(spark.sparkContext)
+      heapSeries += ((tag, usedMb, rdds, blocks, memBytes / (1024 * 1024), bcast))
+    }
     for (_ <- 1 to warmupReps; (name, fn) <- names) {
       try evalFully(fn(spark, sfDir))
       catch { case e: Throwable =>
@@ -144,6 +167,14 @@ object Bench {
         failures(name) = failures(name) + 1
       }
       if (gcBetween) System.gc()
+      probeState(name)
+    }
+    if (heapProbe) {
+      probeState("final")
+      val entries = heapSeries.map { case (q, mb, rdds, blocks, storMb, bc) =>
+        s"""{"q":"$q","heap_mb":$mb,"rdds":$rdds,"blocks":$blocks,"storage_mb":$storMb,"broadcasts":$bc}"""
+      }.mkString("[", ",", "]")
+      System.err.println(s"""[bench-heap] {"series":$entries}""")
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted

@@ -41,8 +41,13 @@ import sys
 from collections import defaultdict
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = os.path.join(REPO, "tools", "profile_base.json")
-CURRENT = os.path.join(REPO, "tools", "profile_current.json")
+# PROFILE_GATE_BASE/_CURRENT: alternate profile paths, so per-query or
+# per-SF bases (e.g. a q_cdc_pipeline sf1 base) can coexist with the
+# default flagship base.
+BASE = os.environ.get(
+    "PROFILE_GATE_BASE", os.path.join(REPO, "tools", "profile_base.json"))
+CURRENT = os.environ.get(
+    "PROFILE_GATE_CURRENT", os.path.join(REPO, "tools", "profile_current.json"))
 JFR_PATH = "/tmp/graft_profile.jfr"
 # The flagship CDC path, the span family, and the composed curation
 # pipeline (the hottest code paths; curation also runtime-guards the
@@ -56,6 +61,14 @@ CPU_GROW = float(os.environ.get("PROFILE_GATE_CPU_GROW", "1.5"))
 MEM_GROW = float(os.environ.get("PROFILE_GATE_MEM_GROW", "1.25"))
 MIN_SHARE = float(os.environ.get("PROFILE_GATE_MIN_SHARE", "0.01"))
 MIN_DELTA = float(os.environ.get("PROFILE_GATE_MIN_DELTA", "0.02"))
+# Retained-state leg (the one-JVM accumulation failure mode,
+# SCALE_sf10_r12.json): absolute ceilings on post-GC growth across the
+# gate run — heap MB retained between the first and last probe, and
+# block-manager blocks still tracked at the end. These are ceilings,
+# not diffs vs base: a leak shows up as monotone growth regardless of
+# what the base leaked.
+HEAP_RETAIN_MB = float(os.environ.get("PROFILE_GATE_HEAP_RETAIN_MB", "1024"))
+BLOCK_RETAIN = int(os.environ.get("PROFILE_GATE_BLOCK_RETAIN", "200"))
 
 
 def record():
@@ -71,6 +84,8 @@ def record():
         "SPARK_GRAFT_BENCH_ONLY": queries,
         "SPARK_GRAFT_BENCH_REPS": os.environ.get("PROFILE_GATE_REPS", "3"),
         "SPARK_GRAFT_BENCH_WARMUP": os.environ.get("PROFILE_GATE_WARMUP", "1"),
+        # per-query post-GC retention probe -> [bench-heap] stderr line
+        "SPARK_GRAFT_BENCH_HEAP": "1",
         # profile settings enable ObjectAllocationSample (throttled)
         "SPARK_GRAFT_JAVA_OPTS":
             f"-XX:StartFlightRecording=settings=profile,filename={JFR_PATH},dumponexit=true",
@@ -82,11 +97,16 @@ def record():
         print(r.stdout[-4000:])
         print(r.stderr[-4000:])
         sys.exit(f"[profile_gate] bench run failed (rc={r.returncode})")
+    heap_series = []
+    for line in r.stderr.splitlines():
+        if line.startswith("[bench-heap] "):
+            heap_series = json.loads(line[len("[bench-heap] "):])["series"]
     prof = {
         "queries": queries,
         "sf_dir": SF_DIR,
         "cpu": fold("jdk.ExecutionSample"),
         "mem": fold("jdk.ObjectAllocationSample", weight_field="weight"),
+        "heap_series": heap_series,
     }
     with open(CURRENT, "w") as f:
         json.dump(prof, f, indent=1, sort_keys=True)
@@ -167,12 +187,32 @@ def gate(prof):
             elif bs == 0 and cs >= max(MIN_SHARE, d):
                 failures.append(
                     f"{kind.upper()} {sym}: NEW hot symbol at share {cs:.3f}")
+    # retained-state leg: a leak is monotone post-GC growth across the
+    # run, gated on absolute ceilings (independent of the base)
+    series = prof.get("heap_series") or []
+    if len(series) >= 2:
+        first, last = series[0], series[-1]
+        grew = last["heap_mb"] - first["heap_mb"]
+        if grew > HEAP_RETAIN_MB:
+            failures.append(
+                f"HEAP retained growth {first['heap_mb']} -> {last['heap_mb']} MB "
+                f"(+{grew} > {HEAP_RETAIN_MB:.0f} MB ceiling)")
+        if last["blocks"] - first["blocks"] > BLOCK_RETAIN:
+            failures.append(
+                f"BLOCKS still tracked grew {first['blocks']} -> {last['blocks']} "
+                f"(> +{BLOCK_RETAIN} ceiling) — unpersisted caches or "
+                "undrained broadcast/shuffle cleanup")
+        if last["rdds"] > 0:
+            failures.append(
+                f"RDDS {last['rdds']} persistent RDDs remain after the sweep — "
+                "a query registry entry leaks its cache")
     if failures:
         print("[profile_gate] FAIL — per-symbol regressions vs base:")
         for f in failures:
             print("  " + f)
         sys.exit(1)
-    print("[profile_gate] PASS — no per-symbol CPU/mem regression vs base")
+    print("[profile_gate] PASS — no per-symbol CPU/mem regression vs base, "
+          "no retained-state growth")
 
 
 if __name__ == "__main__":
