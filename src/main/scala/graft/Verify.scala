@@ -58,6 +58,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         thrown += (name -> String.valueOf(e.getMessage).takeWhile(_ != '\n'))
       }
+      // Ops that RETURN cached frames (curation pipeline, incremental
+      // cluster store) leave caller-owned cache entries behind; the dump
+      // is done with them here, so release between queries — the session
+      // hygiene a production orchestrator applies between jobs.
+      spark.catalog.clearCache()
     }
     if (schemaFailures > 0)
       System.err.println(s"[verify] $schemaFailures tz-aware schema rejections")

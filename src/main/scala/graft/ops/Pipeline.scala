@@ -76,7 +76,21 @@ object Pipeline {
     */
   final case class CurateResult(
       packedTrain: DataFrame, split: DataFrame, report: DataFrame,
-      stageSecs: Map[String, Double] = Map.empty)
+      stageSecs: Map[String, Double] = Map.empty) {
+
+    /** Release the result's caches (`packedTrain` and `split` are
+      * returned CACHED — they were materialized for the report counts
+      * and a consumer usually reads them next). Call when done with the
+      * result in a long-running session: the round-13 retention probe
+      * measured ~1 leftover persistent RDD (+32 blocks) per `curate`
+      * call in a session that never releases results — tiny per call,
+      * but unbounded across a session (SCALE.md §r13).
+      */
+    def unpersist(): Unit = {
+      packedTrain.unpersist()
+      split.unpersist()
+    }
+  }
 
   def curate(docs: DataFrame, evalDocs: DataFrame,
              cfg: CurateConfig = CurateConfig()): CurateResult = {

@@ -69,6 +69,7 @@ MIN_DELTA = float(os.environ.get("PROFILE_GATE_MIN_DELTA", "0.02"))
 # what the base leaked.
 HEAP_RETAIN_MB = float(os.environ.get("PROFILE_GATE_HEAP_RETAIN_MB", "1024"))
 BLOCK_RETAIN = int(os.environ.get("PROFILE_GATE_BLOCK_RETAIN", "200"))
+RDD_RETAIN = int(os.environ.get("PROFILE_GATE_RDD_RETAIN", "8"))
 
 
 def record():
@@ -202,10 +203,16 @@ def gate(prof):
                 f"BLOCKS still tracked grew {first['blocks']} -> {last['blocks']} "
                 f"(> +{BLOCK_RETAIN} ceiling) — unpersisted caches or "
                 "undrained broadcast/shuffle cleanup")
-        if last["rdds"] > 0:
+        # Ops that RETURN cached frames (curate's packedTrain/split, the
+        # incremental cluster store) legitimately leave caller-owned
+        # entries per execution — ~1 RDD / +32 blocks each, measured
+        # round 13. Gate on growth across the run, not on zero.
+        if last["rdds"] - first["rdds"] > RDD_RETAIN:
             failures.append(
-                f"RDDS {last['rdds']} persistent RDDs remain after the sweep — "
-                "a query registry entry leaks its cache")
+                f"RDDS persistent-RDD count grew {first['rdds']} -> "
+                f"{last['rdds']} (> +{RDD_RETAIN} ceiling) — an op caches "
+                "without a release path (caller-owned result caches are "
+                "bounded per execution; this is not)")
     if failures:
         print("[profile_gate] FAIL — per-symbol regressions vs base:")
         for f in failures:
