@@ -956,7 +956,14 @@ object EntryQueries {
     * convention).
     */
   def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgram(spark, dir)
+    // Cache the pair list ONCE before splitting: both batches filter
+    // the same expensive ngram pair detection, and without this the
+    // "new ingest" branch recomputes the whole detection from the
+    // scan (measured at sf10: 70-88 s isolated vs ~45 s cached; the
+    // historical 27-51 s sweep numbers were the same cache arriving
+    // accidentally, from q_dedup_clusters running earlier in the JVM).
+    // Cache is caller-owned, like duplicateClusters' own internal one.
+    val pairs = qDedupNgram(spark, dir).cache()
     val isNew = (col("id_a") + col("id_b")) % 5 === 0
     val existing = Dedup.duplicateClusters(pairs.where(!isNew))
     Dedup.mergeDuplicateClusters(existing, pairs.where(isNew))
