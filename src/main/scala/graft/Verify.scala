@@ -35,7 +35,13 @@ object Verify {
     }
     var schemaFailures = 0
     val thrown = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration escape hatch mirroring Bench's BENCH_ONLY: dump
+    // (and list oracles for) just the named queries. The driver never
+    // sets it, so official correctness runs stay full-registry.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val bad = df.schema.fields.filter(f => tzAware(f.dataType))
@@ -78,7 +84,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

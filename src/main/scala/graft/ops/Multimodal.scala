@@ -25,17 +25,24 @@ final case class MediaFeatures(
 
 /** Multimodal column plumbing.
   *
-  * The decode step is a STUB: real codec libraries (JPEG/PNG/audio)
-  * are not available in this build environment, so `extractFeatures`
-  * computes deterministic byte-level statistics instead of pixel/sample
-  * decoding. Everything around the stub is the real production shape:
-  * binary columns partition and spill like any other column; feature
-  * extraction runs as a typed `mapPartitions` (one JVM-local pass per
-  * partition, the same call pattern a JNI/FFI codec would use — swap
-  * the body, keep the plumbing); frame sampling is pure Catalyst on
-  * binary slices.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so the image
+  * path decodes actual PNG/JPEG/BMP/GIF bytes to pixels
+  * ([[extractFeatures]] pixel features, [[imageDHash]] perceptual
+  * hashing, [[imagePhashDuplicates]] Hamming-banded near-dedup). AUDIO
+  * and VIDEO codecs are not available in this build environment, so
+  * those kinds fall back to deterministic byte-level statistics — the
+  * production shape stands for them too: binary columns partition and
+  * spill like any other column; feature extraction runs as a typed
+  * `mapPartitions` (one JVM-local pass per partition, the same call
+  * pattern a JNI/FFI codec would use — swap the body, keep the
+  * plumbing); frame sampling is pure Catalyst on binary slices.
   */
 object Multimodal {
+
+  // ImageIO's default disk-backed stream cache serializes decodes on a
+  // temp-file lock; executors decode from in-memory byte arrays, so the
+  // cache only costs. Safe to set from any thread, idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic synthetic media derived from the documents table, so
     * the pipeline is testable without real assets: content bytes are
@@ -52,24 +59,29 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (length(col(textCol)) * 10).cast("long").as("duration_ms"))
 
-  /** STUB DECODE: byte-histogram + entropy instead of real pixel/sample
-    * features. Typed mapPartitions keeps per-partition setup (codec
-    * init, native buffers) amortized — the real decoder drops in here.
+  /** Feature extraction. IMAGE kind with decodable content (PNG/JPEG/
+    * BMP/GIF via `javax.imageio`) gets REAL pixel features: the
+    * histogram is over 16 luminance buckets of the decoded pixels and
+    * the entropy is pixel-luminance entropy. Audio/video (and image
+    * payloads ImageIO cannot parse, e.g. the text-byte synthetic media)
+    * fall back to byte-histogram + byte-entropy — a clearly-marked stub
+    * until those codecs exist in the environment. Typed mapPartitions
+    * keeps per-partition setup (codec init, native buffers) amortized.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition "codec" setup would go here
+      // per-partition codec setup would go here (ImageIO is static)
       it.map { m =>
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
+        val vals: Array[Int] =
+          if (m.kind == "image") decodeGray(bytes).getOrElse(byteVals(bytes))
+          else byteVals(bytes)
         val hist = new Array[Double](16)
         var i = 0
-        while (i < bytes.length) {
-          hist((bytes(i) & 0xFF) >> 4) += 1.0
-          i += 1
-        }
-        val n = math.max(bytes.length, 1)
+        while (i < vals.length) { hist(vals(i) >> 4) += 1.0; i += 1 }
+        val n = math.max(vals.length, 1)
         var entropy = 0.0
         var b = 0
         while (b < 16) {
@@ -82,6 +94,185 @@ object Multimodal {
           math.rint(entropy * 1e6) / 1e6, hist.map(h => math.rint(h * 1e6) / 1e6))
       }
     }
+  }
+
+  private def byteVals(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
+    out
+  }
+
+  /** Decode image bytes to row-major 8-bit luminance samples, or None
+    * when the payload is not a parseable image. Reads the RASTER, not
+    * `getRGB` — `getRGB` routes gray through an sRGB ColorModel whose
+    * non-linear transfer curve would destroy exact roundtrips.
+    */
+  private[ops] def decodeGray(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val out = new Array[Int](w * h)
+      val px = new Array[Int](bands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.getPixel(x, y, px)
+          // single-band: the gray sample verbatim; RGB(A): integer
+          // ITU-R 601 luma so color inputs get a deterministic gray
+          out(y * w + x) =
+            if (bands == 1) px(0)
+            else (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Deterministic synthetic grayscale PNGs derived from an id column —
+    * the image-fixture path. Pixel values are an analytic function of
+    * (id, x, y) so an external engine can re-derive every pixel without
+    * decoding anything, while Spark's consumers exercise the REAL
+    * encode→decode path ([[imageDHash]] reads these bytes back through
+    * `javax.imageio`). Images in the same `id % groups` class differ
+    * only by a ±4 perturbation — perceptual near-duplicates with small
+    * dHash Hamming distance; distinct classes differ structurally.
+    *
+    * pixel(id,x,y) = ((id%groups + 1)·(x+3)·(y+7)) mod 251
+    *              + (id·31 + x·7 + y·3) mod 5            ∈ [0, 254]
+    */
+  def syntheticPng(
+      docs: DataFrame, idCol: String = "doc_id",
+      width: Int = 36, height: Int = 32, groups: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val baos = new java.io.ByteArrayOutputStream(4096)
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (((id % groups + 1) * (x + 3) * (y + 7)) % 251 +
+              (id * 31 + x * 7 + y * 3) % 5).toInt
+            raster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        baos.reset()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** 63-bit difference hash (dHash) over REAL decoded image bytes:
+    * decode via `javax.imageio`, area-average down to a 9×8 luminance
+    * grid (integer math — block mean = floor(sum / area) so external
+    * engines reproduce it exactly), then one bit per horizontally
+    * adjacent pair: bit b = by·8+bx set iff m(bx,by) < m(bx+1,by),
+    * b < 63 (the 64th comparison is dropped to keep the hash
+    * sign-bit-free in engines without unsigned BIGINT). Rows whose
+    * payload fails to decode or whose dimensions aren't grid multiples
+    * get a NULL hash rather than a poisoned task.
+    */
+  def imageDHash(
+      images: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ph = dHash63(if (bytes == null) Array.emptyByteArray else bytes)
+          (id, if (ph == Long.MinValue) None else Some(ph))
+        }
+      }.toDF(idCol, "phash")
+  }
+
+  /** dHash of one image payload; Long.MinValue = undecodable sentinel
+    * (not a reachable hash value — bit 63 is never set by construction).
+    */
+  private[ops] def dHash63(bytes: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Long.MinValue
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w % 9 != 0 || h % 8 != 0) return Long.MinValue
+    val (bw, bh) = (w / 9, h / 8)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val px = new Array[Int](bands)
+    val m = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.getPixel(x, y, px)
+        val lum =
+          if (bands == 1) px(0)
+          else (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
+        m(x / bw)(y / bh) += lum
+        x += 1
+      }
+      y += 1
+    }
+    val area = bw.toLong * bh
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val b = by * 8 + bx
+        if (b < 63 && m(bx)(by) / area < m(bx + 1)(by) / area) hash |= 1L << b
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash each payload (real
+    * decode), band the 63-bit hash into 4×16-bit LSH keys, pair within
+    * buckets only, verify by Hamming distance. The same bucketed
+    * not-all-pairs shape as SimHash text dedup — at 100 TB the band
+    * join is the only shuffle and its width is (band, key, id, hash).
+    */
+  def imagePhashDuplicates(
+      images: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content", maxHamming: Int = 10): DataFrame = {
+    val hashed = imageDHash(images, idCol, contentCol)
+      .where(col("phash").isNotNull)
+    val bandExprs = (0 until 4).map(b =>
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashed.select(col(idCol).as("id"), col("phash"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
+    val a = banded.select(col("band"), col("bandKey"),
+      col("id").as("id_a"), col("phash").as("h_a"))
+    val b = banded.select(col("band"), col("bandKey"),
+      col("id").as("id_b"), col("phash").as("h_b"))
+    a.join(b, Seq("band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .drop("h_a", "h_b")
   }
 
   /** Sample `n` evenly spaced fixed-size "frames" from the binary

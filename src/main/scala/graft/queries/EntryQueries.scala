@@ -1118,6 +1118,61 @@ object EntryQueries {
     Dedup.simhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
       maxHamming = 8)
 
+  /** Perceptual-hash image near-dedup over REAL decoded PNGs: the
+    * fixture encodes a deterministic 36×32 grayscale image per doc_id
+    * to actual PNG bytes ([[Multimodal.syntheticPng]]), the operator
+    * decodes them back through `javax.imageio` and computes a 63-bit
+    * dHash over a 9×8 integer block-mean grid, then Hamming-banded
+    * near-dup pairing ([[Multimodal.imagePhashDuplicates]]). The
+    * oracle re-derives every pixel ANALYTICALLY from doc_id (never
+    * touching PNG) and replays the dHash + banding math in SQL — a
+    * genuinely independent check of the whole encode→decode→hash path
+    * (PNG is lossless, so a bit-exact match is required, and any
+    * colorspace/gamma drift in the codec path fails the hash).
+    */
+  def qDedupImagePhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhashDuplicates(
+      Multimodal.syntheticPng(T(spark, dir, "documents")), maxHamming = 10)
+
+  /** First-principles DuckDB mirror of [[qDedupImagePhash]]: pixel
+    * formula → 4×4 block means (integer floor-div) → 63 dHash bits →
+    * 4×16-bit band blocking → exact Hamming ≤ 10. Mirrors
+    * `syntheticPng(width=36, height=32, groups=50)` +
+    * `imagePhashDuplicates(maxHamming=10)`.
+    */
+  val qDedupImagePhashSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, g.x, g.y,
+      |    ((d.doc_id % 50 + 1) * (g.x + 3) * (g.y + 7)) % 251
+      |      + (d.doc_id * 31 + g.x * 7 + g.y * 3) % 5 AS v
+      |  FROM documents d,
+      |       (SELECT xs.x, ys.y
+      |        FROM (SELECT unnest(generate_series(0, 35)) AS x) xs,
+      |             (SELECT unnest(generate_series(0, 31)) AS y) ys) g),
+      |blocks AS (
+      |  SELECT doc_id, x // 4 AS bx, y // 4 AS by, SUM(v) // 16 AS m
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.by * 8 + a.bx AS b
+      |  FROM blocks a JOIN blocks c
+      |    ON a.doc_id = c.doc_id AND a.by = c.by AND c.bx = a.bx + 1
+      |  WHERE a.bx < 8 AND a.by * 8 + a.bx < 63 AND a.m < c.m),
+      |hashes AS (
+      |  SELECT d.doc_id AS id, COALESCE(h.ph, 0) AS phash
+      |  FROM documents d LEFT JOIN
+      |    (SELECT doc_id, SUM(CAST(1 AS BIGINT) << b) AS ph
+      |     FROM bits GROUP BY doc_id) h ON d.doc_id = h.doc_id),
+      |banded AS (
+      |  SELECT id, phash, g.band, (phash >> (g.band * 16)) & 65535 AS bandKey
+      |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) g),
+      |prs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |         a.phash AS pa, b.phash AS pb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bandKey = b.bandKey AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+      |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
+
   def qSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
@@ -2061,6 +2116,7 @@ object EntryQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_incremental_near" -> qDedupIncrementalNear _,
     "q_dedup_simhash" -> qDedupSimhash _,
+    "q_dedup_image_phash" -> qDedupImagePhash _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_ivf_incremental" -> qSimilarityIvfIncremental _,
@@ -2163,6 +2219,7 @@ object EntryQueries {
     "q_dedup_minhash" -> HashOracleSql.minhashSql,
     "q_dedup_incremental_near" -> HashOracleSql.incrementalNearSql,
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
+    "q_dedup_image_phash" -> qDedupImagePhashSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:
     // the exact-cosine oracle applies verbatim
