@@ -115,9 +115,25 @@ object ApplyNormalizedCuts {
       val e = s + cut.getInt(1) // exclusive, 1-based
       val cs = math.max(s, nextNorm)
       if (e > cs) {
-        val rawStart = rawAt(cs - 1)
+        var rawStart = rawAt(cs - 1)
+        // Keep-if-any-part-survives, expansion edition: when the cut
+        // starts MID lowercase-expansion (the preceding normalized
+        // position maps to the same raw codepoint) and that preceding
+        // position was not itself cut, the raw codepoint is only
+        // partially inside the cut — keep it, advancing the excision
+        // start to the next distinct raw index. Mirrors the whitespace
+        // -run rule and the (already partial-keeping) cut-END side.
+        if (cs >= 2 && cs - 1 >= nextNorm && cs - 1 < normLen &&
+            map(cs - 2) == rawStart) {
+          var r = cs - 1
+          while (r < normLen && map(r) == rawStart) r += 1
+          rawStart = rawAt(r)
+        }
         if (rawStart > cursor) append(cursor, rawStart)
-        cursor = math.max(cursor, rawAt(e - 1))
+        // rawStart may now exceed rawAt(e-1) (cut fully inside one
+        // expansion); the cursor must not fall back before text
+        // already emitted or the next append would duplicate it
+        cursor = math.max(cursor, math.max(rawStart, rawAt(e - 1)))
         nextNorm = e
       }
       ci += 1

@@ -61,4 +61,17 @@ class CutExprsSpec extends AnyFunSuite {
     assert(cut("İx", (1, 2)) === "x")
     assert(cut("İx", (1, 1)) === "İx")
   }
+
+  test("expansion keep-if-any-part-survives is symmetric (both halves)") {
+    // A cut covering only the SECOND normalized position of the
+    // expansion keeps the codepoint, same as covering only the first
+    assert(cut("İx", (2, 1)) === "İx")
+    // ... including when the cut extends past the expansion: İ kept, x cut
+    assert(cut("İx", (2, 2)) === "İ")
+    // but two cuts jointly covering both halves excise the codepoint
+    assert(cut("İx", (1, 1), (2, 1)) === "x")
+    // and a mid-expansion start whose preceding half was cut by an
+    // overlapping earlier interval also excises
+    assert(cut("İx", (1, 2), (2, 1)) === "x")
+  }
 }
