@@ -136,6 +136,13 @@ object Bench {
     val heapSeries =
       scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Long, Long, Long)]
     def probeState(tag: String): Unit = if (heapProbe) {
+      // Caller-owned result caches (curate's packedTrain/split, the
+      // incremental-cluster pair frame) are a KNOWN ~1-RDD-per-call
+      // constant; release them like Verify does so the retention
+      // ceilings measure unowned growth, not the documented contract.
+      // Probe runs only (never official timing), so the cache loss
+      // cannot distort a recorded bench number.
+      spark.catalog.clearCache()
       System.gc(); Thread.sleep(100); System.gc(); Thread.sleep(100)
       val rt = Runtime.getRuntime
       val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
@@ -171,8 +178,12 @@ object Bench {
     }
     if (heapProbe) {
       probeState("final")
+      // registered names are identifier-style today, but an unescaped
+      // quote/backslash would silently break profile_gate's json.loads
+      def esc(s: String): String =
+        s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
       val entries = heapSeries.map { case (q, mb, rdds, blocks, storMb, bc) =>
-        s"""{"q":"$q","heap_mb":$mb,"rdds":$rdds,"blocks":$blocks,"storage_mb":$storMb,"broadcasts":$bc}"""
+        s"""{"q":"${esc(q)}","heap_mb":$mb,"rdds":$rdds,"blocks":$blocks,"storage_mb":$storMb,"broadcasts":$bc}"""
       }.mkString("[", ",", "]")
       System.err.println(s"""[bench-heap] {"series":$entries}""")
     }

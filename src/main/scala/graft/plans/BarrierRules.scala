@@ -53,7 +53,16 @@ object PushThroughBarrierProjects extends Rule[LogicalPlan] with PredicateHelper
         val s = substituted(c)
         s.deterministic && s.references.subsetOf(child.outputSet) && !hasBarrier(s)
       }
-      if (push.isEmpty) f
+      // Only split when every STAY conjunct is non-deterministic purely
+      // because of the barrier fence (deterministic once barriers are
+      // stripped). A genuinely non-deterministic conjunct — e.g. a
+      // seeded rand() sampling predicate, whose state advances per
+      // evaluated row — must see the SAME row stream as before: pushing
+      // a sibling conjunct below the projection would reorder/reduce the
+      // rows reaching it and silently change a fixed-seed sample.
+      def fencedDeterministic(c: Expression): Boolean =
+        c.transformUp { case b: PushdownBarrier => b.child }.deterministic
+      if (push.isEmpty || !stay.forall(c => fencedDeterministic(substituted(c)))) f
       else {
         val projected =
           Project(fields, Filter(push.map(substituted).reduce(And), child))

@@ -954,6 +954,14 @@ object EntryQueries {
     * oracle is q_dedup_clusters' recursive closure over ALL pairs —
     * one oracle, two physical forms (the q_dedup_incremental_bloom
     * convention).
+    *
+    * CACHE OWNERSHIP: the pair frame below is cached and CALLER-OWNED
+    * (the [[graft.ops.Pipeline.CurateResult.unpersist]] convention) —
+    * a long-running session invoking this repeatedly should
+    * `spark.catalog.clearCache()` (or unpersist) between invocations,
+    * as Verify does per-query and Bench's heap-probe mode does
+    * between reps; the profile gate's RDD-retention ceiling assumes
+    * these known per-call entries are released.
     */
   def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     // Cache the pair list ONCE before splitting: both batches filter

@@ -86,6 +86,26 @@ class BarrierExprsSpec extends AnyFunSuite {
       df.where(col("doc_id") > 100L && length(col("text")) > 10).count())
   }
 
+  test("narrowed fence: a genuinely non-deterministic sibling conjunct blocks the split") {
+    // rand()'s state advances per evaluated row, so pushing the id
+    // conjunct below the projection would change the row stream the
+    // sampling predicate sees and silently alter a fixed-seed sample;
+    // the rule must leave the whole filter untouched (matching what
+    // stock PushDownPredicates would have done without the barrier)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val metric = df.select(col("doc_id"),
+      column(PushdownBarrier(expression(length(col("text"))))).as("m"))
+    val q = metric.where(col("doc_id") > 100L && rand(42) < 0.5)
+    val physical = { q.collect(); q.queryExecution.executedPlan.toString }
+    assert(!physical.contains("GreaterThan(doc_id,100)"),
+      "id conjunct must NOT be pushed past a rand() sibling:\n" +
+        physical.take(1500))
+    // fixed-seed reproducibility: same sample as the unoptimized shape
+    assert(q.count() ==
+      df.select(col("doc_id"), length(col("text")).as("m"))
+        .where(col("doc_id") > 100L && rand(42) < 0.5).count())
+  }
+
   test("wrapping a (resolved) nondeterministic child is refused") {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Rand}
     intercept[IllegalArgumentException] {
