@@ -35,3 +35,31 @@ case class BloomMightContain(child: Expression, bf: BloomFilter)
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+/** `bloom_contains_long(col)` → boolean: [[BloomMightContain]]'s LONG
+  * sibling, probing with `mightContainLong` — the encoding
+  * `DataFrameStatFunctions.bloomFilter` uses when building from an
+  * integral column (so build and probe agree bit-for-bit). Used by the
+  * span family's count-first rare-gram prefilter over 64-bit gram
+  * hashes.
+  */
+case class BloomMightContainLong(child: Expression, bf: BloomFilter)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_contains_long"
+
+  override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}

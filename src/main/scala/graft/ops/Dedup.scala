@@ -658,6 +658,35 @@ object Dedup {
     //    sorts while everything fits in memory (~2× at sf0.1). The
     //    collect_list is memory-safe only BECAUSE it runs after the
     //    frequency filter (≤ maxGramFreq entries per group).
+    // Count-first rare-gram prefilter (conf, default off): before the
+    // posting shuffle, one cheap pass ships ONLY the 8-byte gram hash
+    // through a primitive-codegen count aggregation, the surviving
+    // in-band hash set becomes a driver-built Bloom filter (no false
+    // negatives), and the posting pass filters the gram stream against
+    // it BEFORE its exchange — the vast singleton majority (and the
+    // over-cap boilerplate) never enters the expensive object
+    // aggregate's shuffle/sort/spill. Exactness is unconditional: a
+    // true in-band gram always passes (no false negatives ⇒ the
+    // aggregate sees every one of its postings), and a false positive
+    // re-counts inside the aggregate and evaluates NULL exactly as
+    // today. Costs: the gram stream is COMPUTED twice (scan + shingle
+    // + hash — cheap, 15.6 % of CPU in the sf10 profile) and the
+    // filter build is an eager job at construction time.
+    def countPrefilter(base: DataFrame): DataFrame =
+      if (!df.sparkSession.conf.get(SpanCountPrefilterKey, "false").toBoolean) base
+      else {
+        val inBand = gramStream.select(col("g.h").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2 && col("c") <= maxGramFreq)
+          .select("h")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bf = inBand.stat.bloomFilter("h",
+            math.max(1L, inBand.count()), 0.01)
+          base.where(column(graft.functions.BloomMightContainLong(
+            expression(col("h")), bf)))
+        } finally inBand.unpersist()
+      }
     val posts = resolveSpanStrategy(df, textCol, idCol, strategy) match {
       case SpanIndexBounded
           if df.sparkSession.conf.get(SpanPackedPostingsKey, "true").toBoolean =>
@@ -668,17 +697,18 @@ object Dedup {
         // at 8 bytes instead of 12. pack_id_pos fails loudly on ids ≥
         // 2^34 (see its scaladoc); the conf routes full-range ids to
         // the unpacked branch below.
-        gramStream
+        countPrefilter(gramStream
           .select(column(graft.functions.PackIdPos(
               expression(col("id")), expression(col("g.pos")))).as("p"),
-            col("g.h").as("h"))
+            col("g.h").as("h")))
           .groupBy("h")
           .agg(column(graft.functions.BoundedPostingList(
               expression(col("p")), maxGramFreq, minSize = 2)
             .toAggregateExpression()).as("ps"))
           .where(col("ps").isNotNull)
       case SpanIndexBounded =>
-        g.groupBy("h")
+        countPrefilter(g)
+          .groupBy("h")
           .agg(column(graft.functions.BoundedPostingList(
               expression(struct(col("id"), col("pos"))), maxGramFreq, minSize = 2)
             .toAggregateExpression()).as("ps"))
@@ -751,6 +781,17 @@ object Dedup {
     * Like the strategy itself, resolved at construction time.
     */
   val SpanPackedPostingsKey = "spark.graft.span.packedPostings"
+
+  /** Conf key (default `false`): bounded-strategy count-first rare-gram
+    * prefilter — a hash-only count pass + Bloom membership filter keeps
+    * out-of-band grams (the singleton majority) out of the posting
+    * shuffle entirely, at the price of computing the gram stream twice
+    * and an eager filter-build job at construction time. Result-
+    * identical by construction (no false negatives; false positives
+    * re-band inside the aggregate). Like the other span confs, resolved
+    * at DataFrame-construction time.
+    */
+  val SpanCountPrefilterKey = "spark.graft.span.countPrefilter"
 
   private def resolveSpanStrategy(
       df: DataFrame, textCol: String, idCol: String, strategy: String): String =
