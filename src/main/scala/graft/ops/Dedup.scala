@@ -672,6 +672,16 @@ object Dedup {
     // today. Costs: the gram stream is COMPUTED twice (scan + shingle
     // + hash — cheap, 15.6 % of CPU in the sf10 profile) and the
     // filter build is an eager job at construction time.
+    //
+    // Driver-memory guard: the Bloom lives on the driver and is
+    // broadcast to every task (~1.2 bytes/gram at fpp 0.01), so a
+    // pathologically duplicate-heavy 100 TB corpus could surface
+    // billions of in-band grams — past `prefilterMaxGrams` the build
+    // switches to a fully distributed left-semi join on the hash
+    // (same no-false-negative exactness, zero FALSE positives, one
+    // extra shuffle of the 8-byte surviving-hash set instead of a
+    // driver array). The guard costs nothing extra: the count already
+    // runs to size the Bloom.
     def countPrefilter(base: DataFrame): DataFrame =
       if (!df.sparkSession.conf.get(SpanCountPrefilterKey, "false").toBoolean) base
       else {
@@ -681,10 +691,20 @@ object Dedup {
           .select("h")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val bf = inBand.stat.bloomFilter("h",
-            math.max(1L, inBand.count()), 0.01)
-          base.where(column(graft.functions.BloomMightContainLong(
-            expression(col("h")), bf)))
+          val n = inBand.count()
+          val maxGrams = df.sparkSession.conf
+            .get(SpanPrefilterMaxGramsKey, SpanPrefilterMaxGramsDefault.toString).toLong
+          if (n <= maxGrams) {
+            val bf = inBand.stat.bloomFilter("h", math.max(1L, n), 0.01)
+            base.where(column(graft.functions.BloomMightContainLong(
+              expression(col("h")), bf)))
+          } else
+            // Lazy join against the UNPERSISTED frame: the surviving
+            // set re-aggregates at execution time (the persist above is
+            // released in `finally` — the construction-time count was
+            // its only owned consumer, and holding caller-visible cache
+            // entries would break the no-retention contract).
+            base.join(inBand, Seq("h"), "left_semi")
         } finally inBand.unpersist()
       }
     val posts = resolveSpanStrategy(df, textCol, idCol, strategy) match {
@@ -792,6 +812,15 @@ object Dedup {
     * at DataFrame-construction time.
     */
   val SpanCountPrefilterKey = "spark.graft.span.countPrefilter"
+
+  /** Conf key (default 100 M): largest surviving in-band gram set the
+    * prefilter will hold as a driver-built Bloom (~120 MB broadcast at
+    * the default). Above it the prefilter switches to a distributed
+    * left-semi join on the gram hash — same exactness, no driver-side
+    * state proportional to corpus duplication.
+    */
+  val SpanPrefilterMaxGramsKey = "spark.graft.span.prefilterMaxGrams"
+  val SpanPrefilterMaxGramsDefault: Long = 100000000L
 
   private def resolveSpanStrategy(
       df: DataFrame, textCol: String, idCol: String, strategy: String): String =

@@ -29,13 +29,19 @@ final case class MediaFeatures(
   * path decodes actual PNG/JPEG/BMP/GIF bytes to pixels
   * ([[extractFeatures]] pixel features, [[imageDHash]] perceptual
   * hashing, [[imagePhashDuplicates]] Hamming-banded near-dedup). AUDIO
-  * and VIDEO codecs are not available in this build environment, so
-  * those kinds fall back to deterministic byte-level statistics — the
-  * production shape stands for them too: binary columns partition and
-  * spill like any other column; feature extraction runs as a typed
-  * `mapPartitions` (one JVM-local pass per partition, the same call
-  * pattern a JNI/FFI codec would use — swap the body, keep the
-  * plumbing); frame sampling is pure Catalyst on binary slices.
+  * decode is REAL for WAV/PCM: `javax.sound.sampled` also ships in the
+  * JDK, so the audio path decodes actual WAV containers to 16-bit
+  * samples ([[audioEnergyHash]] fingerprinting,
+  * [[audioFingerprintDuplicates]] Hamming-banded near-dedup,
+  * real-sample features in [[extractFeatures]]). Compressed audio
+  * (MP3/AAC/OGG) and VIDEO codecs are not available in this build
+  * environment, so those payloads fall back to deterministic byte-level
+  * statistics — the production shape stands for them too: binary
+  * columns partition and spill like any other column; feature
+  * extraction runs as a typed `mapPartitions` (one JVM-local pass per
+  * partition, the same call pattern a JNI/FFI codec would use — swap
+  * the body, keep the plumbing); frame sampling is pure Catalyst on
+  * binary slices.
   */
 object Multimodal {
 
@@ -77,6 +83,11 @@ object Multimodal {
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
         val vals: Array[Int] =
           if (m.kind == "image") decodeGray(bytes).getOrElse(byteVals(bytes))
+          else if (m.kind == "audio")
+            // real decoded 16-bit samples, requantized to the 8-bit
+            // histogram domain; non-WAV payloads fall back to byte stats
+            decodePcm16(bytes).map(_.map(s => (s + 32768) >> 8))
+              .getOrElse(byteVals(bytes))
           else byteVals(bytes)
         val hist = new Array[Double](16)
         var i = 0
@@ -255,9 +266,20 @@ object Multimodal {
     */
   def imagePhashDuplicates(
       images: DataFrame, idCol: String = "media_id",
-      contentCol: String = "content", maxHamming: Int = 10): DataFrame = {
-    val hashed = imageDHash(images, idCol, contentCol)
-      .where(col("phash").isNotNull)
+      contentCol: String = "content", maxHamming: Int = 10): DataFrame =
+    hammingBandPairs(
+      imageDHash(images, idCol, contentCol).where(col("phash").isNotNull),
+      idCol, maxHamming)
+
+  /** Hamming-banded pairing over a (id, phash) frame: band the 63-bit
+    * hash into 4×16-bit LSH keys, pair within buckets only, verify by
+    * exact Hamming distance. Shared by the image and audio perceptual
+    * dedups — the same bucketed not-all-pairs shape as SimHash text
+    * dedup; at 100 TB the band join is the only shuffle and its width
+    * is (band, key, id, hash).
+    */
+  private def hammingBandPairs(
+      hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val bandExprs = (0 until 4).map(b =>
       shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = hashed.select(col(idCol).as("id"), col("phash"),
@@ -274,6 +296,150 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .drop("h_a", "h_b")
   }
+
+  /** Deterministic synthetic 16-bit PCM mono WAVs derived from an id
+    * column — the audio-fixture path, the exact analogue of
+    * [[syntheticPng]]: sample values are an integer-analytic function
+    * of (id, i) so an external engine can re-derive every sample
+    * without touching a codec, while Spark's consumers exercise the
+    * REAL encode→decode path (`javax.sound.sampled.AudioSystem` writes
+    * the WAV container here and reads it back in [[audioEnergyHash]];
+    * PCM is lossless, so bit-exact recovery is required). Clips in the
+    * same `id % groups` class differ only by a 0..8 per-sample
+    * perturbation — perceptual near-duplicates with small
+    * energy-envelope Hamming distance; distinct classes differ
+    * structurally.
+    *
+    * sample(id,i) = ((id%groups + 1)·(i+3)·131) mod 60000
+    *              + (id·31 + i·7) mod 9 − 30000   ∈ [−30000, 30007]
+    */
+  def syntheticWav(
+      docs: DataFrame, idCol: String = "doc_id",
+      sampleRate: Int = 16000, nSamples: Int = 2048,
+      groups: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, /*bigEndian=*/ false)
+      it.map { id =>
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = (((id % groups + 1) * (i + 3) * 131) % 60000 +
+            (id * 31 + i * 7) % 9 - 30000).toInt
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        (id, baos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Decode an audio payload to 16-bit signed samples, or None when it
+    * is not a parseable 16-bit mono PCM stream (wrong container, wrong
+    * encoding, compressed formats this environment has no codec for).
+    * Endianness follows the container's declared format.
+    */
+  private[ops] def decodePcm16(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length == 0) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        if (fmt.isBigEndian)
+          while (i < n) {
+            out(i) = (((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)).toShort).toInt
+            i += 1
+          }
+        else
+          while (i < n) {
+            out(i) = (((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort).toInt
+            i += 1
+          }
+        Some(out)
+      }
+    } finally ais.close()
+  }
+
+  /** 63-bit energy-envelope difference hash over REAL decoded audio:
+    * decode the WAV via `javax.sound.sampled`, split the samples into
+    * 64 equal windows, compute each window's integer energy
+    * Σ sample² (exact in 64-bit — 32 × 30008² ≪ 2⁶³), then one bit per
+    * adjacent window pair: bit b set iff e(b) < e(b+1), b < 63 (the
+    * 64th comparison is dropped to keep the hash sign-bit-free, same
+    * convention as [[imageDHash]]). Rows whose payload fails to decode
+    * or whose sample count isn't a multiple of 64 get a NULL hash.
+    */
+  def audioEnergyHash(
+      audio: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ph = energyHash63(if (bytes == null) Array.emptyByteArray else bytes)
+          (id, if (ph == Long.MinValue) None else Some(ph))
+        }
+      }.toDF(idCol, "phash")
+  }
+
+  /** Energy hash of one audio payload; Long.MinValue = undecodable
+    * sentinel (bit 63 is never set by construction).
+    */
+  private[ops] def energyHash63(bytes: Array[Byte]): Long = {
+    decodePcm16(bytes) match {
+      case Some(s) if s.length >= 64 && s.length % 64 == 0 =>
+        val win = s.length / 64
+        val e = new Array[Long](64)
+        var i = 0
+        while (i < s.length) {
+          e(i / win) += s(i).toLong * s(i)
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 63) {
+          if (e(b) < e(b + 1)) hash |= 1L << b
+          b += 1
+        }
+        hash
+      case _ => Long.MinValue
+    }
+  }
+
+  /** Perceptual near-duplicate audio pairs: energy-hash each payload
+    * (real WAV decode), then the shared Hamming-banded pairing —
+    * bucketed, never all-pairs.
+    */
+  def audioFingerprintDuplicates(
+      audio: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content", maxHamming: Int = 10): DataFrame =
+    hammingBandPairs(
+      audioEnergyHash(audio, idCol, contentCol).where(col("phash").isNotNull),
+      idCol, maxHamming)
 
   /** Sample `n` evenly spaced fixed-size "frames" from the binary
     * payload — pure Catalyst (binary substring), no decode. Output:

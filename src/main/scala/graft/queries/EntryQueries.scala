@@ -1181,6 +1181,58 @@ object EntryQueries {
       |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
       |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
 
+  /** Energy-envelope audio near-dedup over REAL decoded WAVs — the
+    * audio twin of [[qDedupImagePhash]]: the fixture encodes a
+    * deterministic 2048-sample 16-bit PCM clip per doc_id to an actual
+    * WAV container through the JDK's `javax.sound.sampled` encoder
+    * ([[Multimodal.syntheticWav]]), the operator decodes the bytes
+    * back and computes a 63-bit difference hash over 64 integer window
+    * energies, then Hamming-banded near-dup pairing. The oracle
+    * re-derives every SAMPLE analytically from doc_id (never touching
+    * WAV) and replays the energy/hash/banding math in SQL — PCM is
+    * lossless, so any drift in the container encode→decode path fails
+    * the hash bit-exactly.
+    */
+  def qDedupAudioFp(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprintDuplicates(
+      Multimodal.syntheticWav(T(spark, dir, "documents")), maxHamming = 10)
+
+  /** First-principles DuckDB mirror of [[qDedupAudioFp]]: sample
+    * formula → 64 window energies (Σ s², BIGINT-exact) → 63 difference
+    * bits → 4×16-bit band blocking → exact Hamming ≤ 10. Mirrors
+    * `syntheticWav(nSamples=2048, groups=50)` +
+    * `audioFingerprintDuplicates(maxHamming=10)`.
+    */
+  val qDedupAudioFpSql: String =
+    """WITH smp AS (
+      |  SELECT d.doc_id, i.i,
+      |    ((d.doc_id % 50 + 1) * (i.i + 3) * 131) % 60000
+      |      + (d.doc_id * 31 + i.i * 7) % 9 - 30000 AS s
+      |  FROM documents d,
+      |       (SELECT unnest(generate_series(0, 2047)) AS i) i),
+      |en AS (
+      |  SELECT doc_id, i // 32 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+      |  FROM smp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.w AS b
+      |  FROM en a JOIN en c ON a.doc_id = c.doc_id AND c.w = a.w + 1
+      |  WHERE a.w < 63 AND a.e < c.e),
+      |hashes AS (
+      |  SELECT d.doc_id AS id, COALESCE(h.ph, 0) AS phash
+      |  FROM documents d LEFT JOIN
+      |    (SELECT doc_id, SUM(CAST(1 AS BIGINT) << b) AS ph
+      |     FROM bits GROUP BY doc_id) h ON d.doc_id = h.doc_id),
+      |banded AS (
+      |  SELECT id, phash, g.band, (phash >> (g.band * 16)) & 65535 AS bandKey
+      |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) g),
+      |prs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |         a.phash AS pa, b.phash AS pb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bandKey = b.bandKey AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+      |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
+
   def qSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
@@ -2125,6 +2177,7 @@ object EntryQueries {
     "q_dedup_incremental_near" -> qDedupIncrementalNear _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_image_phash" -> qDedupImagePhash _,
+    "q_dedup_audio_fp" -> qDedupAudioFp _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_ivf_incremental" -> qSimilarityIvfIncremental _,
@@ -2228,6 +2281,7 @@ object EntryQueries {
     "q_dedup_incremental_near" -> HashOracleSql.incrementalNearSql,
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_dedup_image_phash" -> qDedupImagePhashSql,
+    "q_dedup_audio_fp" -> qDedupAudioFpSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:
     // the exact-cosine oracle applies verbatim
