@@ -8,7 +8,7 @@
 # regime decision from the off-heap A/B can be applied.
 # Classes: /tmp/graft_r14a_classes (frozen post-prefilter tree).
 set -u
-CLASSES=/tmp/graft_r14a_classes
+CLASSES=${GRAFT_AB_CLASSES:-/tmp/graft_r14a_classes}
 OUT=/tmp/prefilter_ab
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
