@@ -41,7 +41,7 @@ object Bench {
     // a small synthetic corpus — standard JVM bench practice; measured
     // per-query times then reflect steady-state throughput.
     evalFully(spark.range(1000000).selectExpr("sum(id) as s"))
-    locally {
+    def cdcWarmFrame(): DataFrame = {
       import org.apache.spark.sql.functions._
       val lines = spark.range(0, 200000).select(
         concat(lit("table public.w"), pmod(col("id"), lit(3)),
@@ -50,12 +50,14 @@ object Bench {
         col("id").cast("string").as("txn"))
         .withColumn("timeBasedKey", concat(col("txn"), lit("-0")))
         .withColumn("ord", col("txn").cast("long"))
-      val warm = graft.streaming.CdcPipeline.transform(
+      graft.streaming.CdcPipeline.transform(
         graft.fixtures.CdcFixture.withSourceMeta(lines),
         graft.streaming.CdcConfig(
           filterTables = Seq("public.w0"), whitelist = false,
           partitionMethod = graft.operators.Partitioner.TableName))
-      evalFully(warm)
+    }
+    locally {
+      evalFully(cdcWarmFrame())
       // Touch every input table once so measured queries reflect
       // steady-state scan cost, not whichever query alphabetically
       // absorbs the cold footer/page-cache reads.
@@ -66,6 +68,22 @@ object Bench {
           try evalFully(spark.read.parquet(f.getAbsolutePath))
           catch { case _: Throwable => () } // nanos-ts tables handled per-query
         }
+    }
+    // CALIBRATION PROBE: a fixed, sf-independent CPU+shuffle workload
+    // (the 200k-line CDC warm pipeline, already JIT-warm at this
+    // point), timed as the median of 3. The number rides the output
+    // line as "cal" so HOST-SPEED DRIFT between recorded rounds is
+    // self-evident from the artifacts: round 14's +64% "regression"
+    // was pure machine drift and cost a four-run forensic
+    // reconstruction to prove — a calibration delta (cal_r14/cal_r13)
+    // would have shown it in one division.
+    val calSec = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        evalFully(cdcWarmFrame())
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
     }
 
     // n repetitions per query, interleaved (rep-major) so a machine
@@ -202,10 +220,6 @@ object Bench {
       if (t.isEmpty) -1.0 else t.sum / t.size
     }
     val results = names.map { case (name, _) => name -> trimmedMean(samples(name)) }
-    // The recorder keeps only a ~2000-char tail of stdout and parses the
-    // JSON line out of that window, so the line must stay COMPACT: 3-dp
-    // trimmed means only. Full samples + medians go to stderr for
-    // variance analysis and cross-round comparison.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -219,16 +233,36 @@ object Bench {
     // out of the suite total (r9's recorded total was ~2 s low because
     // two sentinels rode the sum)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // failed-rep counts ride the JSON line (only when nonempty) so a
-    // contaminated run is visible in the recorded evidence, not just in
-    // a discarded stderr stream
+    // failed-rep counts ride both outputs so a contaminated run is
+    // visible in the recorded evidence, not just in a discarded stream
     val failedJson =
       if (failures.isEmpty) ""
       else failures.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",\"failed_reps\":{", ",", "}")
+    // The recorder keeps only a ~2000-char TAIL of stdout (with sbt's
+    // [success] line appended after) and parses the JSON line out of
+    // that window. At 72 queries the old per-query line hit 1,942
+    // chars and the round-14 artifact came back truncated
+    // ("parsed": null) — per-query data now lives in BENCH_DETAIL.json
+    // (full precision, every sample) and on the [bench-samples] stderr
+    // line (unwindowed), while the stdout line stays O(100) chars
+    // FOREVER regardless of registry growth: total, calibration,
+    // query count, failures.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},""" +
+        s""""reps":$reps,"stat":"trimmed_mean","queries":$qs,"medians":$meds,""" +
+        s""""samples":$all$failedJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detailJson) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $detailPath: $e")
+    }
     System.err.println(s"""[bench-samples] {"reps":$reps,"stat":"trimmed_mean","samples":$all,"medians":$meds}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},"n_queries":${names.size},"detail":"$detailPath"$failedJson,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

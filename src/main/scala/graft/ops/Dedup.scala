@@ -682,6 +682,19 @@ object Dedup {
     // extra shuffle of the 8-byte surviving-hash set instead of a
     // driver array). The guard costs nothing extra: the count already
     // runs to size the Bloom.
+    //
+    // CONTRACT (conf-on path only): the input's lineage must be
+    // DETERMINISTIC. The gram stream is recomputed in two separate jobs
+    // (the construction-time count/Bloom build and the execution-time
+    // posting pass); a non-deterministic source — sample() without a
+    // seed, a limit over a shuffle, rand()-derived text — can diverge
+    // between them, and a gram that was in-band at count time but
+    // absent at posting time silently breaks the no-false-negative
+    // guarantee. Checkpointing the gram stream would remove the
+    // requirement but re-introduces the materialization cost the
+    // prefilter exists to avoid. Note also the behavior change: with
+    // the conf on, building the DataFrame runs EAGER Spark jobs
+    // (count + Bloom construction) before any action on the result.
     def countPrefilter(base: DataFrame): DataFrame =
       if (!df.sparkSession.conf.get(SpanCountPrefilterKey, "false").toBoolean) base
       else {

@@ -114,40 +114,57 @@ object Multimodal {
     out
   }
 
+  /** Per-pixel 8-bit luminance function for a raster, layout-aware:
+    * 1 band = gray verbatim, 2 bands = gray + alpha (alpha ignored),
+    * >=3 bands = integer ITU-R 601 luma over the first three bands.
+    * Samples wider than 8 bits (e.g. TYPE_USHORT_GRAY, 16-bit PNG) are
+    * down-shifted to the 8-bit domain so the documented "8-bit
+    * luminance" contract holds for every decodable layout — indexing a
+    * 16-value histogram with a raw 16-bit sample was an
+    * ArrayIndexOutOfBounds task poison.
+    */
+  private def lumaFn(raster: java.awt.image.Raster): Array[Int] => Int = {
+    val sm = raster.getSampleModel
+    val bands = raster.getNumBands
+    val sh = Array.tabulate(bands)(b => math.max(0, sm.getSampleSize(b) - 8))
+    def c8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    if (bands <= 2) px => c8(px(0) >> sh(0))
+    else px => (299 * c8(px(0) >> sh(0)) + 587 * c8(px(1) >> sh(1)) +
+      114 * c8(px(2) >> sh(2))) / 1000
+  }
+
   /** Decode image bytes to row-major 8-bit luminance samples, or None
     * when the payload is not a parseable image. Reads the RASTER, not
     * `getRGB` — `getRGB` routes gray through an sRGB ColorModel whose
-    * non-linear transfer curve would destroy exact roundtrips.
+    * non-linear transfer curve would destroy exact roundtrips. Any
+    * decode failure — malformed container, codec RuntimeException
+    * (CMMException, IllegalArgumentException), exotic layout — degrades
+    * to None per the NULL-not-poisoned-task contract.
     */
-  private[ops] def decodeGray(bytes: Array[Byte]): Option[Array[Int]] = {
-    if (bytes.length == 0) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val raster = img.getRaster
-      val bands = raster.getNumBands
-      val out = new Array[Int](w * h)
-      val px = new Array[Int](bands)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.getPixel(x, y, px)
-          // single-band: the gray sample verbatim; RGB(A): integer
-          // ITU-R 601 luma so color inputs get a deterministic gray
-          out(y * w + x) =
-            if (bands == 1) px(0)
-            else (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
-          x += 1
+  private[ops] def decodeGray(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      if (bytes.length == 0) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val luma = lumaFn(raster)
+        val out = new Array[Int](w * h)
+        val px = new Array[Int](raster.getNumBands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, px)
+            out(y * w + x) = luma(px)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some(out)
       }
-      Some(out)
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic synthetic grayscale PNGs derived from an id column —
     * the image-fixture path. Pixel values are an analytic function of
@@ -217,28 +234,26 @@ object Multimodal {
 
   /** dHash of one image payload; Long.MinValue = undecodable sentinel
     * (not a reachable hash value — bit 63 is never set by construction).
+    * Decode failures of any kind (IO, codec RuntimeExceptions, exotic
+    * band layouts) return the sentinel rather than poisoning the task.
     */
-  private[ops] def dHash63(bytes: Array[Byte]): Long = {
+  private[ops] def dHash63(bytes: Array[Byte]): Long = try {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) return Long.MinValue
     val (w, h) = (img.getWidth, img.getHeight)
     if (w % 9 != 0 || h % 8 != 0) return Long.MinValue
     val (bw, bh) = (w / 9, h / 8)
     val raster = img.getRaster
-    val bands = raster.getNumBands
-    val px = new Array[Int](bands)
+    val luma = lumaFn(raster)
+    val px = new Array[Int](raster.getNumBands)
     val m = Array.ofDim[Long](9, 8)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         raster.getPixel(x, y, px)
-        val lum =
-          if (bands == 1) px(0)
-          else (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
-        m(x / bw)(y / bh) += lum
+        m(x / bw)(y / bh) += luma(px)
         x += 1
       }
       y += 1
@@ -256,7 +271,7 @@ object Multimodal {
       by += 1
     }
     hash
-  }
+  } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
 
   /** Perceptual near-duplicate image pairs: dHash each payload (real
     * decode), band the 63-bit hash into 4×16-bit LSH keys, pair within
@@ -277,6 +292,16 @@ object Multimodal {
     * dedups — the same bucketed not-all-pairs shape as SimHash text
     * dedup; at 100 TB the band join is the only shuffle and its width
     * is (band, key, id, hash).
+    *
+    * RECALL BOUND (by design, not a bug): with 4 bands, a candidate
+    * pair is only GUARANTEED to share a band when Hamming ≤ 3
+    * (pigeonhole); pairs at distance 4..maxHamming are found
+    * probabilistically — a pair differing in all four bands is missed.
+    * This is the standard LSH recall/cost trade (more, narrower bands
+    * raise recall and bucket sizes); the DuckDB oracles replay the SAME
+    * banding so correctness checks are exact over the contract, and
+    * deployments needing guaranteed recall at maxHamming=h should band
+    * with h+1 bands.
     */
   private def hammingBandPairs(
       hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
@@ -354,8 +379,9 @@ object Multimodal {
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
+        // malformed containers can also throw RuntimeExceptions from
+        // format parsers; degrade to None per the decode contract
+        case scala.util.control.NonFatal(_) => null
       }
     if (ais == null) return None
     try {
@@ -379,7 +405,8 @@ object Multimodal {
           }
         Some(out)
       }
-    } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
   }
 
   /** 63-bit energy-envelope difference hash over REAL decoded audio:

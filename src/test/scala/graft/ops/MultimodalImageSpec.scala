@@ -91,6 +91,60 @@ class MultimodalImageSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit grayscale PNG decodes to the 8-bit domain, no task poison") {
+    // TYPE_USHORT_GRAY samples go up to 65535; decodeGray's contract is
+    // 8-bit luminance — a raw 16-bit sample once indexed a 16-bucket
+    // histogram out of bounds and killed the task.
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until 32; x <- 0 until 36)
+      r.setSample(x, y, 0, (pixel(7L, x, y) << 8) | 0x5A) // 16-bit samples
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val gray = Multimodal.decodeGray(baos.toByteArray).get
+    for (y <- 0 until 32; x <- 0 until 36)
+      assert(gray(y * 36 + x) == pixel(7L, x, y), s"16-bit downshift x=$x y=$y")
+    // and the full pipeline path survives it
+    val hashed = Multimodal.imageDHash(
+      Seq((1L, baos.toByteArray)).toDF("media_id", "content")).collect()
+    assert(!hashed(0).isNullAt(1))
+  }
+
+  test("gray+alpha (2-band) PNG decodes via the gray band, alpha ignored") {
+    import java.awt.image.{ComponentColorModel, DataBuffer, BufferedImage}
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new ComponentColorModel(
+      cs, true, false, java.awt.Transparency.TRANSLUCENT, DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(36, 32)
+    val img = new BufferedImage(cm, raster, false, null)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      raster.setSample(x, y, 0, pixel(3L, x, y)) // gray
+      raster.setSample(x, y, 1, 128 + (x + y) % 64) // alpha, must be ignored
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    assume(decoded.getRaster.getNumBands == 2, "writer produced gray+alpha")
+    val gray = Multimodal.decodeGray(baos.toByteArray).get
+    for (y <- 0 until 32; x <- 0 until 36)
+      assert(gray(y * 36 + x) == pixel(3L, x, y), s"gray+alpha x=$x y=$y")
+    val hashed = Multimodal.imageDHash(
+      Seq((1L, baos.toByteArray)).toDF("media_id", "content")).collect()
+    assert(!hashed(0).isNullAt(1))
+  }
+
+  test("truncated PNG degrades to NULL, not a poisoned task") {
+    val whole = Multimodal.syntheticPng(Seq(9L).toDF("doc_id"))
+      .select("content").as[Array[Byte]].head()
+    val truncated = whole.take(whole.length / 3) // valid magic, cut body
+    assert(Multimodal.decodeGray(truncated).isEmpty)
+    val out = Multimodal.imageDHash(
+      Seq((1L, truncated)).toDF("media_id", "content")).collect()
+    assert(out(0).isNullAt(1))
+  }
+
   test("extractFeatures: image kind decodes pixels; others keep byte stats") {
     val png = Multimodal.syntheticPng(Seq(5L).toDF("doc_id"))
       .select("content").as[Array[Byte]].head()

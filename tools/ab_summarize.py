@@ -15,6 +15,13 @@ import sys
 from pathlib import Path
 
 
+def trimmed_mean(xs):
+    s = sorted(xs)
+    if len(s) >= 3:
+        s = s[1:-1]
+    return round(sum(s) / len(s), 3) if s else None
+
+
 def parse_run(out_path: Path):
     err_path = out_path.with_suffix(".err")
     run = {}
@@ -24,6 +31,8 @@ def parse_run(out_path: Path):
             j = json.loads(line)
             run["total_s"] = j.get("value")
             run["queries"] = j.get("queries", {})
+            if "cal_sec" in j:
+                run["cal_sec"] = j["cal_sec"]
             if "failed_reps" in j:
                 run["failed_reps"] = j["failed_reps"]
     gclocker = len(re.findall(r"GCLocker too often", out_path.read_text(errors="replace")))
@@ -35,6 +44,10 @@ def parse_run(out_path: Path):
                 run["reps"] = j.get("samples", {})
         gclocker += len(re.findall(r"GCLocker too often", text))
     run["gclocker_warnings"] = gclocker
+    # round-15 compact stdout line carries no per-query map; rebuild the
+    # trimmed means from the (unwindowed) stderr samples
+    if not run.get("queries") and run.get("reps"):
+        run["queries"] = {q: trimmed_mean(v) for q, v in run["reps"].items()}
     return run if run else None
 
 

@@ -48,9 +48,22 @@ def load_queries(path):
     # (BENCH_r{N}.json); a raw Bench line is also accepted
     if isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
-    sf = doc.get("sf", "/root/testdata/sf0.1")
+    # round-15 compact stdout line: per-query times moved to a detail
+    # file referenced by "detail" (BENCH_DETAIL.json); resolve it
+    # relative to the input path, then cwd
+    if not doc.get("queries") and doc.get("detail"):
+        for cand in (os.path.join(os.path.dirname(os.path.abspath(path)),
+                                  doc["detail"]),
+                     doc["detail"]):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    doc = {**json.load(f), "sf": doc.get("sf")}
+                break
+    sf = doc.get("sf") or "/root/testdata/sf0.1"
     if not isinstance(sf, str):
         sf = f"/root/testdata/sf{sf}"
+    if not sf.startswith("/"):
+        sf = f"/root/testdata/{sf}"  # compact line carries the basename
     return doc.get("queries", {}), sf
 
 
