@@ -823,6 +823,17 @@ object Dedup {
     * identical by construction (no false negatives; false positives
     * re-band inside the aggregate). Like the other span confs, resolved
     * at DataFrame-construction time.
+    *
+    * ADJUDICATED REJECT (PREFILTER_AB_r16.json): measured slower at
+    * every scale and memory regime — sf1 base 21.7/25.7 s vs prefilter
+    * 29.8/38.2 s; sf10 off-heap base 282.2/329.0 s vs prefilter
+    * 353.4/479.2 s. The gram-stream recompute plus eager Bloom-build
+    * jobs cost more than the shuffle reduction saves (postings are
+    * already bounded), and both sides scale with corpus size, so no
+    * crossover exists at 100 TB. Kept default-off as a measurement
+    * hook; the distributed left-semi fallback below remains the design
+    * of record for any future regime where a prefilter is mandatory
+    * for driver-memory reasons rather than speed.
     */
   val SpanCountPrefilterKey = "spark.graft.span.countPrefilter"
 
