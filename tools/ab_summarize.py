@@ -47,7 +47,10 @@ def parse_run(out_path: Path):
     # round-15 compact stdout line carries no per-query map; rebuild the
     # trimmed means from the (unwindowed) stderr samples
     if not run.get("queries") and run.get("reps"):
-        run["queries"] = {q: trimmed_mean(v) for q, v in run["reps"].items()}
+        # a query whose reps all failed has an empty sample list — keep
+        # the old stdout map's -1.0 sentinel rather than surfacing None
+        run["queries"] = {q: (trimmed_mean(v) if v else -1.0)
+                          for q, v in run["reps"].items()}
     return run if run else None
 
 

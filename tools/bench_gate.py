@@ -36,9 +36,9 @@ timings are JIT/GC dominated and gate on noise, not plans.
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
+import tempfile
 
 
 def load_queries(path):
@@ -56,9 +56,23 @@ def load_queries(path):
                                   doc["detail"]),
                      doc["detail"]):
             if os.path.exists(cand):
+                # detail's sf WINS: it carries the full SPARK_GRAFT_SF_DIR
+                # path, while the stdout line only has the basename —
+                # reconstructing /root/testdata/<basename> from the latter
+                # points the isolation re-run at the wrong dataset whenever
+                # the bench ran on an amplified corpus elsewhere
                 with open(cand) as f:
-                    doc = {**json.load(f), "sf": doc.get("sf")}
+                    doc = {"sf": doc.get("sf"), **json.load(f)}
                 break
+        else:
+            # an unresolvable detail reference means the per-query map is
+            # simply unavailable (e.g. Bench's write failed, which only
+            # warns on stderr) — a silent empty map would let a NEW round
+            # with zero queries produce zero suspects and a phantom PASS
+            raise SystemExit(
+                f"[gate] {path}: detail file {doc['detail']!r} not found "
+                "next to the input or at its literal path; cannot load "
+                "per-query times")
     sf = doc.get("sf") or "/root/testdata/sf0.1"
     if not isinstance(sf, str):
         sf = f"/root/testdata/sf{sf}"
@@ -74,19 +88,31 @@ def run_isolated(suspects, sf_dir, repo_root):
     # 3 reps is enough for a quiet re-measure; trimmed mean still drops
     # the min/max samples
     env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
+    # the compact stdout line no longer carries a per-query map, so the
+    # isolation times come from the detail file — written to a scratch
+    # path so the re-run never clobbers the round's canonical
+    # BENCH_DETAIL.json artifact in the repo root
+    detail_path = tempfile.mktemp(prefix="bench_gate_iso_", suffix=".json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=repo_root, env=env, capture_output=True, text=True, timeout=3600)
-    m = None
-    for line in out.stdout.splitlines():
-        hit = re.search(r'\{"metric".*\}', line)
-        if hit:
-            m = hit.group(0)
-    if m is None:
-        sys.stderr.write("[gate] isolation run produced no bench JSON line\n")
+    try:
+        if os.path.exists(detail_path):
+            with open(detail_path) as f:
+                iso = json.load(f).get("queries") or {}
+            if iso:
+                return iso
+        sys.stderr.write(
+            "[gate] isolation run produced no usable detail file "
+            f"({detail_path})\n")
         sys.stderr.write(out.stdout[-2000:] + "\n")
+        # empty map == adjudication failure, same as a missing one: the
+        # caller must treat suspects as reproduced, not dismissed
         return None
-    return json.loads(m).get("queries", {})
+    finally:
+        if os.path.exists(detail_path):
+            os.unlink(detail_path)
 
 
 def median(xs):
@@ -119,6 +145,10 @@ def main():
         if ts:
             old_q[name] = median(ts)
     new_q, new_sf = load_queries(args.new)
+    if not new_q:
+        raise SystemExit(
+            f"[gate] {args.new}: empty per-query map — refusing to PASS "
+            "on zero suspects from zero data")
 
     suspects = {}
     for name, new_t in new_q.items():
