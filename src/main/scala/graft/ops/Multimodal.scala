@@ -33,9 +33,15 @@ final case class MediaFeatures(
   * JDK, so the audio path decodes actual WAV containers to 16-bit
   * samples ([[audioEnergyHash]] fingerprinting,
   * [[audioFingerprintDuplicates]] Hamming-banded near-dedup,
-  * real-sample features in [[extractFeatures]]). Compressed audio
-  * (MP3/AAC/OGG) and VIDEO codecs are not available in this build
-  * environment, so those payloads fall back to deterministic byte-level
+  * real-sample features in [[extractFeatures]]) — and for the other
+  * JDK lossless-PCM containers AIFF and AU ([[syntheticAudio]]; the
+  * decoder follows the container's declared endianness, so all three
+  * hash bit-identically). MULTI-FRAME decode is REAL for animated GIF:
+  * [[videoFrameHashes]] walks an `ImageReader` frame sequence and
+  * perceptually hashes evenly-sampled frames — the video-shaped path.
+  * Compressed audio (MP3/AAC/OGG) and true video codecs are not
+  * available in this build environment, so those payloads fall back to
+  * deterministic byte-level
   * statistics — the production shape stands for them too: binary
   * columns partition and spill like any other column; feature
   * extraction runs as a typed `mapPartitions` (one JVM-local pass per
@@ -133,6 +139,22 @@ object Multimodal {
       114 * c8(px(2) >> sh(2))) / 1000
   }
 
+  /** Image-aware luma selection: palette images (GIF, indexed BMP/PNG)
+    * carry palette INDICES in their raster, not intensities — treating
+    * an index as gray is only right when the palette happens to be an
+    * identity gray ramp. Map each index through the color table to its
+    * integer ITU-R 601 luma via a precomputed LUT; every other layout
+    * takes the band-based raster path above.
+    */
+  private def lumaFnImg(img: java.awt.image.BufferedImage): Array[Int] => Int =
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val lut = Array.tabulate(icm.getMapSize)(i =>
+          (299 * icm.getRed(i) + 587 * icm.getGreen(i) + 114 * icm.getBlue(i)) / 1000)
+        px => lut(px(0))
+      case _ => lumaFn(img.getRaster)
+    }
+
   /** Decode image bytes to row-major 8-bit luminance samples, or None
     * when the payload is not a parseable image. Reads the RASTER, not
     * `getRGB` — `getRGB` routes gray through an sRGB ColorModel whose
@@ -149,7 +171,7 @@ object Multimodal {
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
-        val luma = lumaFn(raster)
+        val luma = lumaFnImg(img)
         val out = new Array[Int](w * h)
         val px = new Array[Int](raster.getNumBands)
         var y = 0
@@ -240,12 +262,19 @@ object Multimodal {
   private[ops] def dHash63(bytes: Array[Byte]): Long = try {
     val img =
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return Long.MinValue
+    if (img == null) Long.MinValue else dHash63Of(img)
+  } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+
+  /** dHash core over an already-decoded frame — shared by the
+    * whole-image path above and the per-frame video path
+    * ([[videoFrameHashes]]). Same sentinel convention.
+    */
+  private def dHash63Of(img: java.awt.image.BufferedImage): Long = try {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w % 9 != 0 || h % 8 != 0) return Long.MinValue
     val (bw, bh) = (w / 9, h / 8)
     val raster = img.getRaster
-    val luma = lumaFn(raster)
+    val luma = lumaFnImg(img)
     val px = new Array[Int](raster.getNumBands)
     val m = Array.ofDim[Long](9, 8)
     var y = 0
@@ -341,28 +370,50 @@ object Multimodal {
   def syntheticWav(
       docs: DataFrame, idCol: String = "doc_id",
       sampleRate: Int = 16000, nSamples: Int = 2048,
-      groups: Int = 50): DataFrame = {
+      groups: Int = 50): DataFrame =
+    syntheticAudio(docs, idCol, sampleRate, nSamples, groups, "wav")
+
+  /** [[syntheticWav]] generalized over the JDK's lossless-PCM container
+    * types: `wav` (RIFF, little-endian), `aiff` (big-endian), `au`
+    * (big-endian). Same sample formula regardless of container, so the
+    * SAME analytic oracle covers every variant — a decoded AIFF or AU
+    * clip must hash bit-identically to its WAV twin. The PCM bytes are
+    * laid out in the container's native endianness up front so
+    * `AudioSystem.write` never resamples or converts.
+    */
+  def syntheticAudio(
+      docs: DataFrame, idCol: String = "doc_id",
+      sampleRate: Int = 16000, nSamples: Int = 2048,
+      groups: Int = 50, container: String = "wav"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val fileType = container.toLowerCase match {
+      case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case other  => throw new IllegalArgumentException(
+        s"unsupported audio container '$other' (wav|aiff|au)")
+    }
+    val bigEndian = fileType != javax.sound.sampled.AudioFileFormat.Type.WAVE
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, /*bigEndian=*/ false)
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, bigEndian)
       it.map { id =>
         val pcm = new Array[Byte](nSamples * 2)
         var i = 0
         while (i < nSamples) {
           val s = (((id % groups + 1) * (i + 3) * 131) % 60000 +
             (id * 31 + i * 7) % 9 - 30000).toInt
-          pcm(2 * i) = (s & 0xFF).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+          pcm(lo) = (s & 0xFF).toByte
+          pcm(hi) = ((s >> 8) & 0xFF).toByte
           i += 1
         }
         val baos = new java.io.ByteArrayOutputStream(pcm.length + 64)
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        javax.sound.sampled.AudioSystem.write(ais, fileType, baos)
         (id, baos.toByteArray)
       }
     }.toDF("media_id", "content")
@@ -467,6 +518,140 @@ object Multimodal {
     hammingBandPairs(
       audioEnergyHash(audio, idCol, contentCol).where(col("phash").isNotNull),
       idCol, maxHamming)
+
+  /** Deterministic synthetic multi-frame (animated) GIFs derived from
+    * an id column — the video-shaped fixture, extending the
+    * [[syntheticPng]] pattern with a frame axis. Every frame's pixels
+    * are an integer-analytic function of (id, f, x, y), the palette is
+    * an identity 256-gray ramp, and GIF's LZW coding is lossless over
+    * palette indices, so an external engine re-derives every pixel of
+    * every frame without a codec while Spark consumers exercise a REAL
+    * multi-frame container decode ([[videoFrameHashes]] reads the
+    * frames back through an `ImageReader` sequence).
+    *
+    * pixel(id,f,x,y) = ((id%groups + 1)·(x+3)·(y+7)·(f+11)) mod 251
+    *                 + (id·31 + f·13 + x·7 + y·3) mod 5     ∈ [0, 254]
+    */
+  def syntheticGif(
+      docs: DataFrame, idCol: String = "doc_id",
+      width: Int = 36, height: Int = 32, frames: Int = 8,
+      groups: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      // identity gray ramp: palette index i -> (i,i,i), so the indices
+      // the LZW coder preserves ARE the luminance values
+      val ramp = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      it.map { id =>
+        val baos = new java.io.ByteArrayOutputStream(8192)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < frames) {
+            val img = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val v = (((id % groups + 1) * (x + 3) * (y + 7) * (f + 11)) % 251 +
+                  (id * 31 + f * 13 + x * 7 + y * 3) % 5).toInt
+                raster.setSample(x, y, 0, v)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        (id, baos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** REAL frame extraction over multi-frame containers: decode the
+    * payload's frame sequence through an `ImageReader` (the JDK ships a
+    * multi-frame GIF reader; the same call shape covers any registered
+    * sequence codec), sample `n` evenly spaced frames —
+    * frame(i) = i·nFrames/k, k = min(n, nFrames), i < k — and dHash
+    * each sampled frame. Output: one row per (media_id, frame_idx)
+    * with the 63-bit perceptual hash; frame_idx is the SOURCE frame
+    * number so downstream joins align on container positions.
+    * Undecodable payloads or frames degrade to zero rows / dropped
+    * frames per the NULL-not-poisoned-task contract. Decode runs in
+    * `mapPartitions` (JVM-local, no shuffle); at 100 TB the only
+    * shuffle is whatever the consumer does with the hashes.
+    */
+  def videoFrameHashes(
+      media: DataFrame, n: Int, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readFrames(if (bytes == null) Array.emptyByteArray else bytes) match {
+            case Some(fs) if fs.nonEmpty =>
+              val k = math.min(n, fs.length)
+              (0 until k).iterator.flatMap { i =>
+                val src = i * fs.length / k
+                val h = dHash63Of(fs(src))
+                if (h == Long.MinValue) Iterator.empty
+                else Iterator((id, src, h))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF(idCol, "frame_idx", "phash")
+  }
+
+  /** Decode every frame of a multi-frame image container, or None when
+    * no registered reader parses it. Frames that fail mid-sequence
+    * truncate the result rather than poisoning the task.
+    */
+  private[ops] def readFrames(
+      bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    try {
+      if (bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val out = Vector.newBuilder[java.awt.image.BufferedImage]
+        var i = 0
+        var done = false
+        while (!done) {
+          // -1 = unknown count without a full scan: read until the
+          // reader runs out instead of forcing a second pass
+          try { out += reader.read(i); i += 1 }
+          catch {
+            case _: IndexOutOfBoundsException => done = true
+            case scala.util.control.NonFatal(_) => done = true
+          }
+        }
+        val v = out.result()
+        if (v.isEmpty) None else Some(v)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Sample `n` evenly spaced fixed-size "frames" from the binary
     * payload — pure Catalyst (binary substring), no decode. Output:
