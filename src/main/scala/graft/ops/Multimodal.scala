@@ -151,7 +151,9 @@ object Multimodal {
       case icm: java.awt.image.IndexColorModel =>
         val lut = Array.tabulate(icm.getMapSize)(i =>
           (299 * icm.getRed(i) + 587 * icm.getGreen(i) + 114 * icm.getBlue(i)) / 1000)
-        px => lut(px(0))
+        // clamp: a malformed palette image whose raster sample exceeds
+        // the palette size degrades one pixel, not the whole image
+        px => lut(math.min(math.max(px(0), 0), lut.length - 1))
       case _ => lumaFn(img.getRaster)
     }
 
@@ -387,15 +389,21 @@ object Multimodal {
       groups: Int = 50, container: String = "wav"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fileType = container.toLowerCase match {
-      case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
-      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
-      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
-      case other  => throw new IllegalArgumentException(
+    // Validate eagerly on the driver, but capture only the String:
+    // AudioFileFormat.Type is NOT Serializable, so the Type instance
+    // must be re-resolved inside the mapPartitions body.
+    val containerLc = container.toLowerCase match {
+      case c @ ("wav" | "aiff" | "au") => c
+      case other => throw new IllegalArgumentException(
         s"unsupported audio container '$other' (wav|aiff|au)")
     }
-    val bigEndian = fileType != javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val bigEndian = containerLc != "wav"
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val fileType = containerLc match {
+        case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
+        case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+        case _      => javax.sound.sampled.AudioFileFormat.Type.AU
+      }
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, bigEndian)
@@ -618,6 +626,38 @@ object Multimodal {
       }.toDF(idCol, "frame_idx", "phash")
   }
 
+  /** Per-frame perceptual near-dedup over multi-frame containers —
+    * the video twin of [[imagePhashDuplicates]]: sample `n` evenly
+    * spaced frames per payload ([[videoFrameHashes]]), then
+    * Hamming-band candidate pairing WITHIN each source-frame position
+    * (two videos are frame-f near-dups when their frame-f dHashes are
+    * within `maxHamming`). Banding keys are (frame_idx, band,
+    * bandKey), so candidate generation stays a bucketed equi-join —
+    * never all-pairs — and scales exactly like the image path with the
+    * frame axis folded into the shuffle key. Output: (id_a, id_b,
+    * frame_idx, hamming), id_a < id_b.
+    */
+  def videoFrameDuplicates(
+      media: DataFrame, n: Int, idCol: String = "media_id",
+      contentCol: String = "content", maxHamming: Int = 10): DataFrame = {
+    val fh = videoFrameHashes(media, n, idCol, contentCol)
+    val bandExprs = (0 until 4).map(b =>
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = fh.select(col(idCol).as("id"), col("frame_idx"), col("phash"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
+    val a = banded.select(col("frame_idx"), col("band"), col("bandKey"),
+      col("id").as("id_a"), col("phash").as("h_a"))
+    val b = banded.select(col("frame_idx"), col("band"), col("bandKey"),
+      col("id").as("id_b"), col("phash").as("h_b"))
+    a.join(b, Seq("frame_idx", "band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame_idx", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .drop("h_a", "h_b")
+  }
+
   /** Decode every frame of a multi-frame image container, or None when
     * no registered reader parses it. Frames that fail mid-sequence
     * truncate the result rather than poisoning the task.
@@ -628,29 +668,28 @@ object Multimodal {
       if (bytes.length == 0) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return None }
-      val reader = readers.next()
       try {
-        reader.setInput(iis)
-        val out = Vector.newBuilder[java.awt.image.BufferedImage]
-        var i = 0
-        var done = false
-        while (!done) {
-          // -1 = unknown count without a full scan: read until the
-          // reader runs out instead of forcing a second pass
-          try { out += reader.read(i); i += 1 }
-          catch {
-            case _: IndexOutOfBoundsException => done = true
-            case scala.util.control.NonFatal(_) => done = true
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val out = Vector.newBuilder[java.awt.image.BufferedImage]
+          var i = 0
+          var done = false
+          while (!done) {
+            // -1 = unknown count without a full scan: read until the
+            // reader runs out instead of forcing a second pass
+            try { out += reader.read(i); i += 1 }
+            catch {
+              case _: IndexOutOfBoundsException => done = true
+              case scala.util.control.NonFatal(_) => done = true
+            }
           }
-        }
-        val v = out.result()
-        if (v.isEmpty) None else Some(v)
-      } finally {
-        reader.dispose()
-        iis.close()
-      }
+          val v = out.result()
+          if (v.isEmpty) None else Some(v)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Sample `n` evenly spaced fixed-size "frames" from the binary

@@ -1233,6 +1233,85 @@ object EntryQueries {
       |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
       |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
 
+  /** AIFF twin of [[qDedupAudioFp]]: the SAME analytic oracle covers
+    * it because [[Multimodal.syntheticAudio]] lays out identical PCM
+    * samples in the container's native endianness — a decoded AIFF
+    * clip must produce the bit-identical energy hash, so any
+    * endianness or header drift in the encode→decode path fails the
+    * hash. (The AU arm is covered by the bit-identity spec in
+    * `MultimodalAudioSpec`.)
+    */
+  def qDedupAudioFpAiff(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprintDuplicates(
+      Multimodal.syntheticAudio(T(spark, dir, "documents"), container = "aiff"),
+      maxHamming = 10)
+
+  /** Per-frame video near-dedup over REAL decoded animated GIFs: the
+    * fixture encodes 8 deterministic 36×32 frames per doc_id to an
+    * actual multi-frame GIF ([[Multimodal.syntheticGif]] — identity
+    * gray palette + lossless LZW, so indices ARE intensities), the
+    * operator extracts 4 evenly spaced frames (0,2,4,6) through the
+    * JDK's sequence `ImageReader`, dHashes each, and band-pairs within
+    * each frame position ([[Multimodal.videoFrameDuplicates]]). The
+    * oracle re-derives every pixel of every sampled frame analytically
+    * from (doc_id, f, x, y) — never touching GIF — and replays the
+    * dHash + per-frame banding in SQL, an independent check of the
+    * whole multi-frame encode→decode→hash path.
+    */
+  def qDedupVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameDuplicates(
+      Multimodal.syntheticGif(T(spark, dir, "documents")), n = 4,
+      maxHamming = 10)
+
+  /** First-principles DuckDB mirror of [[qDedupVideoFrames]]: pixel
+    * formula with the frame axis → 4×4 block means → 63 dHash bits per
+    * (doc_id, frame) → 4×16-bit banding keyed additionally on the
+    * frame position → exact Hamming ≤ 10. Mirrors
+    * `syntheticGif(width=36, height=32, frames=8, groups=50)` +
+    * `videoFrameDuplicates(n=4, maxHamming=10)` — sampled source
+    * frames are i·8/4 = {0, 2, 4, 6}.
+    */
+  val qDedupVideoFramesSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, f.f, g.x, g.y,
+      |    ((d.doc_id % 50 + 1) * (g.x + 3) * (g.y + 7) * (f.f + 11)) % 251
+      |      + (d.doc_id * 31 + f.f * 13 + g.x * 7 + g.y * 3) % 5 AS v
+      |  FROM documents d,
+      |       (SELECT unnest([0, 2, 4, 6]) AS f) f,
+      |       (SELECT xs.x, ys.y
+      |        FROM (SELECT unnest(generate_series(0, 35)) AS x) xs,
+      |             (SELECT unnest(generate_series(0, 31)) AS y) ys) g),
+      |blocks AS (
+      |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by, SUM(v) // 16 AS m
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.by * 8 + a.bx AS b
+      |  FROM blocks a JOIN blocks c
+      |    ON a.doc_id = c.doc_id AND a.f = c.f AND a.by = c.by
+      |   AND c.bx = a.bx + 1
+      |  WHERE a.bx < 8 AND a.by * 8 + a.bx < 63 AND a.m < c.m),
+      |hashes AS (
+      |  SELECT df.doc_id AS id, df.f AS frame_idx, COALESCE(h.ph, 0) AS phash
+      |  FROM (SELECT d.doc_id, f.f
+      |        FROM documents d, (SELECT unnest([0, 2, 4, 6]) AS f) f) df
+      |  LEFT JOIN
+      |    (SELECT doc_id, f, SUM(CAST(1 AS BIGINT) << b) AS ph
+      |     FROM bits GROUP BY doc_id, f) h
+      |    ON df.doc_id = h.doc_id AND df.f = h.f),
+      |banded AS (
+      |  SELECT id, frame_idx, phash, g.band,
+      |         (phash >> (g.band * 16)) & 65535 AS bandKey
+      |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) g),
+      |prs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_idx,
+      |         a.phash AS pa, b.phash AS pb
+      |  FROM banded a JOIN banded b
+      |    ON a.frame_idx = b.frame_idx AND a.band = b.band
+      |   AND a.bandKey = b.bandKey AND a.id < b.id)
+      |SELECT id_a, id_b, frame_idx,
+      |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+      |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
+
   def qSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
@@ -2178,6 +2257,8 @@ object EntryQueries {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_image_phash" -> qDedupImagePhash _,
     "q_dedup_audio_fp" -> qDedupAudioFp _,
+    "q_dedup_audio_fp_aiff" -> qDedupAudioFpAiff _,
+    "q_dedup_video_frames" -> qDedupVideoFrames _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_ivf_incremental" -> qSimilarityIvfIncremental _,
@@ -2282,6 +2363,8 @@ object EntryQueries {
     "q_dedup_simhash" -> HashOracleSql.simhashSql,
     "q_dedup_image_phash" -> qDedupImagePhashSql,
     "q_dedup_audio_fp" -> qDedupAudioFpSql,
+    "q_dedup_audio_fp_aiff" -> qDedupAudioFpSql,
+    "q_dedup_video_frames" -> qDedupVideoFramesSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:
     // the exact-cosine oracle applies verbatim

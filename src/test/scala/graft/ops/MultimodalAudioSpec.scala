@@ -93,6 +93,46 @@ class MultimodalAudioSpec extends AnyFunSuite {
     }
   }
 
+  test("AIFF and AU containers hash bit-identically to the WAV twin") {
+    val ids = (0L until 40L).toSeq
+    def hashes(container: String): Map[Long, Long] =
+      Multimodal.audioEnergyHash(
+        Multimodal.syntheticAudio(ids.toDF("doc_id"), container = container))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wav = hashes("wav")
+    val aiff = hashes("aiff")
+    val au = hashes("au")
+    ids.foreach { id =>
+      assert(wav(id) == analyticEnergyHash(id), s"wav hash mismatch id=$id")
+      assert(aiff(id) == wav(id), s"aiff hash != wav twin id=$id")
+      assert(au(id) == wav(id), s"au hash != wav twin id=$id")
+    }
+  }
+
+  test("AIFF/AU are real containers whose PCM roundtrips exactly") {
+    val ids = Seq(0L, 7L, 123L)
+    def bytesOf(container: String): Map[Long, Array[Byte]] =
+      Multimodal.syntheticAudio(ids.toDF("doc_id"), container = container)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val aiff = bytesOf("aiff")
+    val au = bytesOf("au")
+    ids.foreach { id =>
+      // genuine container magics, not re-labeled buffers
+      assert(aiff(id).take(4).map(_.toChar).mkString == "FORM")
+      assert(aiff(id).slice(8, 12).map(_.toChar).mkString == "AIFF")
+      assert(au(id).take(4).map(_.toChar).mkString == ".snd")
+      Seq(aiff(id), au(id)).foreach { bytes =>
+        val pcm = Multimodal.decodePcm16(bytes).get
+        assert(pcm.length == N)
+        for (i <- 0 until N)
+          assert(pcm(i) == sample(id, i), s"sample mismatch id=$id i=$i")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.syntheticAudio(ids.toDF("doc_id"), container = "mp3")
+    }
+  }
+
   test("extractFeatures: audio kind with WAV payload decodes real samples") {
     val wav = Multimodal.syntheticWav(Seq(5L).toDF("doc_id"))
       .select("content").as[Array[Byte]].head()

@@ -92,15 +92,24 @@ def run_isolated(suspects, sf_dir, repo_root):
     # isolation times come from the detail file — written to a scratch
     # path so the re-run never clobbers the round's canonical
     # BENCH_DETAIL.json artifact in the repo root
-    detail_path = tempfile.mktemp(prefix="bench_gate_iso_", suffix=".json")
+    # mkstemp reserves the path atomically (mktemp's name can be claimed
+    # by another process before the sbt child writes it); Bench
+    # truncates/overwrites the existing empty file
+    fd, detail_path = tempfile.mkstemp(prefix="bench_gate_iso_", suffix=".json")
+    os.close(fd)
     env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=repo_root, env=env, capture_output=True, text=True, timeout=3600)
     try:
-        if os.path.exists(detail_path):
-            with open(detail_path) as f:
-                iso = json.load(f).get("queries") or {}
+        # mkstemp pre-created the file, so existence alone no longer
+        # means Bench wrote it — an empty/garbage file parses as no map
+        if os.path.exists(detail_path) and os.path.getsize(detail_path) > 0:
+            try:
+                with open(detail_path) as f:
+                    iso = json.load(f).get("queries") or {}
+            except ValueError:
+                iso = {}
             if iso:
                 return iso
         sys.stderr.write(
@@ -139,6 +148,18 @@ def main():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     olds = [load_queries(p)[0] for p in args.old]
+    # the same phantom-PASS blind spot the new_q refusal closes: an OLD
+    # file whose detail resolves but carries no query map contributes
+    # nothing, and if every old is empty there is no baseline at all —
+    # zero suspects then means "no comparison ran", not "no regressions"
+    for p, o in zip(args.old, olds):
+        if not o:
+            sys.stderr.write(f"[gate] WARNING {p}: empty per-query map — "
+                             "contributes no baseline\n")
+    if not any(olds):
+        raise SystemExit(
+            "[gate] every OLD file yielded an empty per-query map — "
+            "refusing to PASS on zero suspects from zero baseline")
     old_q = {}
     for name in set().union(*[set(o) for o in olds]):
         ts = [o[name] for o in olds if name in o]
