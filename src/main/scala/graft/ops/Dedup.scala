@@ -791,12 +791,19 @@ object Dedup {
 
   /** Conf key overriding the auto-select threshold: estimated
     * (id, text) input bytes at or above which `auto` uses the bounded
-    * posting-list aggregate. The default sits between the measured sf1
-    * (window wins by ~30 %) and sf10 (bounded wins, and the window
-    * form's global sort is the thing that OOM'd) corpora — biased LOW
-    * because the bounded form degrades gracefully (it pays ~30 % in
-    * the in-memory regime) while the window form degrades
-    * catastrophically (unbounded sort spill at corpus scale).
+    * posting-list aggregate. Recalibrated in round 17
+    * (SELECTOR_AB_r17.json): the original 16 MiB default predated the
+    * packed-posting bounded path and misrouted mid-scale corpora — the
+    * same-day A/B measured WINDOW 1.4–1.6× faster at a ~255 KB
+    * estimate (sf0.1) and BOUNDED 1.3–1.7× faster at a ~2.5 MB
+    * estimate (sf1, confirming the r14 FLOORS observation), so the
+    * default sits at the log-midpoint of that bracket. Note the
+    * estimate is compressed-parquet-based and column-pruned — ~1 MiB
+    * estimated ≈ 20 MB of decoded text. Above the bracket the choice
+    * compounds: the bounded form degrades gracefully while the window
+    * form's global sort degrades catastrophically (the sf10 OOM,
+    * SCALE.md round 11), and unknown-size sources estimate
+    * conservatively LARGE, which lands on the scale-safe side.
     *
     * Resolution happens at DataFrame-CONSTRUCTION time (a
     * `repeatedSpans` call reads this conf and Catalyst's size estimate
@@ -804,7 +811,7 @@ object Dedup {
     * re-route it; build a new frame to pick up the new threshold.
     */
   val SpanBoundedMinBytesKey = "spark.graft.span.boundedMinBytes"
-  val SpanBoundedMinBytesDefault: Long = 16L * 1024 * 1024
+  val SpanBoundedMinBytesDefault: Long = 1L * 1024 * 1024
 
   /** Conf key (default `true`): pack each bounded-strategy posting as
     * one [[graft.functions.PackIdPos]] long — narrower sorted/spilled
