@@ -277,17 +277,36 @@ object Multimodal {
     val (bw, bh) = (w / 9, h / 8)
     val raster = img.getRaster
     val luma = lumaFnImg(img)
-    val px = new Array[Int](raster.getNumBands)
     val m = Array.ofDim[Long](9, 8)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        raster.getPixel(x, y, px)
-        m(x / bw)(y / bh) += luma(px)
-        x += 1
+    if (raster.getNumBands == 1) {
+      // row-wise reads for single-band rasters (gray PNG, indexed GIF):
+      // one getSamples call per row instead of w per-pixel getPixel
+      // calls — the per-call overhead dominated the per-frame hash
+      val row = new Array[Int](w)
+      val px = new Array[Int](1)
+      var y = 0
+      while (y < h) {
+        raster.getSamples(0, y, w, 1, 0, row)
+        var x = 0
+        while (x < w) {
+          px(0) = row(x)
+          m(x / bw)(y / bh) += luma(px)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      val px = new Array[Int](raster.getNumBands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.getPixel(x, y, px)
+          m(x / bw)(y / bh) += luma(px)
+          x += 1
+        }
+        y += 1
+      }
     }
     val area = bw.toLong * bh
     var hash = 0L
@@ -563,14 +582,20 @@ object Multimodal {
           while (f < frames) {
             val img = new java.awt.image.BufferedImage(
               width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-            val raster = img.getRaster
+            // fill the backing byte buffer directly (row-major, stride
+            // = width for this constructor) — ~9k setSample calls per
+            // frame made this fixture the most expensive encode in the
+            // bench suite
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
             var y = 0
             while (y < height) {
+              val rowBase = y * width
               var x = 0
               while (x < width) {
                 val v = (((id % groups + 1) * (x + 3) * (y + 7) * (f + 11)) % 251 +
                   (id * 31 + f * 13 + x * 7 + y * 3) % 5).toInt
-                raster.setSample(x, y, 0, v)
+                data(rowBase + x) = v.toByte
                 x += 1
               }
               y += 1
