@@ -103,6 +103,108 @@ object WinnowFingerprint {
   }
 }
 
+/** `winnow_anchor_hashes(text, k, w)` → array<bigint>: the winnowing
+  * selection of [[WinnowFingerprint]] WITHOUT the distinct-values
+  * collapse — one entry per distinct SELECTED k-gram index, in
+  * position order. Same rolling hash, same monotonic-deque window
+  * minimum; a new entry is appended whenever the selected index
+  * changes (the classic "record on change" winnowing emission).
+  *
+  * Why multiplicity matters: this feeds the repeated-span winnow
+  * prefilter ([[graft.ops.Dedup.repeatedSpans]]), whose SELF-repeat
+  * candidate test is "some hash selected at ≥ 2 distinct positions in
+  * one document". The deque's tie rule (pop `>=` on arrival) keeps the
+  * RIGHTMOST occurrence of a window's minimum, which makes the
+  * selected index a pure function of the window's hash CONTENTS —
+  * so two occurrences of the same hash run at offsets p and p+d
+  * select the same minimum value at indices exactly d apart, and the
+  * value appears ≥ 2 times in this array. The value-deduped
+  * [[WinnowFingerprint]] cannot express that.
+  *
+  * Guarantee inherited from winnowing (SIGMOD'03): any two documents
+  * whose gram-hash streams share a run of ≥ w consecutive equal
+  * hashes (i.e. a shared substring of length ≥ w + k − 1, or a
+  * hash-collision lookalike — both are exactly what the span index
+  * pairs on) share at least one emitted VALUE here; a single document
+  * containing such a run at two offsets emits that value at ≥ 2
+  * entries. Texts with fewer than one k-gram yield an empty array;
+  * with fewer than w k-grams, the single global (rightmost) minimum.
+  */
+case class WinnowAnchorHashes(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_anchor_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowAnchorHashes.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowAnchorHashes.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchorHashes =
+    copy(child = newChild)
+}
+
+object WinnowAnchorHashes {
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val B = WinnowFingerprint.Base
+    val M = WinnowFingerprint.Mod
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+
+    val g = n - k + 1
+    val hashes = new Array[Long](g)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    hashes(0) = h
+    var bk1 = 1L
+    i = 0
+    while (i < k - 1) { bk1 = (bk1 * B) % M; i += 1 }
+    i = 1
+    while (i < g) {
+      h = ((h - (cps(i - 1) * bk1) % M + M) % M * B + cps(i + k - 1)) % M
+      hashes(i) = h
+      i += 1
+    }
+
+    if (g <= w) {
+      // single short window: the global rightmost minimum
+      var minIdx = 0
+      i = 1
+      while (i < g) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+      return new GenericArrayData(Array(hashes(minIdx)))
+    }
+    // sliding window minimum, rightmost tie, record on index change
+    val out = new java.util.ArrayList[java.lang.Long](g / w + 4)
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0
+    var last = -1
+    i = 0
+    while (i < g) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 && deque(head) != last) {
+        last = deque(head)
+        out.add(hashes(last))
+      }
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i); i += 1 }
+    new GenericArrayData(res)
+  }
+}
+
 /** `gram_position_hashes(text)` → array<struct<pos:int, h:bigint>>:
   * every k-gram's position (1-based over the caller-normalized text,
   * matching SQL `substring` indexing) with its Rabin–Karp rolling hash

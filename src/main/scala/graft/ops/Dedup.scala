@@ -633,17 +633,36 @@ object Dedup {
     // Null ids can't participate in span pairing (the old join form
     // dropped them via null-propagating id comparisons; the aggregate
     // also guards, but filtering here skips gram generation entirely).
-    def gramStream = df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        explode(column(graft.functions.GramPositionHashes(
-          expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
+    val base = df.where(col(idCol).isNotNull)
+    // Winnowed anchor prefilter (conf, default off): gate the posting
+    // index to candidate documents found by a winnowing pass, plus the
+    // full-corpus over-cap gram set that keeps maxGramFreq semantics
+    // exact — see [[SpanWinnowPrefilterKey]] for the full contract.
+    val winnow = resolveWinnowPrefilter(base, textCol, idCol, k, minLen,
+      maxGramFreq, includeSelf)
+    val corpus = winnow.map(_._1).getOrElse(base)
+    def gramStream = spanGramStream(corpus, textCol, idCol, k)
     lazy val g = gramStream
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // Winnow-path cap correction: drop grams whose FULL-corpus count
+    // exceeds maxGramFreq before the (candidate-subset) aggregate sees
+    // them. Without it the subset aggregate would band a gram whose
+    // occurrences beyond the candidate set push it over the cap —
+    // emitting merged spans the ungated index fragments. With it the
+    // subset counts of surviving grams are ≤ their full counts ≤ cap,
+    // so the aggregate's own cap never fires and banding reduces to
+    // minSize = 2 — bit-identical output (see SpanWinnowEquivalence
+    // spec's over-cap adversarial corpus).
+    def blockedGuard(s: DataFrame): DataFrame = winnow match {
+      case Some((_, blockedH)) => s.join(blockedH, Seq("h"), "left_anti")
+      case None => s
+    }
     // Inverted-index build + frequency cutoff, strategy-selected (the
     // measured crossover is documented in SCALE.md; `auto` picks by
     // estimated input size — see [[resolveSpanStrategy]]):
     //
-    //  - `bounded` (the spill-regime winner, ≥ ~sf3): ONE aggregation
+    //  - `bounded` (the winner from ~sf1 up — r17 A/B, SELECTOR_AB_r17
+    //    measured it 1.3–1.7× faster already at sf1): ONE aggregation
     //    ([[graft.functions.BoundedPostingList]]) whose per-group state
     //    is hard-capped at maxGramFreq+1 postings — out-of-band grams
     //    (singletons and ubiquitous boilerplate) evaluate to NULL — so
@@ -652,7 +671,7 @@ object Dedup {
     //    partition; the exchange ships partial posting states, not raw
     //    occurrences). At sf10 this is −27 %/−8 % vs the window form
     //    and, unlike it, never builds an unbounded collect_list.
-    //  - `window` (the in-memory winner, ≤ ~sf1): count-over-window on
+    //  - `window` (the small-corpus winner, ≤ ~sf0.1): count-over-window on
     //    h then collect_list — ONE codegen'd sort of the gram stream,
     //    which beats the object-aggregate's per-partition fallback
     //    sorts while everything fits in memory (~2× at sf0.1). The
@@ -730,17 +749,17 @@ object Dedup {
         // at 8 bytes instead of 12. pack_id_pos fails loudly on ids ≥
         // 2^34 (see its scaladoc); the conf routes full-range ids to
         // the unpacked branch below.
-        countPrefilter(gramStream
+        countPrefilter(blockedGuard(gramStream
           .select(column(graft.functions.PackIdPos(
               expression(col("id")), expression(col("g.pos")))).as("p"),
-            col("g.h").as("h")))
+            col("g.h").as("h"))))
           .groupBy("h")
           .agg(column(graft.functions.BoundedPostingList(
               expression(col("p")), maxGramFreq, minSize = 2)
             .toAggregateExpression()).as("ps"))
           .where(col("ps").isNotNull)
       case SpanIndexBounded =>
-        countPrefilter(g)
+        countPrefilter(blockedGuard(g))
           .groupBy("h")
           .agg(column(graft.functions.BoundedPostingList(
               expression(struct(col("id"), col("pos"))), maxGramFreq, minSize = 2)
@@ -748,7 +767,7 @@ object Dedup {
           .where(col("ps").isNotNull)
       case SpanIndexWindow =>
         val wH = Window.partitionBy("h")
-        g.withColumn("cnt", count(lit(1)).over(wH))
+        blockedGuard(g).withColumn("cnt", count(lit(1)).over(wH))
           .where(col("cnt") >= 2 && col("cnt") <= maxGramFreq)
           .groupBy("h")
           .agg(collect_list(struct(col("id"), col("pos"))).as("ps"))
@@ -852,6 +871,152 @@ object Dedup {
     */
   val SpanPrefilterMaxGramsKey = "spark.graft.span.prefilterMaxGrams"
   val SpanPrefilterMaxGramsDefault: Long = 100000000L
+
+  /** Conf key (default `false`): winnowed anchor prefilter for
+    * [[repeatedSpans]] — gate the expensive posting index to CANDIDATE
+    * documents found by a winnowing fingerprint pass (Schleimer et
+    * al., SIGMOD'03), so corpora where most documents share no long
+    * span never push their gram streams through the posting
+    * aggregate's shuffle/sort/spill at all.
+    *
+    * Phase 0 (eager, at DataFrame construction): every document's
+    * gram-hash stream is winnowed with window `w = minLen − k + 1`
+    * ([[graft.functions.WinnowAnchorHashes]] — anchor volume ≈ 2/(w+1)
+    * of the gram stream). By the winnowing guarantee, any two
+    * documents whose hash streams share a run of ≥ w consecutive
+    * equal hashes — precisely the shape of every span the index can
+    * emit at `span_len ≥ minLen` — share an anchor VALUE, and a
+    * document repeating such a run internally emits the value at ≥ 2
+    * anchor positions (the rightmost-tie selection is content-
+    * deterministic). Candidates = documents holding an anchor value
+    * seen in ≥ 2 documents, plus (under `includeSelf`) documents
+    * holding one at ≥ 2 positions. The candidate set can only
+    * over-approximate (hash collisions, sub-minLen runs blocked or
+    * fragmented later) — never miss an emitted span's endpoints.
+    *
+    * Phase 1 (the returned plan): the existing strategy-selected
+    * posting index over candidate documents only, with one exactness
+    * correction: a full-corpus hash-only count pass computes the
+    * over-cap gram set (`count > maxGramFreq` — the blocked
+    * boilerplate, a SMALL value set) and anti-joins it off the
+    * candidate gram stream, so cap semantics stay corpus-wide.
+    * Output is bit-identical to the ungated index for every strategy
+    * and `includeSelf` setting (SpanWinnowEquivalenceSpec).
+    *
+    * Degrade guards: if `minLen − k + 1 < 2` the prefilter cannot
+    * help (w = 1 anchors every gram) and the base path runs; if
+    * phase 0 finds candidates ≥ [[SpanWinnowMaxCandidateFracKey]] of
+    * the corpus (duplicate-saturated corpora, e.g. ×N-amplified bench
+    * sets) the base path runs and only the winnow pass was spent.
+    * Candidate sets ≤ [[SpanWinnowDriverMaxIdsKey]] are collected and
+    * re-broadcast (8 B/id — the phase-0 jobs then run exactly once);
+    * larger sparse sets fall back to a lazy semi-join whose lineage
+    * recomputes the anchor pass (≤ 2×) at execution.
+    *
+    * CONTRACT (conf-on path only), same as [[SpanCountPrefilterKey]]:
+    * the input's lineage must be DETERMINISTIC — phase 0 and phase 1
+    * evaluate it in separate jobs — and building the DataFrame runs
+    * EAGER Spark jobs (the winnow pass + candidate counts).
+    */
+  val SpanWinnowPrefilterKey = "spark.graft.span.winnowPrefilter"
+
+  /** Conf key (default 0.5): candidate-document fraction at or above
+    * which the winnow prefilter bails out to the ungated path —
+    * gating most of the corpus would add the winnow + count passes on
+    * top of a posting pass that barely shrank.
+    */
+  val SpanWinnowMaxCandidateFracKey = "spark.graft.span.winnowMaxCandidateFrac"
+  val SpanWinnowMaxCandidateFracDefault = 0.5
+
+  /** Conf key (default 4 M): largest candidate id set the winnow
+    * prefilter collects to the driver (8 B/id → ≤ 32 MB) and ships
+    * back as a broadcast semi-join — which makes the whole phase-0
+    * pipeline run exactly once, eagerly. Above it the candidate set
+    * stays distributed (lazy semi-join, anchor pass recomputed at
+    * execution).
+    */
+  val SpanWinnowDriverMaxIdsKey = "spark.graft.span.winnowDriverMaxIds"
+  val SpanWinnowDriverMaxIdsDefault: Long = 4000000L
+
+  /** The repeated-span k-gram stream of `src`: one (id, pos, h) per
+    * k-gram of the normalized text, ids cast to long.
+    */
+  private def spanGramStream(
+      src: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    src.select(col(idCol).cast("long").as("id"),
+      explode(column(graft.functions.GramPositionHashes(
+        expression(TextAnalysis.normalize(col(textCol))), k))).as("g"))
+
+  /** Winnow-prefilter phase 0 (see [[SpanWinnowPrefilterKey]]):
+    * resolve the candidate corpus and the full-corpus over-cap gram
+    * set, or `None` when the prefilter is off, can't help (w < 2), or
+    * bails out on candidate density. `base` must already be filtered
+    * to non-null ids.
+    */
+  private def resolveWinnowPrefilter(
+      base: DataFrame, textCol: String, idCol: String,
+      k: Int, minLen: Int, maxGramFreq: Int,
+      includeSelf: Boolean): Option[(DataFrame, DataFrame)] = {
+    val spark = base.sparkSession
+    val w = minLen - k + 1
+    if (!spark.conf.get(SpanWinnowPrefilterKey, "false").toBoolean || w < 2)
+      return None
+    val frac = spark.conf.get(SpanWinnowMaxCandidateFracKey,
+      SpanWinnowMaxCandidateFracDefault.toString).toDouble
+    val driverMax = spark.conf.get(SpanWinnowDriverMaxIdsKey,
+      SpanWinnowDriverMaxIdsDefault.toString).toLong
+    val perDocH = winnowPerDocAnchors(base, textCol, idCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = winnowCandidateIds(perDocH, includeSelf)
+      val nCand = cand.count()
+      val nDocs = base.select(col(idCol)).count()
+      if (nDocs == 0L || nCand >= frac * nDocs) return None
+      val candCorpus =
+        if (nCand <= driverMax) {
+          val ids = cand.collect().map(_.getLong(0))
+          val local = spark.createDataset(ids.toSeq)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("__winnow_cand_id")
+          base.join(broadcast(local),
+            base(idCol).cast("long") === col("__winnow_cand_id"), "left_semi")
+        } else
+          // lazy fallback: the semi-join's lineage re-runs the anchor
+          // pass (≤ 2×: the shared-hash semi-join diamond) at execution
+          base.join(cand, base(idCol).cast("long") === cand("id"), "left_semi")
+      val blockedH = spanGramStream(base, textCol, idCol, k)
+        .select(col("g.h").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > maxGramFreq)
+        .select("h")
+      Some((candCorpus, blockedH))
+    } finally perDocH.unpersist()
+  }
+
+  /** Per-(document, anchor-hash) multiplicities of the winnowed gram
+    * stream — the phase-0 intermediate both candidate tests read.
+    */
+  private[graft] def winnowPerDocAnchors(
+      base: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame =
+    base.select(col(idCol).cast("long").as("id"),
+        explode(column(graft.functions.WinnowAnchorHashes(
+          expression(TextAnalysis.normalize(col(textCol))), k, w))).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+
+  /** Distinct candidate document ids from the per-doc anchor
+    * multiplicities: docs holding an anchor hash seen in ≥ 2 docs,
+    * plus (under `includeSelf`) docs holding one at ≥ 2 positions.
+    */
+  private[graft] def winnowCandidateIds(
+      perDocH: DataFrame, includeSelf: Boolean): DataFrame = {
+    val shared = perDocH.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val cross = perDocH.join(shared, Seq("h"), "left_semi").select("id")
+    val all =
+      if (includeSelf) cross.union(perDocH.where(col("c") >= 2).select("id"))
+      else cross
+    all.distinct()
+  }
 
   private def resolveSpanStrategy(
       df: DataFrame, textCol: String, idCol: String, strategy: String): String =
