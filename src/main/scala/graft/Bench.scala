@@ -176,23 +176,40 @@ object Bench {
       }
       if (gcBetween) System.gc()
     }
-    for (_ <- 1 to reps; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      // a failed rep records NO sample — its elapsed time is
-      // time-to-failure, not query time, and silently averaging it in
-      // once produced a plausible-looking number for a rep that died
-      // on a full disk
-      try {
-        evalFully(fn(spark, sfDir))
-        seededSleep.get(name).foreach(Thread.sleep)
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    // Per-PASS calibration stamps: one untrimmed cdcWarmFrame timing at
+    // the head of each measured rep-major pass, emitted as
+    // "cal_per_rep" in the detail file. A random host stall inside one
+    // pass (r17 recorded a 191 s video rep against a 15.5 s median) is
+    // then attributable from the artifact alone — the stalled pass
+    // carries its own inflated stamp — instead of requiring a manual
+    // re-run to distinguish host regime from a code-level outlier.
+    // bench_gate.py annotates (never discards) passes whose stamp is
+    // > 2x the run median.
+    val calPerRep = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 1 to reps) {
+      calPerRep += {
+        val t0 = System.nanoTime()
+        evalFully(cdcWarmFrame())
+        (System.nanoTime() - t0) / 1e9
       }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: $e")
-        failures(name) = failures(name) + 1
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        // a failed rep records NO sample — its elapsed time is
+        // time-to-failure, not query time, and silently averaging it in
+        // once produced a plausible-looking number for a rep that died
+        // on a full disk
+        try {
+          evalFully(fn(spark, sfDir))
+          seededSleep.get(name).foreach(Thread.sleep)
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          failures(name) = failures(name) + 1
+        }
+        if (gcBetween) System.gc()
+        probeState(name)
       }
-      if (gcBetween) System.gc()
-      probeState(name)
     }
     if (heapProbe) {
       probeState("final")
@@ -250,8 +267,10 @@ object Bench {
     // FOREVER regardless of registry growth: total, calibration,
     // query count, failures.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val calReps = calPerRep.map(f3).mkString("[", ",", "]")
     val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},""" +
+        s""""cal_per_rep":$calReps,""" +
         s""""reps":$reps,"stat":"trimmed_mean","queries":$qs,"medians":$meds,""" +
         s""""samples":$all$failedJson,"sf":"$sfDir"}"""
     try {

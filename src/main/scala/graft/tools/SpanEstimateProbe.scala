@@ -7,7 +7,8 @@ import graft.ops.Dedup
 
 /** Prints the Catalyst `sizeInBytes` estimate the span auto-selector
   * ([[Dedup]] `resolveSpanStrategy`) sees for each corpus directory
-  * passed as an argument (default: the three local test scales), plus
+  * passed as an argument (default: sf0.01 and sf0.1 — the two scales
+  * always present under /root/testdata), plus
   * the strategy the CURRENT threshold picks. The estimate is the
   * optimized-plan statistic of the pruned (doc_id, text) projection —
   * compressed-file-size based for parquet, so it tracks on-disk bytes,

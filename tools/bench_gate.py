@@ -78,7 +78,7 @@ def load_queries(path):
         sf = f"/root/testdata/sf{sf}"
     if not sf.startswith("/"):
         sf = f"/root/testdata/{sf}"  # compact line carries the basename
-    return doc.get("queries", {}), sf
+    return doc.get("queries", {}), sf, doc
 
 
 def run_isolated(suspects, sf_dir, repo_root):
@@ -98,10 +98,14 @@ def run_isolated(suspects, sf_dir, repo_root):
     fd, detail_path = tempfile.mkstemp(prefix="bench_gate_iso_", suffix=".json")
     os.close(fd)
     env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
-    out = subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench"],
-        cwd=repo_root, env=env, capture_output=True, text=True, timeout=3600)
+    # subprocess.run lives INSIDE the try: a TimeoutExpired/OSError
+    # raised before the parse must still unlink the mkstemp file, or
+    # every timed-out re-run leaves a bench_gate_iso_*.json behind
     try:
+        out = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            cwd=repo_root, env=env, capture_output=True, text=True,
+            timeout=3600)
         # mkstemp pre-created the file, so existence alone no longer
         # means Bench wrote it — an empty/garbage file parses as no map
         if os.path.exists(detail_path) and os.path.getsize(detail_path) > 0:
@@ -165,11 +169,26 @@ def main():
         ts = [o[name] for o in olds if name in o]
         if ts:
             old_q[name] = median(ts)
-    new_q, new_sf = load_queries(args.new)
+    new_q, new_sf, new_doc = load_queries(args.new)
     if not new_q:
         raise SystemExit(
             f"[gate] {args.new}: empty per-query map — refusing to PASS "
             "on zero suspects from zero data")
+
+    # Per-pass calibration annotation (never a discard): Bench stamps
+    # each measured rep-major pass with one cdcWarmFrame timing
+    # ("cal_per_rep"). A pass whose stamp is > 2x the run median ran in
+    # a degraded host regime — cross-round adjudication can then cite
+    # the regime per pass instead of inferring it from a lone outlier
+    # sample (r17's 191s video rep vs its 15.5s median).
+    cal_outliers = {}
+    cal_per_rep = (new_doc or {}).get("cal_per_rep") or []
+    if len(cal_per_rep) >= 2:
+        cal_med = median(cal_per_rep)
+        if cal_med > 0:
+            cal_outliers = {f"pass_{i + 1}": round(c / cal_med, 2)
+                            for i, c in enumerate(cal_per_rep)
+                            if c > 2 * cal_med}
 
     suspects = {}
     for name, new_t in new_q.items():
@@ -181,7 +200,8 @@ def main():
                               "ratio": round(new_t / old_t, 2)}
 
     report = {"threshold": args.threshold, "min_sec": args.min_sec,
-              "suspects": suspects, "reproduced": {}, "dismissed": {}}
+              "suspects": suspects, "reproduced": {}, "dismissed": {},
+              "cal_per_rep": cal_per_rep, "cal_outlier_passes": cal_outliers}
 
     if suspects and not args.no_isolate:
         iso = run_isolated(suspects.keys(), new_sf, repo_root)
