@@ -341,7 +341,11 @@ object Multimodal {
     * exact Hamming distance. Shared by the image and audio perceptual
     * dedups — the same bucketed not-all-pairs shape as SimHash text
     * dedup; at 100 TB the band join is the only shuffle and its width
-    * is (band, key, id, hash).
+    * is (band, key, id, hash). `extraKeys` names columns of `hashed`
+    * folded into the bucket key AND carried through the output (the
+    * video path passes `frame_idx`, pairing hashes within each
+    * source-frame position); the recall bound below applies per
+    * extra-key group.
     *
     * RECALL BOUND (by design, not a bug): with 4 bands, a candidate
     * pair is only GUARANTEED to share a band when Hamming ≤ 3
@@ -354,19 +358,23 @@ object Multimodal {
     * with h+1 bands.
     */
   private def hammingBandPairs(
-      hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+      hashed: DataFrame, idCol: String, maxHamming: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val bandExprs = (0 until 4).map(b =>
       shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = hashed.select(col(idCol).as("id"), col("phash"),
-      posexplode(array(bandExprs: _*)))
+    val banded = hashed.select(
+      Seq(col(idCol).as("id"), col("phash")) ++ extraKeys.map(col) :+
+        posexplode(array(bandExprs: _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
-    val a = banded.select(col("band"), col("bandKey"),
-      col("id").as("id_a"), col("phash").as("h_a"))
-    val b = banded.select(col("band"), col("bandKey"),
-      col("id").as("id_b"), col("phash").as("h_b"))
-    a.join(b, Seq("band", "bandKey"))
+    val joinKeys = extraKeys ++ Seq("band", "bandKey")
+    val a = banded.select(joinKeys.map(col) ++
+      Seq(col("id").as("id_a"), col("phash").as("h_a")): _*)
+    val b = banded.select(joinKeys.map(col) ++
+      Seq(col("id").as("id_b"), col("phash").as("h_b")): _*)
+    a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select((Seq("id_a", "id_b") ++ extraKeys ++ Seq("h_a", "h_b")).map(col): _*)
+      .distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
       .drop("h_a", "h_b")
@@ -664,24 +672,9 @@ object Multimodal {
     */
   def videoFrameDuplicates(
       media: DataFrame, n: Int, idCol: String = "media_id",
-      contentCol: String = "content", maxHamming: Int = 10): DataFrame = {
-    val fh = videoFrameHashes(media, n, idCol, contentCol)
-    val bandExprs = (0 until 4).map(b =>
-      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = fh.select(col(idCol).as("id"), col("frame_idx"), col("phash"),
-      posexplode(array(bandExprs: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
-    val a = banded.select(col("frame_idx"), col("band"), col("bandKey"),
-      col("id").as("id_a"), col("phash").as("h_a"))
-    val b = banded.select(col("frame_idx"), col("band"), col("bandKey"),
-      col("id").as("id_b"), col("phash").as("h_b"))
-    a.join(b, Seq("frame_idx", "band", "bandKey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "frame_idx", "h_a", "h_b").distinct()
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .where(col("hamming") <= maxHamming)
-      .drop("h_a", "h_b")
-  }
+      contentCol: String = "content", maxHamming: Int = 10): DataFrame =
+    hammingBandPairs(videoFrameHashes(media, n, idCol, contentCol),
+      idCol, maxHamming, extraKeys = Seq("frame_idx"))
 
   /** Decode every frame of a multi-frame image container, or None when
     * no registered reader parses it. Frames that fail mid-sequence
@@ -716,6 +709,177 @@ object Multimodal {
         } finally reader.dispose()
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // -------- streaming twins of the media near-dedup family ----------
+  //
+  // The batch pairing paths above find duplicate PAIRS; the streaming
+  // twins make the dedup DECISION at ingest — drop a later arrival
+  // whose fingerprint collides with an earlier one inside the
+  // watermark horizon — with the same machinery as the text path
+  // (graft.ops.Dedup.streamingExactDedup / streamingNearDedupBanded):
+  // state-backed dropDuplicatesWithinWatermark, bounded by the
+  // horizon. Decode stays a stateless JVM-local mapPartitions pass, so
+  // the fingerprinting composes with Structured Streaming unchanged.
+
+  /** Append the 63-bit perceptual fingerprint of each payload as a
+    * column while PRESERVING every other column — the streaming-
+    * composable form of [[imageDHash]] / [[audioEnergyHash]] (whose
+    * (id, phash) projection fits the batch pairing path). `kind`:
+    * `image` (grid dHash) or `audio` (energy-envelope hash).
+    * Undecodable payloads get a NULL hash. No shuffle; stateless.
+    */
+  def withPerceptualHash(
+      media: DataFrame, kind: String,
+      contentCol: String = "content", hashCol: String = "phash"): DataFrame = {
+    val kindLc = kind.toLowerCase match {
+      case s @ ("image" | "audio") => s
+      case other => throw new IllegalArgumentException(
+        s"unsupported media kind '$other' (image|audio)")
+    }
+    val schema = media.schema.add(hashCol,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val idx = media.schema.fieldIndex(contentCol)
+    media.mapPartitions { it =>
+      // resolve the hash fn INSIDE the task: eta-expanding a module
+      // method at driver scope would capture the (non-serializable)
+      // module instance in the closure
+      val hashFn: Array[Byte] => Long =
+        if (kindLc == "image") b => dHash63(b) else b => energyHash63(b)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val h = hashFn(if (bytes == null) Array.emptyByteArray else bytes)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+          (if (h == Long.MinValue) null else java.lang.Long.valueOf(h)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Streaming perceptual-exact media dedup — the media twin of
+    * [[graft.ops.Dedup.streamingExactDedup]]: drop later arrivals
+    * whose payload fingerprints identically within the watermark
+    * horizon. The state key is (decodable, coalesce(phash,
+    * xxhash64(content))): decodable payloads dedup by perceptual hash
+    * (re-encoded pixel-identical copies collapse), undecodable ones
+    * degrade to byte-exact dedup in a disjoint keyspace instead of all
+    * collapsing onto one NULL key. One stateful operator; rows emit
+    * immediately; state is one key per survivor, horizon-bounded.
+    */
+  def streamingMediaDedup(
+      media: DataFrame, kind: String, tsCol: String,
+      contentCol: String = "content",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    withPerceptualHash(media, kind, contentCol, "__phash")
+      .withColumn("__dk", struct(
+        col("__phash").isNotNull.as("dec"),
+        coalesce(col("__phash"), xxhash64(col(contentCol))).as("k")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dk")
+      .drop("__phash", "__dk")
+
+  /** Streaming banded media NEAR-dedup — the media twin of
+    * [[graft.ops.Dedup.streamingNearDedupBanded]], banding the 63-bit
+    * fingerprint into the SAME 4×16-bit keys as the batch pairing
+    * ([[imagePhashDuplicates]] / [[audioFingerprintDuplicates]]): the
+    * first arrival owns each (band, key); a document survives iff it
+    * owns ALL 4 of its bands, so any band stolen by an earlier doc —
+    * guaranteed whenever Hamming ≤ 3 (pigeonhole over 4 bands),
+    * probabilistic above, the batch paths' documented recall bound —
+    * drops it. Transitivity matches the batch cluster rule: a dropped
+    * doc still owns its non-stolen bands, catching later docs that
+    * collide with those. Undecodable payloads band a byte hash keyed
+    * in a disjoint (`__dec` = false) keyspace — byte-exact degrade.
+    * Two stateful operators (band dedup, then windowed ownership
+    * count): kept rows emit when the watermark passes their
+    * `windowDuration` window. State: one row per live band key + one
+    * per open (window, doc), both horizon-bounded.
+    */
+  def streamingMediaNearDedup(
+      media: DataFrame, kind: String, tsCol: String,
+      idCol: String = "media_id", contentCol: String = "content",
+      watermarkDelay: String = "10 minutes",
+      windowDuration: String = "1 minute"): DataFrame = {
+    val hashed = withPerceptualHash(media, kind, contentCol, "__phash")
+      .withColumn("__k", coalesce(col("__phash"), xxhash64(col(contentCol))))
+      .withColumn("__dec", col("__phash").isNotNull)
+    val bandExprs = (0 until 4).map(b =>
+      shiftrightunsigned(col("__k"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashed
+      .select(col("*"), posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bandKey")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dec", "__band", "__bandKey")
+    val payload = media.columns.filter(_ != idCol).toSeq
+    val aggs = count(lit(1)).as("__owned") +:
+      payload.map(c => first(col(c)).as(c))
+    banded
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("__owned") === 4)
+      .select(media.columns.map(col).toSeq: _*)
+  }
+
+  /** Column-preserving frame fingerprints for the streaming video
+    * path: explode each payload into one row per sampled frame
+    * (same even sampling as [[videoFrameHashes]]) carrying
+    * `__frame_idx` (source frame number) and `__frame_phash` (63-bit
+    * dHash, NULL when the frame fails to hash). Undecodable payloads
+    * emit ONE sentinel row (`__frame_idx` = −1, NULL hash) so they
+    * pass through downstream dedup instead of vanishing.
+    */
+  private[ops] def withFrameHashes(
+      media: DataFrame, n: Int, contentCol: String = "content"): DataFrame = {
+    val schema = media.schema
+      .add("__frame_idx", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("__frame_phash", org.apache.spark.sql.types.LongType, nullable = true)
+    val idx = media.schema.fieldIndex(contentCol)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes0 = r.getAs[Array[Byte]](idx)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+        readFrames(bytes) match {
+          case Some(fs) if fs.nonEmpty =>
+            val k = math.min(n, fs.length)
+            (0 until k).iterator.map { i =>
+              val src = i * fs.length / k
+              val h = dHash63Of(fs(src))
+              org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(src,
+                if (h == Long.MinValue) null else java.lang.Long.valueOf(h)))
+            }
+          case _ => Iterator(
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(-1, null)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Streaming frame-wise video dedup: a video is dropped when EVERY
+    * one of its sampled frame hashes was already claimed at the same
+    * source-frame position by an earlier video inside the watermark
+    * horizon — i.e. only full frame-wise duplicates (the Hamming-0
+    * diagonal of [[videoFrameDuplicates]]) are dropped; a video that
+    * owns ANY new frame position survives. First arrival owns each
+    * (frame_idx, hash) slot; survivors are videos owning ≥ 1 slot.
+    * Undecodable payloads degrade to byte-exact dedup via their
+    * sentinel row. Emits when the watermark passes the window.
+    */
+  def streamingVideoDedup(
+      media: DataFrame, n: Int, tsCol: String,
+      idCol: String = "media_id", contentCol: String = "content",
+      watermarkDelay: String = "10 minutes",
+      windowDuration: String = "1 minute"): DataFrame = {
+    val framed = withFrameHashes(media, n, contentCol)
+      .withColumn("__fk",
+        coalesce(col("__frame_phash"), xxhash64(col(contentCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__frame_idx", "__fk")
+    val payload = media.columns.filter(_ != idCol).toSeq
+    val aggs = count(lit(1)).as("__owned") +:
+      payload.map(c => first(col(c)).as(c))
+    framed
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(media.columns.map(col).toSeq: _*)
+  }
 
   /** Sample `n` evenly spaced fixed-size "frames" from the binary
     * payload — pure Catalyst (binary substring), no decode. Output:
