@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Asof, Curation, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Asof, Curation, Dedup, MediaFixtures, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -1140,7 +1140,7 @@ object EntryQueries {
     */
   def qDedupImagePhash(spark: SparkSession, dir: String): DataFrame =
     Multimodal.imagePhashDuplicates(
-      Multimodal.syntheticPng(T(spark, dir, "documents")), maxHamming = 10)
+      MediaFixtures.pngs(spark, dir), maxHamming = 10)
 
   /** First-principles DuckDB mirror of [[qDedupImagePhash]]: pixel
     * formula → 4×4 block means (integer floor-div) → 63 dHash bits →
@@ -1195,7 +1195,7 @@ object EntryQueries {
     */
   def qDedupAudioFp(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioFingerprintDuplicates(
-      Multimodal.syntheticWav(T(spark, dir, "documents")), maxHamming = 10)
+      MediaFixtures.wavs(spark, dir), maxHamming = 10)
 
   /** First-principles DuckDB mirror of [[qDedupAudioFp]]: sample
     * formula → 64 window energies (Σ s², BIGINT-exact) → 63 difference
@@ -1243,8 +1243,7 @@ object EntryQueries {
     */
   def qDedupAudioFpAiff(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioFingerprintDuplicates(
-      Multimodal.syntheticAudio(T(spark, dir, "documents"), container = "aiff"),
-      maxHamming = 10)
+      MediaFixtures.aiffs(spark, dir), maxHamming = 10)
 
   /** Per-frame video near-dedup over REAL decoded animated GIFs: the
     * fixture encodes 8 deterministic 36×32 frames per doc_id to an
@@ -1260,7 +1259,7 @@ object EntryQueries {
     */
   def qDedupVideoFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameDuplicates(
-      Multimodal.syntheticGif(T(spark, dir, "documents")), n = 4,
+      MediaFixtures.gifs(spark, dir), n = 4,
       maxHamming = 10)
 
   /** First-principles DuckDB mirror of [[qDedupVideoFrames]]: pixel
