@@ -68,6 +68,18 @@ object Bench {
           try evalFully(spark.read.parquet(f.getAbsolutePath))
           catch { case _: Throwable => () } // nanos-ts tables handled per-query
         }
+      // Materialize the synthetic media corpora up front (a no-op when
+      // the per-sf cache already exists) so rep 1 of the media queries
+      // prices decode+hash+pairing like every later rep, not the
+      // one-time fixture ENCODE+write — with the default warmup of 0
+      // the generation would otherwise land inside the first measured
+      // pass and lean on the trimmed mean to absorb it.
+      graft.ops.MediaFixtures.Kinds.foreach { kind =>
+        try graft.ops.MediaFixtures.table(spark, sfDir, kind)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] media fixture $kind skipped: $e")
+        }
+      }
     }
     // CALIBRATION PROBE: a fixed, sf-independent CPU+shuffle workload
     // (the 200k-line CDC warm pipeline, already JIT-warm at this

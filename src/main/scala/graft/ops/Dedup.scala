@@ -938,6 +938,22 @@ object Dedup {
   val SpanWinnowDriverMaxIdsKey = "spark.graft.span.winnowDriverMaxIds"
   val SpanWinnowDriverMaxIdsDefault: Long = 4000000L
 
+  /** Conf key (default 32 M, 0 disables): largest candidate gram
+    * volume (upper-bounded by the candidates' total text chars) for
+    * which the winnow prefilter's full-corpus over-cap count pass is
+    * Bloom-gated on the CANDIDATE gram-hash set (~9.6 bits/item at 1%
+    * fpp → ≤ ~38 MB task-shipped filter). Counting stays corpus-wide
+    * — the map side still scans every document — but only hashes the
+    * candidates can actually hold shuffle into the count aggregate,
+    * so on sparse corpora the correction pass's exchange collapses
+    * with the posting pass's. Bloom false positives only ADD counted
+    * hashes (harmless: `blockedH` is consumed by an anti-join);
+    * false negatives are impossible for inserted values, so cap
+    * semantics stay exact.
+    */
+  val SpanWinnowBlockedBloomMaxItemsKey = "spark.graft.span.winnowBlockedBloomMaxItems"
+  val SpanWinnowBlockedBloomMaxItemsDefault: Long = 32000000L
+
   /** The repeated-span k-gram stream of `src`: one (id, pos, h) per
     * k-gram of the normalized text, ids cast to long.
     */
@@ -983,8 +999,30 @@ object Dedup {
           // lazy fallback: the semi-join's lineage re-runs the anchor
           // pass (≤ 2×: the shared-hash semi-join diamond) at execution
           base.join(cand, base(idCol).cast("long") === cand("id"), "left_semi")
-      val blockedH = spanGramStream(base, textCol, idCol, k)
+      val fullH = spanGramStream(base, textCol, idCol, k)
         .select(col("g.h").as("h"))
+      // Bloom-gate the over-cap count's SHUFFLE on the candidate gram
+      // set (see [[SpanWinnowBlockedBloomMaxItemsKey]] — exactness
+      // preserved: no false negatives, false positives only add
+      // counted hashes the anti-join never matches). Candidate gram
+      // volume is upper-bounded by candidate text chars.
+      val bloomMax = spark.conf.get(SpanWinnowBlockedBloomMaxItemsKey,
+        SpanWinnowBlockedBloomMaxItemsDefault.toString).toLong
+      val candChars: Long =
+        if (bloomMax <= 0) Long.MaxValue
+        else Option(candCorpus
+          .select(sum(length(col(textCol).cast("string"))).cast("long"))
+          .first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val gatedH =
+        if (candChars > bloomMax) fullH
+        else {
+          val bf = spanGramStream(candCorpus, textCol, idCol, k)
+            .select(col("g.h").as("h"))
+            .stat.bloomFilter("h", math.max(1L, candChars), 0.01)
+          fullH.where(column(graft.functions.BloomMightContainLong(
+            expression(col("h")), bf)))
+        }
+      val blockedH = gatedH
         .groupBy("h").agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > maxGramFreq)
         .select("h")

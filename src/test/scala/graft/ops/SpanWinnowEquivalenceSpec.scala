@@ -33,14 +33,17 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def withWinnow[A](on: Boolean, frac: Double = 1.1,
-                            driverMax: Long = 4000000L)(f: => A): A = {
+                            driverMax: Long = 4000000L,
+                            bloomMax: Long = Dedup.SpanWinnowBlockedBloomMaxItemsDefault)(f: => A): A = {
     spark.conf.set(Dedup.SpanWinnowPrefilterKey, on.toString)
     spark.conf.set(Dedup.SpanWinnowMaxCandidateFracKey, frac.toString)
     spark.conf.set(Dedup.SpanWinnowDriverMaxIdsKey, driverMax.toString)
+    spark.conf.set(Dedup.SpanWinnowBlockedBloomMaxItemsKey, bloomMax.toString)
     try f finally {
       spark.conf.unset(Dedup.SpanWinnowPrefilterKey)
       spark.conf.unset(Dedup.SpanWinnowMaxCandidateFracKey)
       spark.conf.unset(Dedup.SpanWinnowDriverMaxIdsKey)
+      spark.conf.unset(Dedup.SpanWinnowBlockedBloomMaxItemsKey)
     }
   }
 
@@ -191,6 +194,7 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
       includeSelf <- Seq(false, true)
       strategy <- Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)
       driverMax <- Seq(4000000L, 0L) // broadcast mode and lazy semi-join mode
+      bloomMax <- Seq(Dedup.SpanWinnowBlockedBloomMaxItemsDefault, 0L) // Bloom-gated and full count pass
     } {
       val docs = corpus(seed, 10, 6, allowSelf = includeSelf)
         .toDF("doc_id", "text").repartition(5)
@@ -198,11 +202,11 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
         spans(docs, k, minLen, maxFreq, includeSelf, strategy)
       }
       assert(want.nonEmpty, s"seed=$seed planted no spans — fixture too weak")
-      val got = withWinnow(on = true, driverMax = driverMax) {
+      val got = withWinnow(on = true, driverMax = driverMax, bloomMax = bloomMax) {
         spans(docs, k, minLen, maxFreq, includeSelf, strategy)
       }
       assert(got == want,
-        s"seed=$seed self=$includeSelf strategy=$strategy driverMax=$driverMax")
+        s"seed=$seed self=$includeSelf strategy=$strategy driverMax=$driverMax bloomMax=$bloomMax")
     }
   }
 
@@ -228,17 +232,23 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
             Seq.fill(30)("0123456789"(rnd.nextInt(10))).mkString)
       }).toDF("doc_id", "text").repartition(4)
 
-    for (strategy <- Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)) {
+    for {
+      strategy <- Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)
+      // the Bloom-gated count must still see the loner docs' over-cap
+      // occurrences (it gates on hash VALUES, never on documents), and
+      // the ungated pass is the reference
+      bloomMax <- Seq(Dedup.SpanWinnowBlockedBloomMaxItemsDefault, 0L)
+    } {
       val want = withWinnow(on = false) {
         spans(docs, k, minLen, maxFreq, includeSelf = false, strategy = strategy)
       }
       // the fixture must actually fragment: two rows for the (1,2) pair
       assert(want.count(r => r._1 == 1L && r._2 == 2L) == 2,
         s"fixture did not fragment as designed: $want")
-      val got = withWinnow(on = true) {
+      val got = withWinnow(on = true, bloomMax = bloomMax) {
         spans(docs, k, minLen, maxFreq, includeSelf = false, strategy = strategy)
       }
-      assert(got == want, s"strategy=$strategy")
+      assert(got == want, s"strategy=$strategy bloomMax=$bloomMax")
     }
   }
 
