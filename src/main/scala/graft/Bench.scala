@@ -56,6 +56,12 @@ object Bench {
           filterTables = Seq("public.w0"), whitelist = false,
           partitionMethod = graft.operators.Partitioner.TableName))
     }
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    // times just those queries (the driver never sets it); resolved up
+    // here so the warmup block can skip media-fixture materialization
+    // when the filtered set contains no media query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     locally {
       evalFully(cdcWarmFrame())
       // Touch every input table once so measured queries reflect
@@ -74,12 +80,20 @@ object Bench {
       // one-time fixture ENCODE+write — with the default warmup of 0
       // the generation would otherwise land inside the first measured
       // pass and lean on the trimmed mean to absorb it.
-      graft.ops.MediaFixtures.Kinds.foreach { kind =>
-        try graft.ops.MediaFixtures.table(spark, sfDir, kind)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] media fixture $kind skipped: $e")
+      // ...but only the kinds some selected query actually reads: a
+      // BENCH_ONLY span run over a fresh corpus shouldn't pay four
+      // PNG/WAV/AIFF/GIF encode+write passes it never scans.
+      val mediaKindQuery = Map(
+        "png" -> "q_dedup_image_phash", "wav" -> "q_dedup_audio_fp",
+        "aiff" -> "q_dedup_audio_fp_aiff", "gif" -> "q_dedup_video_frames")
+      graft.ops.MediaFixtures.Kinds
+        .filter(k => only.forall(sel => mediaKindQuery.get(k).forall(sel.contains)))
+        .foreach { kind =>
+          try graft.ops.MediaFixtures.table(spark, sfDir, kind)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] media fixture $kind skipped: $e")
+          }
         }
-      }
     }
     // CALIBRATION PROBE: a fixed, sf-independent CPU+shuffle workload
     // (the 200k-line CDC warm pipeline, already JIT-warm at this
@@ -89,7 +103,13 @@ object Bench {
     // was pure machine drift and cost a four-run forensic
     // reconstruction to prove — a calibration delta (cal_r14/cal_r13)
     // would have shown it in one division.
-    val calSec = {
+    // This PRE-RUN probe doubles as the final JIT warm for the cal
+    // workload; the HEADLINE cal_sec is the median of the per-rep
+    // stamps below (the same measurement the artifact ships — r18's
+    // headline 0.292 sat outside its own cal_per_rep spread of
+    // 0.303-0.566, so cross-round normalization keyed off a number no
+    // recorded pass actually saw).
+    val calPrerun = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         evalFully(cdcWarmFrame())
@@ -123,10 +143,6 @@ object Bench {
           case _ => None
         }
       }.toMap).getOrElse(Map.empty)
-    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
-    // times just those queries (the driver never sets it)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // SPARK_GRAFT_BENCH_GC=1: System.gc() between reps (untimed) so the
@@ -196,7 +212,7 @@ object Bench {
     // carries its own inflated stamp — instead of requiring a manual
     // re-run to distinguish host regime from a code-level outlier.
     // bench_gate.py annotates (never discards) passes whose stamp is
-    // > 2x the run median.
+    // > 1.5x the run median.
     val calPerRep = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (rep <- 1 to reps) {
       calPerRep += {
@@ -239,6 +255,11 @@ object Bench {
       if (s.isEmpty) -1.0
       else if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // headline calibration = median of the per-rep stamps, so
+    // cross-round normalization keys off the same measurement the
+    // artifact carries (cal_per_rep); the pre-run probe rides the
+    // detail file as cal_prerun for continuity with r14-r18 artifacts
+    val calSec = if (calPerRep.nonEmpty) median(calPerRep.toVector) else calPrerun
     // trimmed mean: drop the single min and max sample (when >=3 reps),
     // average the rest — one contention spike can no longer move the
     // recorded number, unlike a median over 3 where it shifts the
@@ -282,7 +303,7 @@ object Bench {
     val calReps = calPerRep.map(f3).mkString("[", ",", "]")
     val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},""" +
-        s""""cal_per_rep":$calReps,""" +
+        s""""cal_per_rep":$calReps,"cal_prerun":${f3(calPrerun)},""" +
         s""""reps":$reps,"stat":"trimmed_mean","queries":$qs,"medians":$meds,""" +
         s""""samples":$all$failedJson,"sf":"$sfDir"}"""
     try {

@@ -177,10 +177,11 @@ def main():
 
     # Per-pass calibration annotation (never a discard): Bench stamps
     # each measured rep-major pass with one cdcWarmFrame timing
-    # ("cal_per_rep"). A pass whose stamp is > 2x the run median ran in
-    # a degraded host regime — cross-round adjudication can then cite
+    # ("cal_per_rep"). A pass whose stamp is > 1.5x the run median ran
+    # in a degraded host regime — cross-round adjudication can then cite
     # the regime per pass instead of inferring it from a lone outlier
-    # sample (r17's 191s video rep vs its 15.5s median).
+    # sample (r17's 191s video rep vs its 15.5s median; the 2x
+    # threshold missed r18's 1.9x excursion, hence 1.5x).
     cal_outliers = {}
     cal_per_rep = (new_doc or {}).get("cal_per_rep") or []
     if len(cal_per_rep) >= 2:
@@ -188,7 +189,7 @@ def main():
         if cal_med > 0:
             cal_outliers = {f"pass_{i + 1}": round(c / cal_med, 2)
                             for i, c in enumerate(cal_per_rep)
-                            if c > 2 * cal_med}
+                            if c > 1.5 * cal_med}
 
     suspects = {}
     for name, new_t in new_q.items():
