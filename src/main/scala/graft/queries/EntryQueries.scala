@@ -1311,6 +1311,163 @@ object EntryQueries {
       |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
       |FROM prs WHERE bit_count(xor(pa, pb)) <= 10""".stripMargin
 
+  /** Monotonic suffix for the memory-sink table names of the streaming
+    * entry queries — bench reps re-run each query in one session, and a
+    * reused queryName would collide with the previous rep's view.
+    */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive [[Multimodal.streamingMediaDedup]] (perceptual-exact image
+    * dedup at ingest) over the PNG fixture via a MemoryStream cut into
+    * 5 micro-batches, then report the kept rows' perceptual hashes with
+    * their multiplicities. The streaming contract makes this output
+    * ORDER-INVARIANT even though which same-batch duplicate survives is
+    * arrival-order-arbitrary: `dropDuplicatesWithinWatermark` keeps
+    * exactly ONE row per distinct dedup key, so grouping the kept rows
+    * by recomputed phash must yield every corpus phash exactly once —
+    * which the oracle derives analytically from doc_id, pinning the
+    * whole stream→decode→hash→state path. Event times stay inside one
+    * watermark horizon (ts = base + id%60 s ≪ 10 min) so no state
+    * expires mid-run. The driver-side collect is the MemoryStream
+    * harness form the driver contract needs, NOT the scale path (a
+    * cluster feeds the same operator from Kafka/files); it is bounded
+    * by the fixture size (sf0.1: 5 000 PNGs ≈ 10 MB).
+    */
+  def qDedupStreamingMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = MediaFixtures.pngs(spark, dir)
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val sink = s"q_dedup_streaming_media_${streamSinkSeq.incrementAndGet()}"
+    val q = Multimodal.streamingMediaDedup(
+        mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = math.max(1, (rows.length + 4) / 5)
+      rows.grouped(batchSize).foreach { b =>
+        mem.addData(b.map { case (id, c) =>
+          (id, c, new java.sql.Timestamp(1700000000000L + (id % 60) * 1000L))
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    Multimodal.imageDHash(spark.table(sink))
+      .groupBy("phash").agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Analytic mirror of [[qDedupStreamingMedia]]: the kept set holds
+    * exactly one representative per distinct perceptual hash, so the
+    * oracle is the distinct analytic dHash set (same pixel→block→bit
+    * derivation as [[qDedupImagePhashSql]]) with n_kept pinned to 1.
+    */
+  val qDedupStreamingMediaSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, g.x, g.y,
+      |    ((d.doc_id % 50 + 1) * (g.x + 3) * (g.y + 7)) % 251
+      |      + (d.doc_id * 31 + g.x * 7 + g.y * 3) % 5 AS v
+      |  FROM documents d,
+      |       (SELECT xs.x, ys.y
+      |        FROM (SELECT unnest(generate_series(0, 35)) AS x) xs,
+      |             (SELECT unnest(generate_series(0, 31)) AS y) ys) g),
+      |blocks AS (
+      |  SELECT doc_id, x // 4 AS bx, y // 4 AS by, SUM(v) // 16 AS m
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.by * 8 + a.bx AS b
+      |  FROM blocks a JOIN blocks c
+      |    ON a.doc_id = c.doc_id AND a.by = c.by AND c.bx = a.bx + 1
+      |  WHERE a.bx < 8 AND a.by * 8 + a.bx < 63 AND a.m < c.m),
+      |hashes AS (
+      |  SELECT d.doc_id AS id, CAST(COALESCE(h.ph, 0) AS BIGINT) AS phash
+      |  FROM documents d LEFT JOIN
+      |    (SELECT doc_id, SUM(CAST(1 AS BIGINT) << b) AS ph
+      |     FROM bits GROUP BY doc_id) h ON d.doc_id = h.doc_id)
+      |SELECT phash, CAST(1 AS BIGINT) AS n_kept
+      |FROM (SELECT DISTINCT phash FROM hashes) t""".stripMargin
+
+  /** Drive [[Multimodal.streamingVideoDedup]] (frame-wise video dedup
+    * at ingest) over the GIF fixture via a MemoryStream cut into 5
+    * micro-batches, then report the distinct (frame_idx, phash) slots
+    * covered by the kept videos. Coverage is the order-invariant
+    * streaming contract: every distinct slot is claimed by its first
+    * arrival, a claimer owns ≥ 1 slot and therefore survives, so the
+    * kept videos' recomputed frame hashes must cover EXACTLY the
+    * corpus's distinct slot set — no slot lost, none invented — which
+    * the oracle derives analytically per (doc_id, frame). A final
+    * far-future flush row (undecodable payload in its own sentinel
+    * keyspace, its window never closes) pushes the watermark past every
+    * data window so the windowed ownership aggregate emits.
+    */
+  def qDedupStreamingVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = MediaFixtures.gifs(spark, dir)
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val sink = s"q_dedup_streaming_video_${streamSinkSeq.incrementAndGet()}"
+    val base = 1700000000000L
+    val q = Multimodal.streamingVideoDedup(
+        mem.toDF().toDF("media_id", "content", "ts"), n = 4, tsCol = "ts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = math.max(1, (rows.length + 4) / 5)
+      rows.grouped(batchSize).foreach { b =>
+        mem.addData(b.map { case (id, c) =>
+          (id, c, new java.sql.Timestamp(base + (id % 30) * 1000L))
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // flush: one sentinel an hour ahead closes every data window
+      mem.addData((-1L, "__flush__".getBytes("UTF-8"),
+        new java.sql.Timestamp(base + 3600 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    Multimodal.videoFrameHashes(spark.table(sink), n = 4)
+      .select(col("frame_idx"), col("phash")).distinct()
+  }
+
+  /** Analytic mirror of [[qDedupStreamingVideo]]: the kept videos'
+    * frame hashes cover exactly the corpus's distinct (frame, hash)
+    * slots — same per-frame pixel→block→bit derivation as
+    * [[qDedupVideoFramesSql]], collapsed to the distinct slot set.
+    */
+  val qDedupStreamingVideoSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, f.f, g.x, g.y,
+      |    ((d.doc_id % 50 + 1) * (g.x + 3) * (g.y + 7) * (f.f + 11)) % 251
+      |      + (d.doc_id * 31 + f.f * 13 + g.x * 7 + g.y * 3) % 5 AS v
+      |  FROM documents d,
+      |       (SELECT unnest([0, 2, 4, 6]) AS f) f,
+      |       (SELECT xs.x, ys.y
+      |        FROM (SELECT unnest(generate_series(0, 35)) AS x) xs,
+      |             (SELECT unnest(generate_series(0, 31)) AS y) ys) g),
+      |blocks AS (
+      |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by, SUM(v) // 16 AS m
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.by * 8 + a.bx AS b
+      |  FROM blocks a JOIN blocks c
+      |    ON a.doc_id = c.doc_id AND a.f = c.f AND a.by = c.by
+      |   AND c.bx = a.bx + 1
+      |  WHERE a.bx < 8 AND a.by * 8 + a.bx < 63 AND a.m < c.m),
+      |hashes AS (
+      |  SELECT df.doc_id, df.f AS frame_idx,
+      |         CAST(COALESCE(h.ph, 0) AS BIGINT) AS phash
+      |  FROM (SELECT d.doc_id, f.f
+      |        FROM documents d, (SELECT unnest([0, 2, 4, 6]) AS f) f) df
+      |  LEFT JOIN
+      |    (SELECT doc_id, f, SUM(CAST(1 AS BIGINT) << b) AS ph
+      |     FROM bits GROUP BY doc_id, f) h
+      |    ON df.doc_id = h.doc_id AND df.f = h.f)
+      |SELECT DISTINCT frame_idx, phash FROM hashes""".stripMargin
+
   def qSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
@@ -2258,6 +2415,8 @@ object EntryQueries {
     "q_dedup_audio_fp" -> qDedupAudioFp _,
     "q_dedup_audio_fp_aiff" -> qDedupAudioFpAiff _,
     "q_dedup_video_frames" -> qDedupVideoFrames _,
+    "q_dedup_streaming_media" -> qDedupStreamingMedia _,
+    "q_dedup_streaming_video" -> qDedupStreamingVideo _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
     "q_similarity_ivf_incremental" -> qSimilarityIvfIncremental _,
@@ -2364,6 +2523,8 @@ object EntryQueries {
     "q_dedup_audio_fp" -> qDedupAudioFpSql,
     "q_dedup_audio_fp_aiff" -> qDedupAudioFpSql,
     "q_dedup_video_frames" -> qDedupVideoFramesSql,
+    "q_dedup_streaming_media" -> qDedupStreamingMediaSql,
+    "q_dedup_streaming_video" -> qDedupStreamingVideoSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:
     // the exact-cosine oracle applies verbatim
