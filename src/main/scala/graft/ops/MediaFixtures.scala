@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   *    and `fp` fingerprints (sf dir, kind, generator version, and the
   *    (name, length, mtime) listing of `documents.parquet`) — any
   *    regeneration of the source table or change to a generator
-  *    invalidates the cache by changing its address, no deletion
-  *    logic needed;
-  *  - atomicity: writers build `<kind>.parquet.tmp.<nonce>` and
-  *    rename into place; on a lost race the loser deletes its temp
-  *    and reads the winner (rename is atomic on a local FS);
+  *    invalidates the cache by changing its address, and a completed
+  *    install best-effort GCs superseded fingerprints of the same
+  *    (source, kind) so regenerations don't leak corpus copies in tmp;
+  *  - atomicity: writers build `<kind>.parquet.tmp.<nonce>`, rename
+  *    into place, and VERIFY the install (_SUCCESS directly under
+  *    dest, no nested tmp) rather than trusting rename's return —
+  *    Hadoop's RawLocalFileSystem falls back to FileUtil.copy on a
+  *    failed File.renameTo, which nests the loser's tmp inside an
+  *    existing winner while reporting success; on a lost race the
+  *    loser scrubs any nested tmp and reads the winner;
   *  - bytes are asserted IDENTICAL to the in-plan generators by
   *    `MediaFixturesSpec`, and `spark.graft.media.materialize=false`
   *    restores in-plan synthesis for A/B or read-only-tmp hosts.
@@ -68,14 +73,21 @@ object MediaFixtures {
   def gifs(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "gif")
 
   /** Cache directory for (sfDir, kind): content-addressed by the
-    * source listing so staleness is impossible by construction.
+    * source listing so staleness is impossible by construction. The
+    * directory name leads with `<sfName>-<kind>-` so superseded
+    * fingerprints of the SAME source are recognizable and can be
+    * garbage-collected on install — without the prefix every testdata
+    * regeneration would leak a full media corpus copy in tmp forever.
     */
   private[ops] def cachePath(
       spark: SparkSession, sfDir: String, kind: String): Path = {
     val root = spark.conf.getOption("spark.graft.media.dir").getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_media")
-    new Path(s"$root/${fingerprint(spark, sfDir, kind)}/$kind.parquet")
+    new Path(s"$root/${cachePrefix(sfDir, kind)}${fingerprint(spark, sfDir, kind)}/$kind.parquet")
   }
+
+  private def cachePrefix(sfDir: String, kind: String): String =
+    s"${new Path(sfDir).getName}-$kind-"
 
   private[ops] def fingerprint(
       spark: SparkSession, sfDir: String, kind: String): String = {
@@ -100,27 +112,62 @@ object MediaFixtures {
       docs: DataFrame): Path = lock.synchronized {
     val dest = cachePath(spark, sfDir, kind)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(dest, "_SUCCESS"))) return dest
+    // A complete install has _SUCCESS directly under dest AND no
+    // nested `*.parquet.tmp.*` directory: RawLocalFileSystem's rename
+    // falls back to FileUtil.copy when File.renameTo fails, and
+    // copying into an EXISTING dest dir nests the loser's tmp INSIDE
+    // the winner's dataset while returning true — a later
+    // read.parquet(dest) would then double-count rows or fail
+    // partition inference. Verify-and-scrub instead of trusting the
+    // rename's return value.
+    def installedClean(): Boolean = {
+      if (!fs.exists(new Path(dest, "_SUCCESS"))) return false
+      fs.listStatus(dest)
+        .filter(_.getPath.getName.contains(".parquet.tmp."))
+        .foreach(s => fs.delete(s.getPath, true))
+      true
+    }
+    if (installedClean()) return dest
     if (fs.exists(dest)) fs.delete(dest, true) // partial from a crash
     val tmp = new Path(
       dest.getParent, s"${dest.getName}.tmp.${java.util.UUID.randomUUID()}")
-    synthesize(docs, kind)
+    def build(): Unit = synthesize(docs, kind)
       // match the source's file count so the cache scan parallelizes
       // like the synthesis it replaces (per-file row groups)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, dest)) {
-      // lost the cross-process race (or a crash left dest): keep the
-      // winner if complete, otherwise install ours via a second try
-      if (fs.exists(new Path(dest, "_SUCCESS"))) fs.delete(tmp, true)
-      else {
-        if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) {
-          fs.delete(tmp, true)
-          require(fs.exists(new Path(dest, "_SUCCESS")),
-            s"media fixture install failed twice for $dest")
-        }
-      }
+    build()
+    fs.rename(tmp, dest)
+    if (!installedClean()) {
+      // raced into a garbage dest, or the copy fallback consumed our
+      // tmp while nesting it — clear and retry once, rebuilding the
+      // tmp if the fallback's source-delete already ate it
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.exists(tmp)) build()
+      fs.rename(tmp, dest)
+      require(installedClean(),
+        s"media fixture install failed twice for $dest")
     }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // lost the race cleanly
+    gcSuperseded(fs, dest, sfDir, kind)
     dest
   }
+
+  /** Best-effort removal of cache dirs for the SAME (source name,
+    * kind) under a different fingerprint — superseded by the install
+    * that just completed (testdata regenerated, generator bumped).
+    * Two distinct sources sharing a basename can at worst GC each
+    * other's caches, which costs a rebuild, never correctness (the
+    * address is still content-derived).
+    */
+  private def gcSuperseded(
+      fs: FileSystem, dest: Path, sfDir: String, kind: String): Unit =
+    try {
+      val prefix = cachePrefix(sfDir, kind)
+      fs.listStatus(dest.getParent.getParent)
+        .filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+            s.getPath.getName != dest.getParent.getName
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -31,9 +31,11 @@ class MediaFixturesSpec extends AnyFunSuite {
         val live = MediaFixtures.synthesize(docs, kind)
           .withColumnsRenamed(Map("media_id" -> "lid", "content" -> "lcontent"))
         val joined = cached.join(live, col("media_id") === col("lid"), "full")
+        // null-SAFE inequality: a NULL on one side must count as a
+        // mismatch, not evaluate to NULL and slip past the filter
         val bad = joined.where(
           col("media_id").isNull || col("lid").isNull ||
-            col("content") =!= col("lcontent")).count()
+            !(col("content") <=> col("lcontent"))).count()
         assert(bad == 0, s"$kind: $bad rows differ between cache and synthesis")
         val n = cached.count()
         assert(n == docs.count(), s"$kind: cache has $n rows")
@@ -66,6 +68,41 @@ class MediaFixturesSpec extends AnyFunSuite {
     docs.write.parquet(s"$alt/documents.parquet")
     assert(MediaFixtures.fingerprint(spark, alt, "png") != a,
       "source listing ignored")
+  }
+
+  test("a nested tmp dir inside an installed cache is scrubbed on access") {
+    // RawLocalFileSystem's rename fallback can copy a losing builder's
+    // tmp INSIDE the winner's dataset; the next access must scrub it
+    // (and the row count must come back right, not doubled)
+    spark.conf.set("spark.graft.media.dir", freshRoot())
+    try {
+      val expected = MediaFixtures.table(spark, sfDir, "png").count()
+      val dest = MediaFixtures.cachePath(spark, sfDir, "png")
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nested = new org.apache.hadoop.fs.Path(dest, "png.parquet.tmp.loser")
+      fs.mkdirs(nested)
+      fs.createNewFile(new org.apache.hadoop.fs.Path(nested, "part-junk"))
+      assert(MediaFixtures.table(spark, sfDir, "png").count() == expected)
+      assert(!fs.exists(nested), "nested tmp dir survived the scrub")
+    } finally spark.conf.unset("spark.graft.media.dir")
+  }
+
+  test("a superseded fingerprint for the same (source, kind) is GC'd on install") {
+    val root = freshRoot()
+    spark.conf.set("spark.graft.media.dir", root)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sfName = new org.apache.hadoop.fs.Path(sfDir).getName
+      val stale = new org.apache.hadoop.fs.Path(root, s"$sfName-png-deadbeef0000")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stale, "png.parquet"))
+      val otherKind = new org.apache.hadoop.fs.Path(root, s"$sfName-gif-deadbeef0000")
+      fs.mkdirs(otherKind)
+      assert(MediaFixtures.table(spark, sfDir, "png").count() > 0)
+      assert(!fs.exists(stale), "superseded png cache dir survived the GC")
+      assert(fs.exists(otherKind), "GC crossed kinds")
+      assert(fs.exists(MediaFixtures.cachePath(spark, sfDir, "png")))
+    } finally spark.conf.unset("spark.graft.media.dir")
   }
 
   test("materialize=false falls back to in-plan synthesis") {
