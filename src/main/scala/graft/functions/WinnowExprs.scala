@@ -106,29 +106,48 @@ object WinnowFingerprint {
 /** `winnow_anchor_hashes(text, k, w)` → array<bigint>: the winnowing
   * selection of [[WinnowFingerprint]] WITHOUT the distinct-values
   * collapse — one entry per distinct SELECTED k-gram index, in
-  * position order. Same rolling hash, same monotonic-deque window
-  * minimum; a new entry is appended whenever the selected index
-  * changes (the classic "record on change" winnowing emission).
+  * position order. Window minima are taken over the same 31-bit
+  * rolling hash as [[WinnowFingerprint]] (monotonic deque, rightmost
+  * tie); a new entry is appended whenever the selected index changes
+  * (the classic "record on change" winnowing emission).
+  *
+  * The emitted VALUE is the 62-bit pack `(h1 << 31) | h2` of TWO
+  * independent Rabin–Karp rolls of the selected gram (bases 257 and
+  * 263, both mod 2^31 − 1) — NOT the bare 31-bit h1. 31-bit anchor
+  * values are birthday-saturated at corpus scale: at 500 k docs
+  * (~38 M anchors, ~76/doc) the expected co-occupancy per value is
+  * ~0.018, so P(a doc holds NO colliding anchor) ≈ e^−1.3 ≈ 0.26 and
+  * ~74% of documents become prefilter "candidates" from hash
+  * accidents alone — measured cand_frac 0.95 on a corpus constructed
+  * to share nothing (evidence/winnow_ab/WINNOW_AB_r18.json). In the
+  * 62-bit space the same corpus expects ≪ 1 colliding PAIR total.
+  * Selection stays keyed on h1 so the selected indices are unchanged
+  * and `distinct(value >>> 31)` still equals the
+  * [[WinnowFingerprint]] set.
   *
   * Why multiplicity matters: this feeds the repeated-span winnow
   * prefilter ([[graft.ops.Dedup.repeatedSpans]]), whose SELF-repeat
-  * candidate test is "some hash selected at ≥ 2 distinct positions in
-  * one document". The deque's tie rule (pop `>=` on arrival) keeps the
-  * RIGHTMOST occurrence of a window's minimum, which makes the
+  * candidate test is "some value selected at ≥ 2 distinct positions
+  * in one document". The deque's tie rule (pop `>=` on arrival) keeps
+  * the RIGHTMOST occurrence of a window's minimum, which makes the
   * selected index a pure function of the window's hash CONTENTS —
-  * so two occurrences of the same hash run at offsets p and p+d
-  * select the same minimum value at indices exactly d apart, and the
+  * so two occurrences of the same gram run at offsets p and p+d
+  * select the same gram at indices exactly d apart, and its packed
   * value appears ≥ 2 times in this array. The value-deduped
   * [[WinnowFingerprint]] cannot express that.
   *
   * Guarantee inherited from winnowing (SIGMOD'03): any two documents
-  * whose gram-hash streams share a run of ≥ w consecutive equal
-  * hashes (i.e. a shared substring of length ≥ w + k − 1, or a
-  * hash-collision lookalike — both are exactly what the span index
-  * pairs on) share at least one emitted VALUE here; a single document
-  * containing such a run at two offsets emits that value at ≥ 2
-  * entries. Texts with fewer than one k-gram yield an empty array;
-  * with fewer than w k-grams, the single global (rightmost) minimum.
+  * sharing a SUBSTRING of length ≥ w + k − 1 share at least one
+  * emitted value (equal text ⇒ equal h1 window ⇒ same rightmost-min
+  * index ⇒ equal h2 at it); a single document containing such a
+  * substring at two offsets emits that value at ≥ 2 entries. Caveat
+  * (the price of the widening): a span the posting index emits only
+  * because of 31-bit h1 COLLISIONS on unequal text — itself a ~2^−31
+  * event per boundary gram, and ≥ w consecutive lookalikes for a
+  * whole span — is no longer guaranteed a shared 62-bit anchor, so
+  * the prefilter may drop such an accident-span. Texts with fewer
+  * than one k-gram yield an empty array; with fewer than w k-grams,
+  * the single global (rightmost) h1-minimum.
   */
 case class WinnowAnchorHashes(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
@@ -151,26 +170,47 @@ case class WinnowAnchorHashes(child: Expression, k: Int, w: Int)
 
 object WinnowAnchorHashes {
 
+  /** Second, independent Rabin–Karp base for the low 31 bits of the
+    * packed anchor value (same Mersenne modulus as the selection
+    * hash). 263 is prime and coprime to 257 — the two polynomial
+    * evaluations collide together only with probability ~2^−62 per
+    * unequal gram pair.
+    */
+  val Base2 = 263L
+
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     val B = WinnowFingerprint.Base
+    val B2 = Base2
     val M = WinnowFingerprint.Mod
     val cps = text.toString.codePoints().toArray
     val n = cps.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
 
+    // h1 drives the window-minimum selection (identical to
+    // WinnowFingerprint); packed(i) = (h1 << 31) | h2 is what's emitted
     val g = n - k + 1
     val hashes = new Array[Long](g)
+    val packed = new Array[Long](g)
     var h = 0L
+    var h2 = 0L
     var i = 0
-    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    while (i < k) {
+      h = (h * B + cps(i)) % M
+      h2 = (h2 * B2 + cps(i)) % M
+      i += 1
+    }
     hashes(0) = h
+    packed(0) = (h << 31) | h2
     var bk1 = 1L
+    var b2k1 = 1L
     i = 0
-    while (i < k - 1) { bk1 = (bk1 * B) % M; i += 1 }
+    while (i < k - 1) { bk1 = (bk1 * B) % M; b2k1 = (b2k1 * B2) % M; i += 1 }
     i = 1
     while (i < g) {
       h = ((h - (cps(i - 1) * bk1) % M + M) % M * B + cps(i + k - 1)) % M
+      h2 = ((h2 - (cps(i - 1) * b2k1) % M + M) % M * B2 + cps(i + k - 1)) % M
       hashes(i) = h
+      packed(i) = (h << 31) | h2
       i += 1
     }
 
@@ -179,7 +219,7 @@ object WinnowAnchorHashes {
       var minIdx = 0
       i = 1
       while (i < g) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
-      return new GenericArrayData(Array(hashes(minIdx)))
+      return new GenericArrayData(Array(packed(minIdx)))
     }
     // sliding window minimum, rightmost tie, record on index change
     val out = new java.util.ArrayList[java.lang.Long](g / w + 4)
@@ -194,7 +234,7 @@ object WinnowAnchorHashes {
       if (deque(head) <= i - w) head += 1
       if (i >= w - 1 && deque(head) != last) {
         last = deque(head)
-        out.add(hashes(last))
+        out.add(packed(last))
       }
       i += 1
     }

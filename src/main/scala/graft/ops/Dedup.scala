@@ -1008,8 +1008,13 @@ object Dedup {
       // volume is upper-bounded by candidate text chars.
       val bloomMax = spark.conf.get(SpanWinnowBlockedBloomMaxItemsKey,
         SpanWinnowBlockedBloomMaxItemsDefault.toString).toLong
+      // the candChars probe EXECUTES candCorpus; in lazy semi-join mode
+      // (nCand > driverMax) that re-runs the whole anchor pass just to
+      // decide a Bloom gate that a corpus too big to driver-collect
+      // would almost surely exceed anyway — skip straight to fullH
+      // there, keeping the documented ≤2× lineage-recompute bound
       val candChars: Long =
-        if (bloomMax <= 0) Long.MaxValue
+        if (bloomMax <= 0 || nCand > driverMax) Long.MaxValue
         else Option(candCorpus
           .select(sum(length(col(textCol).cast("string"))).cast("long"))
           .first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)

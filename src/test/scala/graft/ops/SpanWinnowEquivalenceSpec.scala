@@ -49,35 +49,38 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
 
   // ---- layer 1: the expression ------------------------------------
 
-  private def polyHashes(s: String, k: Int): Array[Long] = {
+  private def polyHashes(s: String, k: Int, base: Long): Array[Long] = {
     val cps = s.codePoints().toArray
     if (cps.length < k) return Array.emptyLongArray
     Array.tabulate(cps.length - k + 1) { i =>
       var h = 0L
       for (j <- 0 until k)
-        h = (h * WinnowFingerprint.Base + cps(i + j)) % WinnowFingerprint.Mod
+        h = (h * base + cps(i + j)) % WinnowFingerprint.Mod
       h
     }
   }
 
   /** Direct reference: per window the RIGHTMOST index of the minimum
-    * hash; emit the hash whenever the selected index changes.
+    * 31-bit h1; emit the 62-bit pack `(h1 << 31) | h2` whenever the
+    * selected index changes (h2 = the independent base-263 roll).
     */
   private def refAnchors(s: String, k: Int, w: Int): Seq[Long] = {
-    val hashes = polyHashes(s, k)
+    val hashes = polyHashes(s, k, WinnowFingerprint.Base)
+    val h2s = polyHashes(s, k, WinnowAnchorHashes.Base2)
+    def packed(i: Int): Long = (hashes(i) << 31) | h2s(i)
     val g = hashes.length
     if (g == 0) return Seq.empty
     if (g <= w) {
       var sel = 0
       for (i <- 1 until g) if (hashes(i) <= hashes(sel)) sel = i
-      return Seq(hashes(sel))
+      return Seq(packed(sel))
     }
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var last = -1
     for (e <- (w - 1) until g) {
       var sel = e - w + 1
       for (i <- (e - w + 2) to e) if (hashes(i) <= hashes(sel)) sel = i
-      if (sel != last) { last = sel; out += hashes(sel) }
+      if (sel != last) { last = sel; out += packed(sel) }
     }
     out.toSeq
   }
@@ -100,14 +103,23 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
     }
   }
 
-  test("WinnowAnchorHashes distinct values equal the WinnowFingerprint set") {
+  test("WinnowAnchorHashes high-31-bit parts equal the WinnowFingerprint set") {
+    // selection is keyed on the same 31-bit h1 as WinnowFingerprint, so
+    // projecting the packed values back to h1 recovers exactly the
+    // fingerprint's distinct window-minimum set — pins that the 62-bit
+    // widening changed only the VALUE space, not which grams win
     val rnd = new scala.util.Random(11)
     for (_ <- 0 until 50) {
       val s = Seq.fill(30 + rnd.nextInt(200))("abcdef "(rnd.nextInt(7))).mkString
       val k = 4; val w = 5
       val fp = WinnowFingerprint.compute(UTF8String.fromString(s), k, w)
         .toLongArray().toSet
-      assert(anchors(s, k, w).toSet == fp)
+      assert(anchors(s, k, w).map(_ >>> 31).toSet == fp)
+      // and the low 31 bits are the base-263 roll of the same gram
+      val h1 = polyHashes(s, k, WinnowFingerprint.Base)
+      val h2 = polyHashes(s, k, WinnowAnchorHashes.Base2)
+      val validPacks = h1.indices.map(i => (h1(i) << 31) | h2(i)).toSet
+      assert(anchors(s, k, w).forall(validPacks.contains))
     }
   }
 
