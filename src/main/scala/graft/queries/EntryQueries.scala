@@ -1339,8 +1339,11 @@ object EntryQueries {
     val rows = MediaFixtures.pngs(spark, dir)
       .select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    // multi-partition feed: with the default single partition every
+    // micro-batch's PNG decode would run on one core
     val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
+        spark, numPartitions = 16)
     val sink = s"q_dedup_streaming_media_${streamSinkSeq.incrementAndGet()}"
     val q = Multimodal.streamingMediaDedup(
         mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
@@ -1408,8 +1411,12 @@ object EntryQueries {
     val rows = MediaFixtures.gifs(spark, dir)
       .select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    // multi-partition feed: the 8-frame GIF decode dominates this
+    // query, and the default single-partition MemoryStream would run
+    // it on one core per micro-batch
     val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
+        spark, numPartitions = 16)
     val sink = s"q_dedup_streaming_video_${streamSinkSeq.incrementAndGet()}"
     val base = 1700000000000L
     val q = Multimodal.streamingVideoDedup(

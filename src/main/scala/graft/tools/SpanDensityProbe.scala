@@ -60,19 +60,26 @@ object SpanDensityProbe {
         val anchorVol = perDocH.select(sum("c")).head.getLong(0)
         val nCross = Dedup.winnowCandidateIds(perDocH, includeSelf = false).count()
         val nSelf = Dedup.winnowCandidateIds(perDocH, includeSelf = true).count()
-        val spanDocs =
-          if (!withSpans) -1L
+        // --spans also CHECKS the winnowing guarantee at corpus scale:
+        // every doc participating in an emitted span must be a winnow
+        // candidate (candidates ⊇ span docs), so a non-zero
+        // span_docs_outside_cand is a prefilter-correctness violation,
+        // not just a density datum.
+        val (spanDocs, spanDocsOutsideCand) =
+          if (!withSpans) (-1L, -1L)
           else {
             val s = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, cap)
-            s.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-              .distinct().count()
+            val ids = s.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+              .distinct()
+            val cand = Dedup.winnowCandidateIds(perDocH, includeSelf = false)
+            (ids.count(), ids.except(cand).count())
           }
         println(s"""{"dir":"$d","k":$k,"w":$w,"minLen":$minLen,"cap":$cap,""" +
           s""""n_docs":$nDocs,"gram_vol":$gramVol,"anchor_vol":$anchorVol,""" +
           f""""anchor_ratio":${anchorVol.toDouble / math.max(1L, gramVol)}%.4f,""" +
           s""""cand_cross":$nCross,"cand_incl_self":$nSelf,""" +
           f""""cand_frac":${nCross.toDouble / math.max(1L, nDocs)}%.4f,""" +
-          s""""span_docs":$spanDocs}""")
+          s""""span_docs":$spanDocs,"span_docs_outside_cand":$spanDocsOutsideCand}""")
       } finally perDocH.unpersist()
     } finally spark.stop()
   }
