@@ -949,7 +949,12 @@ object Dedup {
     * with the posting pass's. Bloom false positives only ADD counted
     * hashes (harmless: `blockedH` is consumed by an anti-join);
     * false negatives are impossible for inserted values, so cap
-    * semantics stay exact.
+    * semantics stay exact. SIZE THE CAP WITH THE CORPUS: past it the
+    * count pass falls back to the full un-Bloomed shuffle (measured
+    * ~2.35× slower at 500 k docs), so a corpus whose candidate char
+    * volume exceeds 32 M should raise the cap — the filter costs
+    * ~9.6 bits/char, e.g. 512 M ≈ a 600 MB broadcast, which a real
+    * executor fleet absorbs once per executor.
     */
   val SpanWinnowBlockedBloomMaxItemsKey = "spark.graft.span.winnowBlockedBloomMaxItems"
   val SpanWinnowBlockedBloomMaxItemsDefault: Long = 32000000L
