@@ -143,6 +143,111 @@ object Dedup {
     exactDrop(fresh.unionByName(resolved).drop("__fp"), textCol, idCol)
   }
 
+  /** Fixed-width token-window segments of the normalized text — C4's
+    * "three-sentence span" (Raffel et al. 2020, §2.3) generalized to
+    * `w`-token windows for corpora without sentence boundaries. The
+    * final window may be shorter. Empty/blank/NULL text → empty/NULL
+    * array (no rows after explode).
+    */
+  def windowSegments(text: Column, w: Int): Column = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    val n = size(toks)
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - lit(1)) / lit(w)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * lit(w) + lit(1), lit(w)))))
+  }
+
+  /** Delimiter segments — [[dropDuplicateSegments]]' real-world mode
+    * (RefinedWeb-style exact LINE dedup; C4 splits on sentences).
+    * Blank segments are removed: an empty line is format, not content,
+    * and corpus-wide "first occurrence wins" would otherwise delete
+    * every blank line but one across the whole corpus.
+    */
+  def lineSegments(text: Column, delim: String = "\n"): Column =
+    filter(split(text, java.util.regex.Pattern.quote(delim)),
+      s => length(trim(s)) > 0)
+
+  /** Corpus-wide duplicate-segment removal — C4 §2.3 ("we discard all
+    * but one of any three-sentence span occurring more than once in
+    * the data set"; reference scope: pg-bifrost has no text ops — this
+    * is part of the training-data surface layered on top). Every
+    * occurrence of a segment after the FIRST (ordered by (id, pos))
+    * is dropped and documents are reassembled from their surviving
+    * segments in order; a document whose every segment was already
+    * seen disappears entirely, exactly as in C4.
+    *
+    * 100 TB shape — segment TEXT never shuffles:
+    *  1. explode to (xxhash64(seg), id, pos) triples — ~24-byte rows;
+    *  2. one hash aggregation takes min(struct(id, pos)) per hash
+    *     (map-side partial collapses duplicates before the exchange);
+    *  3. winners regroup into a per-document kept-position list
+    *     (second narrow shuffle, ≤ one row per surviving segment);
+    *  4. one equi-join back to the docs; reassembly is a positional
+    *     `filter` + `concat_ws` over the re-derived segment array —
+    *     linear, no second explode.
+    * Total wide row movement is 1× corpus text (the doc-side join),
+    * vs 2× for the naive window-over-exploded-segments formulation.
+    * Segment identity is the 64-bit hash, as in C4 itself: a collision
+    * wrongly merges two distinct segments with probability ≈ n²/2⁶⁵.
+    *
+    * `packed` (default on, the span-family posting convention) packs
+    * each occurrence into ONE non-negative long `(id << 30) | pos`, so
+    * the first-occurrence aggregation runs as a primitive-buffer
+    * HashAggregate — a struct min/min_by falls back to SortAggregate,
+    * which per-partition SORTS the whole exploded occurrence stream
+    * (the measured span-family bottleneck class). The packed range is
+    * ids < 2^33 (~8.6 B docs; one bit narrower than pack_id_pos so the
+    * sign bit stays clear and SIGNED min == (id, pos) order) and
+    * positions < 2^30; out-of-range FAILS LOUDLY — full-range ids must
+    * pass `packed = false` for the struct layout.
+    *
+    * Returns (id, text_dedup, n_kept, n_dropped).
+    */
+  def dropDuplicateSegments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segments: Column,
+      sep: String = " ",
+      packed: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol), segments.as("__segs"))
+    val occ = base
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("__pos", "__seg")))
+      .select(xxhash64(col("__seg")).as("__h"), col(idCol), col("__pos"))
+    val kept = (if (packed) {
+      val id = col(idCol).cast("long")
+      val packedOcc = when(
+        id < 0L || id >= lit(1L << 33) || col("__pos") >= lit(1 << 30),
+        raise_error(concat(
+          lit("dropDuplicateSegments packed overflow: id="), id.cast("string"),
+          lit(" pos="), col("__pos").cast("string"),
+          lit(" (ids must be in [0, 2^33), positions in [0, 2^30); " +
+            "pass packed = false for the full-range struct layout)"))))
+        .otherwise(shiftleft(id, 30).bitwiseOR(col("__pos").cast("long")))
+      occ.select(col("__h"), packedOcc.as("__occ"))
+        .groupBy(col("__h"))
+        .agg(min(col("__occ")).as("__first"))
+        .groupBy(shiftrightunsigned(col("__first"), 30).as(idCol))
+        .agg(sort_array(collect_list(
+          col("__first").bitwiseAND(lit((1L << 30) - 1)).cast("int"))).as("__keep"))
+    } else {
+      occ.groupBy(col("__h"))
+        .agg(min_by(struct(col(idCol), col("__pos")),
+          struct(col(idCol), col("__pos"))).as("__first"))
+        .groupBy(col("__first")(idCol).as(idCol))
+        .agg(sort_array(collect_list(col("__first")("__pos"))).as("__keep"))
+    })
+    base.join(kept, Seq(idCol))
+      .select(
+        col(idCol),
+        concat_ws(sep, filter(col("__segs"),
+          (_, i) => array_contains(col("__keep"), i))).as("text_dedup"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
+  }
+
   /** MinHash-LSH candidate duplicate pairs.
     *
     * shingle → signature (native expression, no shuffle) → split the

@@ -355,6 +355,42 @@ object EntryQueries {
       | min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** C4-style duplicate-segment removal over 20-token windows of the
+    * normalized text (the corpus has no sentence/line boundaries, so
+    * the window segmenter stands in for C4's three-sentence spans; on
+    * real text pass [[Dedup.lineSegments]]). The oracle re-derives the
+    * same segmentation in SQL and ranks occurrences by segment STRING
+    * — Spark's xxhash64 grouping must produce identical classes.
+    */
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSegments(
+      T(spark, dir, "documents"), "text", "doc_id",
+      Dedup.windowSegments(col("text"), w = 20))
+
+  val qDedupLinesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
+      |  FROM documents),
+      |sa AS (
+      |  SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(generate_series(1, (len(t) - 1) // 20 + 1),
+      |           i -> array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' ')) END AS segs
+      |  FROM toks),
+      |occ AS (
+      |  SELECT doc_id, n_segs, u.p - 1 AS pos, u.seg
+      |  FROM (SELECT doc_id, len(segs) AS n_segs,
+      |          unnest(list_transform(generate_series(1, len(segs)),
+      |            p -> {'p': p, 'seg': segs[p]})) AS u
+      |        FROM sa) x),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |           FROM occ),
+      |kept AS (SELECT * FROM ranked WHERE rn = 1)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(any_value(n_segs) - count(*) AS BIGINT) AS n_dropped
+      |FROM kept GROUP BY doc_id""".stripMargin
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     T(spark, dir, "documents").select(
@@ -2395,6 +2431,7 @@ object EntryQueries {
     "q_route_workers" -> qRouteWorkers _,
     "q_chunk_sizes" -> qChunkSizes _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_lines" -> qDedupLines _,
     "q_fingerprint_winnow" -> qFingerprintWinnow _,
     "q_token_stats" -> qTokenStats _,
     "q_text_quality" -> qTextQuality _,
@@ -2485,6 +2522,7 @@ object EntryQueries {
     "q_route_workers" -> qRouteWorkersSql,
     "q_chunk_sizes" -> qChunkSizesSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_lines" -> qDedupLinesSql,
     "q_fingerprint_winnow" -> qFingerprintWinnowSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_text_quality" -> qTextQualitySql,
