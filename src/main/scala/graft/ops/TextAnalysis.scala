@@ -157,6 +157,30 @@ object TextAnalysis {
         col("tfidf"), col("rank"))
   }
 
+  /** Corpus-wide adjacent-token-pair counts — the candidate-scoring
+    * pass of one BPE merge iteration (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") run as a
+    * distributed job; equally the bigram phrase table. One codegen'd
+    * `zip_with` of the token array against its own tail (no self-join)
+    * feeds one explode plus one hash aggregation with map-side partial
+    * combine — the canonical distributed word count, so duplicate
+    * pairs collapse before the exchange. Top-k consumers compose
+    * `orderBy(cnt desc, pair).limit(k)`, which Spark executes as
+    * TakeOrderedAndProject (per-partition heap, never a global sort).
+    */
+  def adjacentPairCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val n = size(toks)
+    val pairs = when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), n - lit(1)),
+        slice(toks, lit(2), n - lit(1)),
+        (a, b) => concat(a, lit(" "), b)))
+    df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Convenience transform attaching the full analysis column set. */
   def analyze(textCol: String = "text"): DataFrame => DataFrame = df => {
     val t = col(textCol)

@@ -414,6 +414,28 @@ object EntryQueries {
       |   ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END, 6) AS mean_token_len
       |FROM toks""".stripMargin
 
+  /** Top-100 adjacent-token pairs corpus-wide — one BPE merge
+    * iteration's candidate scoring ([[TextAnalysis.adjacentPairCounts]]).
+    * Ties at the limit boundary break on the pair string (both engines
+    * compare lowercase ASCII byte-wise), so the top-100 SET is
+    * deterministic and the driver's sorted-row hash compare is stable.
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.adjacentPairCounts(T(spark, dir, "documents"), "text")
+      .orderBy(desc("cnt"), asc("pair")).limit(100)
+
+  val qBpePairsSql: String =
+    """WITH toks AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS pair
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
+
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").select(
       col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -2434,6 +2456,7 @@ object EntryQueries {
     "q_dedup_lines" -> qDedupLines _,
     "q_fingerprint_winnow" -> qFingerprintWinnow _,
     "q_token_stats" -> qTokenStats _,
+    "q_bpe_pairs" -> qBpePairs _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -2525,6 +2548,7 @@ object EntryQueries {
     "q_dedup_lines" -> qDedupLinesSql,
     "q_fingerprint_winnow" -> qFingerprintWinnowSql,
     "q_token_stats" -> qTokenStatsSql,
+    "q_bpe_pairs" -> qBpePairsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,

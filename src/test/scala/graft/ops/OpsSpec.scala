@@ -33,6 +33,17 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == expected)
   }
 
+  test("adjacent pair counts: BPE candidate scoring") {
+    val df = Seq(
+      (1L, "a b a b c"),   // pairs: a b, b a, a b, b c
+      (2L, "A  B"),        // normalizes to "a b"
+      (3L, "solo"),        // no pairs
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.adjacentPairCounts(df)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
