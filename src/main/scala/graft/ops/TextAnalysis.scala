@@ -181,6 +181,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Character-level BPE merge learning (Sennrich et al. 2016) as an
+    * iterative Spark job — the step after [[adjacentPairCounts]] in
+    * training a tokenizer on a corpus. One distributed pass aggregates
+    * word counts (the corpus-sized job); every BPE iteration then runs
+    * on the VOCABULARY-sized (word, count) table: a weighted
+    * symbol-pair count (hash aggregation with map-side combine), a
+    * 1-row argmax brought to the driver (the loop-carried dependency —
+    * `numMerges` single-row collects total, the k-means-style bound),
+    * and a codegen'd merge application.
+    *
+    * Merge application is leftmost-nonoverlapping greedy via LITERAL
+    * replace on a double-space-expanded symbol string (`" x  y "` →
+    * `" xy "`): expanding separators to two spaces makes adjacent
+    * match sites share no characters, so one consuming left-to-right
+    * `replace` pass merges a whole run pairwise — the exact greedy
+    * semantics — with no lookaround regex, which keeps the operation
+    * reproducible on RE2-based engines (the DuckDB oracle unrolls the
+    * same iterations with the same `replace`).
+    *
+    * Ties argmax by (count desc, pair asc) so the merge sequence is
+    * deterministic. Returns (step, pair, cnt) — the ordered merge
+    * table, `step` starting at 1.
+    */
+  def bpeLearnMerges(
+      df: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 8): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      // symbolize: one char per symbol, single-space separated
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("wc"))
+      .cache()
+    try {
+      var syms = words
+      val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= numMerges && !exhausted) {
+        val toks = split(col("s"), " ")
+        val n = size(toks)
+        val pairs = when(n < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(toks, lit(1), n - lit(1)),
+            slice(toks, lit(2), n - lit(1)),
+            (a, b) => concat(a, lit(" "), b)))
+        val best = syms.select(col("wc"), explode(pairs).as("p"))
+          .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(desc("cnt"), asc("p"))
+          .limit(1).as[(String, Long)].collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (pair, cnt) = best.head
+          merges += ((step, pair, cnt))
+          val from = " " + pair.replace(" ", "  ") + " "
+          val to = " " + pair.replace(" ", "") + " "
+          syms = syms.select(
+            trim(regexp_replace(
+              replace(
+                concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+                lit(from), lit(to)),
+              "  +", " ")).as("s"),
+            col("wc"))
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "pair", "cnt")
+    } finally words.unpersist()
+  }
+
   /** Convenience transform attaching the full analysis column set. */
   def analyze(textCol: String = "text"): DataFrame => DataFrame = df => {
     val t = col(textCol)

@@ -436,6 +436,47 @@ object EntryQueries {
       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
       |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
 
+  /** Eight character-level BPE merges learned from the corpus
+    * ([[TextAnalysis.bpeLearnMerges]]). The oracle unrolls the same
+    * iterations as chained CTEs — per step: weighted pair count,
+    * (cnt desc, pair asc) argmax, and the identical double-space
+    * literal-replace merge application — so the full loop-carried
+    * merge sequence is value-checked, not just the first iteration.
+    */
+  def qBpeLearn(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeLearnMerges(T(spark, dir, "documents"), "text", numMerges = 8)
+
+  val qBpeLearnSql: String = {
+    val n = 8
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(generate_series(1, len(t) - 1),
+         |             j -> t[j] || ' ' || t[j+1])) AS pair
+         |    FROM (SELECT string_split(s, ' ') AS t, wc FROM w${i - 1}) x
+         |    WHERE len(t) >= 2) y
+         |  GROUP BY pair),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (
+         |  SELECT trim(regexp_replace(
+         |      replace(' ' || replace(x.s, ' ', '  ') || ' ',
+         |              ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |              ' ' || replace(b.pair, ' ', '') || ' '),
+         |      '  +', ' ', 'g')) AS s, x.wc
+         |  FROM w${i - 1} x CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS step, pair, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wcnt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |    FROM documents WHERE length(trim(text)) > 0) z GROUP BY w),
+       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM wcnt),
+       |$steps
+       |$sel""".stripMargin
+  }
+
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").select(
       col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -2457,6 +2498,7 @@ object EntryQueries {
     "q_fingerprint_winnow" -> qFingerprintWinnow _,
     "q_token_stats" -> qTokenStats _,
     "q_bpe_pairs" -> qBpePairs _,
+    "q_bpe_learn" -> qBpeLearn _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -2549,6 +2591,7 @@ object EntryQueries {
     "q_fingerprint_winnow" -> qFingerprintWinnowSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_bpe_pairs" -> qBpePairsSql,
+    "q_bpe_learn" -> qBpeLearnSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[TextAnalysis.bpeLearnMerges]] against an independent list-based
+  * reference: same symbolization, same (count desc, pair asc) argmax,
+  * same leftmost-nonoverlapping greedy merge application.
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def refBpe(words: Map[String, Long], numMerges: Int): Seq[(Int, String, Long)] = {
+    var vocab: List[(List[String], Long)] =
+      words.toList.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((x, y), cnt) = counts.minBy { case ((a, b), c) => (-c, a + " " + b) }
+        out += ((step, s"$x $y", cnt))
+        def apply(l: List[String]): List[String] = l match {
+          case a :: b :: rest if a == x && b == y => (a + b) :: apply(rest)
+          case a :: rest                          => a :: apply(rest)
+          case Nil                                => Nil
+        }
+        vocab = vocab.map { case (syms, c) => (apply(syms), c) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("merge table matches reference on the Sennrich-style corpus") {
+    // token counts: low×5, lower×2, newest×6, widest×3, aaaa×2 (run case)
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 2L)
+    val text = words.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // word COUNTS inside bpeLearnMerges come from token occurrences,
+    // which the text above reproduces exactly
+    val got = TextAnalysis.bpeLearnMerges(df, "text", numMerges = 10)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    val want = refBpe(words, 10)
+    assert(got == want)
+    // the run word exercises pairwise greedy merging: "a a" must merge
+    // to "aa aa", never "aa a a" — the reference enforces it, equality
+    // above carries it over; sanity-pin the first run-derived merge
+    assert(want.exists(_._2 == "a a"))
+  }
+
+  test("exhaustion stops early: single-char vocab has no pairs") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(df, "text", numMerges = 5)
+      .as[(Int, String, Long)].collect()
+    assert(got.isEmpty) // every word is one symbol: no pairs at all
+  }
+
+  test("tie-break is deterministic: equal counts pick lexicographic pair") {
+    val df = Seq((1L, "xy xy zw zw")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(df, "text", numMerges = 1)
+      .as[(Int, String, Long)].collect()
+    assert(got.toSeq == Seq((1, "x y", 2L)))
+  }
+}
