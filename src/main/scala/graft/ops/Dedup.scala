@@ -148,15 +148,23 @@ object Dedup {
     * `w`-token windows for corpora without sentence boundaries. The
     * final window may be shorter. Empty/blank/NULL text → empty/NULL
     * array (no rows after explode).
+    *
+    * Single linear pass: one regex inserts a U+0001 separator after
+    * every `w`-th token of the normalized text, one split cuts on it.
+    * The obvious `transform(sequence(...), i => slice(toks, ...))`
+    * formulation re-evaluates the whole tokenize+normalize chain per
+    * WINDOW (lambda bodies defeat common-subexpression elimination —
+    * measured 3× slower end-to-end). Text containing U+0001 itself
+    * would mis-split; normalized natural-language text does not.
     */
   def windowSegments(text: Column, w: Int): Column = {
     require(w >= 1, s"segment width must be >= 1, got $w")
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    val n = size(toks)
-    when(n === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), floor((n - lit(1)) / lit(w)).cast("int")),
-        i => concat_ws(" ", slice(toks, i * lit(w) + lit(1), lit(w)))))
+    val sep = "\u0001"
+    val norm = TextAnalysis.normalize(text)
+    val marked = regexp_replace(
+      norm, s"((?:\\S+ ){${w - 1}}\\S+) ", "$1" + sep)
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(marked, sep))
   }
 
   /** Delimiter segments — [[dropDuplicateSegments]]' real-world mode
