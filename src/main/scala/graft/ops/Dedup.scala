@@ -149,22 +149,28 @@ object Dedup {
     * final window may be shorter. Empty/blank/NULL text → empty/NULL
     * array (no rows after explode).
     *
-    * Single linear pass: one regex inserts a U+0001 separator after
-    * every `w`-th token of the normalized text, one split cuts on it.
-    * The obvious `transform(sequence(...), i => slice(toks, ...))`
-    * formulation re-evaluates the whole tokenize+normalize chain per
-    * WINDOW (lambda bodies defeat common-subexpression elimination —
-    * measured 3× slower end-to-end). Text containing U+0001 itself
-    * would mis-split; normalized natural-language text does not.
+    * One native byte-level pass ([[graft.functions.WindowSegments]]).
+    * The compositional forms both lose badly at scale: a
+    * `transform(sequence, i => slice(toks, ...))` re-evaluates the
+    * tokenize+normalize chain per WINDOW (lambda bodies defeat
+    * common-subexpression elimination), and the marker-insert-regex
+    * rewrite's `((?:\\S+ ){w-1}\\S+) ` pattern alone measured ~24 s
+    * over the 5M-doc probe corpus.
     */
   def windowSegments(text: Column, w: Int): Column = {
     require(w >= 1, s"segment width must be >= 1, got $w")
-    val sep = "\u0001"
-    val norm = TextAnalysis.normalize(text)
-    val marked = regexp_replace(
-      norm, s"((?:\\S+ ){${w - 1}}\\S+) ", "$1" + sep)
-    when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(marked, sep))
+    column(graft.functions.WindowSegments(expression(text), w))
+  }
+
+  /** Per-window `xxhash64` values, positionally aligned with
+    * [[windowSegments]] and byte-identical to hashing its strings
+    * (same bytes, same seed) -- feed this as `segmentHashes` to
+    * [[dropDuplicateSegments]] so its occurrence side never allocates
+    * segment strings.
+    */
+  def windowSegmentHashes(text: Column, w: Int): Column = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    column(graft.functions.WindowSegmentHashes(expression(text), w))
   }
 
   /** Delimiter segments — [[dropDuplicateSegments]]' real-world mode
@@ -219,11 +225,22 @@ object Dedup {
       idCol: String,
       segments: Column,
       sep: String = " ",
-      packed: Boolean = true): DataFrame = {
+      packed: Boolean = true,
+      segmentHashes: Option[Column] = None): DataFrame = {
     val base = df.select(col(idCol), segments.as("__segs"))
-    val occ = base
-      .select(col(idCol), posexplode(col("__segs")).as(Seq("__pos", "__seg")))
-      .select(xxhash64(col("__seg")).as("__h"), col(idCol), col("__pos"))
+    // `segmentHashes` (positionally aligned content hashes of
+    // `segments`, e.g. [[windowSegmentHashes]]) lets the occurrence
+    // side skip segment-string allocation entirely; the generic path
+    // hashes the exploded strings.
+    val occ = segmentHashes match {
+      case Some(h) =>
+        df.select(col(idCol), posexplode(h).as(Seq("__pos", "__h")))
+          .select(col("__h"), col(idCol), col("__pos"))
+      case None =>
+        base
+          .select(col(idCol), posexplode(col("__segs")).as(Seq("__pos", "__seg")))
+          .select(xxhash64(col("__seg")).as("__h"), col(idCol), col("__pos"))
+    }
     val kept = (if (packed) {
       val id = col(idCol).cast("long")
       val packedOcc = when(
@@ -490,6 +507,51 @@ object Dedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming twin of [[dropDuplicateSegments]] — ingest-time C4
+    * line dedup. Each arriving document is cut into `w`-token windows
+    * (native [[windowSegments]]/[[windowSegmentHashes]] pair); a
+    * segment survives iff its content hash was not already claimed
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * keyed on the 64-bit hash — state is one long per distinct
+    * surviving segment, horizon-bounded); the document re-emits
+    * reassembled from its surviving segments once the watermark
+    * passes its event time (documents whose every segment was claimed
+    * disappear, as in batch). Two stateful operators in one append
+    * query — the banded streaming near-dup precedent.
+    *
+    * Contract vs batch: batch's first-occurrence winner is the
+    * minimum (id, pos); streaming's is the first ARRIVAL. The kept
+    * segment SET therefore equals the batch distinct-segment set
+    * under any arrival order (each distinct segment's first arrival
+    * survives), while per-document attribution follows arrival order —
+    * the same order-invariant contract the streaming media twins pin.
+    */
+  def streamingSegmentDedup(
+      df: DataFrame, textCol: String, idCol: String, tsCol: String,
+      w: Int = 20, sep: String = " ",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val kept = df
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        size(windowSegments(col(textCol), w)).as("__n_segs"),
+        posexplode(arrays_zip(
+          windowSegments(col(textCol), w),
+          windowSegmentHashes(col(textCol), w))).as(Seq("__pos", "__z")))
+      .select(col(idCol), col(tsCol), col("__n_segs"), col("__pos"),
+        col("__z")("0").as("__seg"), col("__z")("1").as("__h"))
+      .dropDuplicatesWithinWatermark("__h")
+    kept
+      .groupBy(col(idCol), col(tsCol))
+      .agg(
+        sort_array(collect_list(struct(col("__pos"), col("__seg")))).as("__ps"),
+        max(col("__n_segs")).as("__n"))
+      .select(
+        col(idCol), col(tsCol),
+        concat_ws(sep, transform(col("__ps"), p => p("__seg"))).as("text_dedup"),
+        size(col("__ps")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__ps"))).cast("long").as("n_dropped"))
+  }
 
   /** Streaming NEAR-dup dedup: drop documents whose full MinHash
     * signature equals an earlier document's within the watermark

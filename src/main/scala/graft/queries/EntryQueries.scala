@@ -365,7 +365,8 @@ object EntryQueries {
   def qDedupLines(spark: SparkSession, dir: String): DataFrame =
     Dedup.dropDuplicateSegments(
       T(spark, dir, "documents"), "text", "doc_id",
-      Dedup.windowSegments(col("text"), w = 20))
+      Dedup.windowSegments(col("text"), w = 20),
+      segmentHashes = Some(Dedup.windowSegmentHashes(col("text"), w = 20)))
 
   val qDedupLinesSql: String =
     """WITH toks AS (
@@ -1415,6 +1416,80 @@ object EntryQueries {
     * reused queryName would collide with the previous rep's view.
     */
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive [[Dedup.streamingSegmentDedup]] (ingest-time C4 line
+    * dedup) over the documents table via a MemoryStream cut into 5
+    * micro-batches, then report the kept SEGMENT SET grouped by token
+    * count (count, char sum, lexicographic extremes). The streaming
+    * contract makes this order-invariant even though per-document
+    * attribution is arrival-order-dependent: every distinct segment's
+    * first arrival survives and every survivor is distinct, so the
+    * kept set equals the corpus' distinct-segment set — which the
+    * oracle re-derives with the same segmentation SQL as
+    * [[qDedupLinesSql]]. Newline separator so kept segments are
+    * recoverable from the reassembled text (segments contain no
+    * newline: normalization collapses all whitespace). All content
+    * event times share one instant inside the watermark horizon; a
+    * far-future sentinel row advances the watermark to flush the
+    * per-document aggregation (the sentinel itself never emits).
+    */
+  def qDedupStreamingLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = T(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)](
+        spark, numPartitions = 16)
+    val sink = s"q_dedup_streaming_lines_${streamSinkSeq.incrementAndGet()}"
+    val base = 1700000000000L
+    val q = Dedup.streamingSegmentDedup(
+        mem.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        w = 20, sep = "\n")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = math.max(1, (rows.length + 4) / 5)
+      rows.grouped(batchSize).foreach { b =>
+        mem.addData(b.map { case (id, t) =>
+          (id, t, new java.sql.Timestamp(base))
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      mem.addData((-1L, "flushsentinel unique tokens",
+        new java.sql.Timestamp(base + 3600 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+      .filter(col("doc_id") >= 0)
+      .select(explode(split(col("text_dedup"), "\n")).as("seg"))
+      .groupBy(size(split(col("seg"), " ")).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(length(col("seg"))).as("sum_chars"),
+        min(col("seg")).as("min_seg"),
+        max(col("seg")).as("max_seg"))
+  }
+
+  /** Same segmentation CTEs as [[qDedupLinesSql]], reduced to the
+    * distinct-segment set and grouped by token count.
+    */
+  val qDedupStreamingLinesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
+      |  FROM documents),
+      |sa AS (
+      |  SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(generate_series(1, (len(t) - 1) // 20 + 1),
+      |           i -> array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' ')) END AS segs
+      |  FROM toks),
+      |seg AS (SELECT DISTINCT unnest(segs) AS seg FROM sa)
+      |SELECT CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_toks,
+      |  CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(length(seg)) AS BIGINT) AS sum_chars,
+      |  min(seg) AS min_seg, max(seg) AS max_seg
+      |FROM seg GROUP BY 1""".stripMargin
 
   /** Drive [[Multimodal.streamingMediaDedup]] (perceptual-exact image
     * dedup at ingest) over the PNG fixture via a MemoryStream cut into
@@ -2525,6 +2600,7 @@ object EntryQueries {
     "q_dedup_audio_fp_aiff" -> qDedupAudioFpAiff _,
     "q_dedup_video_frames" -> qDedupVideoFrames _,
     "q_dedup_streaming_media" -> qDedupStreamingMedia _,
+    "q_dedup_streaming_lines" -> qDedupStreamingLines _,
     "q_dedup_streaming_video" -> qDedupStreamingVideo _,
     "q_similarity_topk" -> qSimilarityTopk _,
     "q_similarity_ivf" -> qSimilarityIvf _,
@@ -2636,6 +2712,7 @@ object EntryQueries {
     "q_dedup_audio_fp_aiff" -> qDedupAudioFpSql,
     "q_dedup_video_frames" -> qDedupVideoFramesSql,
     "q_dedup_streaming_media" -> qDedupStreamingMediaSql,
+    "q_dedup_streaming_lines" -> qDedupStreamingLinesSql,
     "q_dedup_streaming_video" -> qDedupStreamingVideoSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     // exhaustive-probe + corpus-wide rerank IVF-PQ == brute force:

@@ -29,6 +29,22 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(segs(4L) == Seq("mixed case spacing")) // normalized first
   }
 
+  test("windowSegmentHashes: positionally equal to xxhash64 of the segment strings") {
+    val df = Seq(
+      (1L, "The QUICK  brown\tfox jumps over the lazy dog again and again"),
+      (2L, "ÄBC Straße\tx  y z"), // multi-byte lowercase path
+      (3L, ""),
+      (4L, "   "),
+      (5L, "solo")).toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 20)) {
+      val bad = df.select(
+          Dedup.windowSegmentHashes($"text", w).as("fast"),
+          transform(Dedup.windowSegments($"text", w), s => xxhash64(s)).as("slow"))
+        .where(not($"fast" <=> $"slow")).count()
+      assert(bad == 0, s"hash mismatch at w=$w")
+    }
+  }
+
   test("lineSegments: delimiter split, blank lines removed") {
     val df = Seq((1L, "first line\n\n  \nsecond line\nfirst line"))
       .toDF("doc_id", "text")
