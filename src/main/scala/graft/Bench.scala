@@ -83,11 +83,14 @@ object Bench {
       // ...but only the kinds some selected query actually reads: a
       // BENCH_ONLY span run over a fresh corpus shouldn't pay four
       // PNG/WAV/AIFF/GIF encode+write passes it never scans.
-      val mediaKindQuery = Map(
-        "png" -> "q_dedup_image_phash", "wav" -> "q_dedup_audio_fp",
-        "aiff" -> "q_dedup_audio_fp_aiff", "gif" -> "q_dedup_video_frames")
+      val mediaKindQueries = Map(
+        "png" -> Set("q_dedup_image_phash", "q_dedup_streaming_media"),
+        "wav" -> Set("q_dedup_audio_fp"),
+        "aiff" -> Set("q_dedup_audio_fp_aiff"),
+        "gif" -> Set("q_dedup_video_frames", "q_dedup_streaming_video"))
       graft.ops.MediaFixtures.Kinds
-        .filter(k => only.forall(sel => mediaKindQuery.get(k).forall(sel.contains)))
+        .filter(k => only.forall(sel =>
+          mediaKindQueries.get(k).forall(_.exists(sel.contains))))
         .foreach { kind =>
           try graft.ops.MediaFixtures.table(spark, sfDir, kind)
           catch { case e: Throwable =>

@@ -180,8 +180,10 @@ object Dedup {
     * every blank line but one across the whole corpus.
     */
   def lineSegments(text: Column, delim: String = "\n"): Column =
+    // blank = whitespace-only (trim() strips only 0x20, which would let
+    // tab- or CR-only lines survive as corpus-wide "content" segments)
     filter(split(text, java.util.regex.Pattern.quote(delim)),
-      s => length(trim(s)) > 0)
+      s => s.rlike("\\S"))
 
   /** Corpus-wide duplicate-segment removal — C4 §2.3 ("we discard all
     * but one of any three-sentence span occurring more than once in
@@ -241,14 +243,24 @@ object Dedup {
           .select(col(idCol), posexplode(col("__segs")).as(Seq("__pos", "__seg")))
           .select(xxhash64(col("__seg")).as("__h"), col(idCol), col("__pos"))
     }
+    if (packed) {
+      // non-integral id types must fail loudly, not cast to NULL and
+      // silently empty the result (the repeatedSpans contract)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"dropDuplicateSegments packed mode needs an integral id column; " +
+          s"$idCol is $idType — pre-map string ids or pass packed = false")
+    }
     val kept = (if (packed) {
       val id = col(idCol).cast("long")
       val packedOcc = when(
-        id < 0L || id >= lit(1L << 33) || col("__pos") >= lit(1 << 30),
+        id.isNull || id < 0L || id >= lit(1L << 33) || col("__pos") >= lit(1 << 30),
         raise_error(concat(
-          lit("dropDuplicateSegments packed overflow: id="), id.cast("string"),
+          lit("dropDuplicateSegments packed overflow: id="),
+          coalesce(id.cast("string"), lit("NULL")),
           lit(" pos="), col("__pos").cast("string"),
-          lit(" (ids must be in [0, 2^33), positions in [0, 2^30); " +
+          lit(" (ids must be non-null, in [0, 2^33), positions in [0, 2^30); " +
             "pass packed = false for the full-range struct layout)"))))
         .otherwise(shiftleft(id, 30).bitwiseOR(col("__pos").cast("long")))
       occ.select(col("__h"), packedOcc.as("__occ"))
@@ -264,11 +276,14 @@ object Dedup {
         .groupBy(col("__first")(idCol).as(idCol))
         .agg(sort_array(collect_list(col("__first")("__pos"))).as("__keep"))
     })
+    // reassembly walks the SORTED kept-position list and indexes the
+    // segment array — O(n_kept), vs the filter+array_contains form's
+    // O(n_segs · n_kept) rescan per document
     base.join(kept, Seq(idCol))
       .select(
         col(idCol),
-        concat_ws(sep, filter(col("__segs"),
-          (_, i) => array_contains(col("__keep"), i))).as("text_dedup"),
+        concat_ws(sep, transform(col("__keep"),
+          i => element_at(col("__segs"), i + 1))).as("text_dedup"),
         size(col("__keep")).cast("long").as("n_kept"),
         (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
   }
@@ -533,11 +548,16 @@ object Dedup {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val kept = df
       .withWatermark(tsCol, watermarkDelay)
+      // materialize the zip ONCE into an attribute before the explode:
+      // size() in the same projection as the generator input would run
+      // the native segmentation pass twice per document
       .select(col(idCol), col(tsCol),
-        size(windowSegments(col(textCol), w)).as("__n_segs"),
-        posexplode(arrays_zip(
+        arrays_zip(
           windowSegments(col(textCol), w),
-          windowSegmentHashes(col(textCol), w))).as(Seq("__pos", "__z")))
+          windowSegmentHashes(col(textCol), w)).as("__zip"))
+      .select(col(idCol), col(tsCol),
+        size(col("__zip")).as("__n_segs"),
+        posexplode(col("__zip")).as(Seq("__pos", "__z")))
       .select(col(idCol), col(tsCol), col("__n_segs"), col("__pos"),
         col("__z")("0").as("__seg"), col("__z")("1").as("__h"))
       .dropDuplicatesWithinWatermark("__h")

@@ -1416,6 +1416,23 @@ object EntryQueries {
     * reused queryName would collide with the previous rep's view.
     */
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lastStreamSink =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fresh memory-sink name for `prefix`, dropping the PREVIOUS
+    * invocation's sink view of the same query so repeated bench reps
+    * hold at most ONE full streaming output copy in driver memory
+    * (the returned DataFrame of the current rep still reads its own
+    * sink lazily, so only the predecessor is safe to drop).
+    */
+  private def freshStreamSink(spark: SparkSession, prefix: String): String = {
+    val name = s"${prefix}_${streamSinkSeq.incrementAndGet()}"
+    Option(lastStreamSink.put(prefix, name)).foreach { old =>
+      try spark.catalog.dropTempView(old)
+      catch { case _: Throwable => () }
+    }
+    name
+  }
 
   /** Drive [[Dedup.streamingSegmentDedup]] (ingest-time C4 line
     * dedup) over the documents table via a MemoryStream cut into 5
@@ -1442,7 +1459,7 @@ object EntryQueries {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, java.sql.Timestamp)](
         spark, numPartitions = 16)
-    val sink = s"q_dedup_streaming_lines_${streamSinkSeq.incrementAndGet()}"
+    val sink = freshStreamSink(spark, "q_dedup_streaming_lines")
     val base = 1700000000000L
     val q = Dedup.streamingSegmentDedup(
         mem.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
@@ -1518,7 +1535,7 @@ object EntryQueries {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
         spark, numPartitions = 16)
-    val sink = s"q_dedup_streaming_media_${streamSinkSeq.incrementAndGet()}"
+    val sink = freshStreamSink(spark, "q_dedup_streaming_media")
     val q = Multimodal.streamingMediaDedup(
         mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
       .writeStream.format("memory").queryName(sink)
@@ -1591,7 +1608,7 @@ object EntryQueries {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
         spark, numPartitions = 16)
-    val sink = s"q_dedup_streaming_video_${streamSinkSeq.incrementAndGet()}"
+    val sink = freshStreamSink(spark, "q_dedup_streaming_video")
     val base = 1700000000000L
     val q = Multimodal.streamingVideoDedup(
         mem.toDF().toDF("media_id", "content", "ts"), n = 4, tsCol = "ts")

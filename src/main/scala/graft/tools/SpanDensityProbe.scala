@@ -69,10 +69,14 @@ object SpanDensityProbe {
           if (!withSpans) (-1L, -1L)
           else {
             val s = Dedup.repeatedSpans(docs, "text", "doc_id", k, minLen, cap)
+            // persist: count() and except().count() below would each
+            // re-run the full span pipeline otherwise
             val ids = s.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-              .distinct()
-            val cand = Dedup.winnowCandidateIds(perDocH, includeSelf = false)
-            (ids.count(), ids.except(cand).count())
+              .distinct().persist()
+            try {
+              val cand = Dedup.winnowCandidateIds(perDocH, includeSelf = false)
+              (ids.count(), ids.except(cand).count())
+            } finally ids.unpersist()
           }
         println(s"""{"dir":"$d","k":$k,"w":$w,"minLen":$minLen,"cap":$cap,""" +
           s""""n_docs":$nDocs,"gram_vol":$gramVol,"anchor_vol":$anchorVol,""" +

@@ -131,4 +131,21 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out(1L) == "a b x y")     // (1, 0) < (2^33+7, 0): doc 1 owns "a b"
     assert(out(big) == "c d")
   }
+
+  test("packed mode rejects non-integral and null ids loudly, never silently empties") {
+    val strDf = Seq(("doc-1", "x y")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dropDuplicateSegments(
+        strDf, "text", "doc_id", Dedup.windowSegments($"text", 2))
+    }
+    assert(ex.getMessage.contains("integral"))
+    val nullDf = Seq(Option(1L), Option.empty[Long])
+      .zip(Seq("a b", "c d")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      Dedup.dropDuplicateSegments(
+        nullDf, "text", "doc_id", Dedup.windowSegments($"text", 2)).collect()
+    }
+    assert(ex2.getMessage.contains("packed overflow") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("packed overflow")))
+  }
 }
