@@ -1434,6 +1434,24 @@ object EntryQueries {
     name
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restored after. Streaming state-store count binds to the shuffle
+    * partitions in force when the query STARTS, and the MemoryStream
+    * harness corpora (≤ 5 k docs/batch) pay more in per-micro-batch
+    * state-store commit overhead at 32 stores than they gain in
+    * parallelism — the r19 A/B measured 8.7 → 3.8 s (lines, two
+    * stateful ops) and 13.2 → 6.9 s (media+video) at 8 partitions. A
+    * real deployment sizes this by state volume; only the stream
+    * inside `body` binds the pin — the caller's later batch reads run
+    * under the restored session value.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drive [[Dedup.streamingSegmentDedup]] (ingest-time C4 line
     * dedup) over the documents table via a MemoryStream cut into 5
     * micro-batches, then report the kept SEGMENT SET grouped by token
@@ -1461,23 +1479,25 @@ object EntryQueries {
         spark, numPartitions = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_lines")
     val base = 1700000000000L
-    val q = Dedup.streamingSegmentDedup(
-        mem.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
-        w = 20, sep = "\n")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val batchSize = math.max(1, (rows.length + 4) / 5)
-      rows.grouped(batchSize).foreach { b =>
-        mem.addData(b.map { case (id, t) =>
-          (id, t, new java.sql.Timestamp(base))
-        }.toSeq: _*)
+    withStatePartitions(spark, 8) {
+      val q = Dedup.streamingSegmentDedup(
+          mem.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+          w = 20, sep = "\n")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val batchSize = math.max(1, (rows.length + 4) / 5)
+        rows.grouped(batchSize).foreach { b =>
+          mem.addData(b.map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(base))
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+        mem.addData((-1L, "flushsentinel unique tokens",
+          new java.sql.Timestamp(base + 3600 * 1000L)))
         q.processAllAvailable()
-      }
-      mem.addData((-1L, "flushsentinel unique tokens",
-        new java.sql.Timestamp(base + 3600 * 1000L)))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     spark.table(sink)
       .filter(col("doc_id") >= 0)
       .select(explode(split(col("text_dedup"), "\n")).as("seg"))
@@ -1536,19 +1556,21 @@ object EntryQueries {
       .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
         spark, numPartitions = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_media")
-    val q = Multimodal.streamingMediaDedup(
-        mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val batchSize = math.max(1, (rows.length + 4) / 5)
-      rows.grouped(batchSize).foreach { b =>
-        mem.addData(b.map { case (id, c) =>
-          (id, c, new java.sql.Timestamp(1700000000000L + (id % 60) * 1000L))
-        }.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = Multimodal.streamingMediaDedup(
+          mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val batchSize = math.max(1, (rows.length + 4) / 5)
+        rows.grouped(batchSize).foreach { b =>
+          mem.addData(b.map { case (id, c) =>
+            (id, c, new java.sql.Timestamp(1700000000000L + (id % 60) * 1000L))
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     Multimodal.imageDHash(spark.table(sink))
       .groupBy("phash").agg(count(lit(1)).as("n_kept"))
   }
@@ -1610,23 +1632,25 @@ object EntryQueries {
         spark, numPartitions = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_video")
     val base = 1700000000000L
-    val q = Multimodal.streamingVideoDedup(
-        mem.toDF().toDF("media_id", "content", "ts"), n = 4, tsCol = "ts")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val batchSize = math.max(1, (rows.length + 4) / 5)
-      rows.grouped(batchSize).foreach { b =>
-        mem.addData(b.map { case (id, c) =>
-          (id, c, new java.sql.Timestamp(base + (id % 30) * 1000L))
-        }.toSeq: _*)
+    withStatePartitions(spark, 8) {
+      val q = Multimodal.streamingVideoDedup(
+          mem.toDF().toDF("media_id", "content", "ts"), n = 4, tsCol = "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val batchSize = math.max(1, (rows.length + 4) / 5)
+        rows.grouped(batchSize).foreach { b =>
+          mem.addData(b.map { case (id, c) =>
+            (id, c, new java.sql.Timestamp(base + (id % 30) * 1000L))
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+        // flush: one sentinel an hour ahead closes every data window
+        mem.addData((-1L, "__flush__".getBytes("UTF-8"),
+          new java.sql.Timestamp(base + 3600 * 1000L)))
         q.processAllAvailable()
-      }
-      // flush: one sentinel an hour ahead closes every data window
-      mem.addData((-1L, "__flush__".getBytes("UTF-8"),
-        new java.sql.Timestamp(base + 3600 * 1000L)))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     Multimodal.videoFrameHashes(spark.table(sink), n = 4)
       .select(col("frame_idx"), col("phash")).distinct()
   }
