@@ -151,6 +151,54 @@ object Sampling {
     df.sparkSession.createDataFrame(ranked, schema)
   }
 
+  /** Exact global token-budget selection — the corpus-assembly step
+    * of a budgeted pretraining mix: keep the highest-score documents
+    * whose running weight total, taken in (score DESC, id ASC) order,
+    * stays within `budget`. A document survives iff its prefix cumsum
+    * ≤ budget — deterministic, ties inside a score break on id.
+    *
+    * EXACT result with no global sort (the naive form is a
+    * single-partition window over the whole corpus):
+    *  1. one hash aggregation builds the per-score weight histogram —
+    *     distinct-score sized, so REQUIRE a discretized score (the
+    *     quality scores here round to 4 places; a raw continuous
+    *     score should be rounded first);
+    *  2. the driver sorts the tiny histogram and computes each
+    *     score's PRIOR cumulative weight (total weight of all
+    *     strictly-better scores), shipped back as a broadcast join;
+    *  3. a window cumsum partitioned BY SCORE — hash-partitioned
+    *     across the cluster, never one global partition — orders each
+    *     score group by id; survive iff prior + within-group cumsum
+    *     ≤ budget.
+    *
+    * Returns the surviving rows of `df` plus `cum_weight` (the
+    * global prefix cumsum that admitted the row).
+    */
+  def budgetSelect(
+      df: DataFrame, scoreCol: String, weightCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .as[(Double, Long)].collect()
+    var cum = 0L
+    val priors = hist.sortBy(-_._1).map { case (s, w) =>
+      val p = cum; cum += w; (s, p)
+    }.toSeq
+    val priorDf = priors.toDF("__s", "__prior")
+    val w = Window.partitionBy(col("__s")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__s", col(scoreCol).cast("double"))
+      .join(broadcast(priorDf), Seq("__s"))
+      .withColumn("cum_weight",
+        col("__prior") + sum(col(weightCol).cast("long")).over(w))
+      .where(col("cum_weight") <= budget)
+      .drop("__s", "__prior")
+  }
+
   /** Leakage-safe train/val/test split: the split key is the doc's
     * duplicate-CLUSTER canonical id ([[Dedup.duplicateClusters]] over
     * the given near-dup pairs; singletons key on their own id), so

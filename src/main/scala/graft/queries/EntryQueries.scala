@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Asof, Curation, Dedup, MediaFixtures, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Asof, Curation, Dedup, MediaFixtures, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -498,6 +498,45 @@ object EntryQueries {
       |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
       |  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3 AS DOUBLE), 4) AS DOUBLE) AS quality
       |FROM x""".stripMargin
+
+  /** Token-budget corpus selection ([[Sampling.budgetSelect]]):
+    * highest-quality documents whose running token total (quality
+    * DESC, doc_id ASC) fits a 15 000-token budget — exact global
+    * prefix semantics, computed via the score-histogram two-phase
+    * (no global sort; the oracle IS the naive single-window form).
+    */
+  def qBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    Sampling.budgetSelect(
+      T(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "quality", "n_tokens", "doc_id", budget = 15000L)
+
+  val qBudgetSelectSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(round(
+      |    CAST((CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+      |    + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+      |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3 AS DOUBLE), 4) AS DOUBLE) AS quality,
+      |    CAST(n_tok AS BIGINT) AS n_tokens
+      |  FROM x),
+      |r AS (
+      |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+      |  FROM q)
+      |SELECT doc_id, quality, n_tokens, CAST(cum_weight AS BIGINT) AS cum_weight
+      |FROM r WHERE cum_weight <= 15000""".stripMargin
 
   /** Winnowing rolling-hash fingerprint (k=5-gram Rabin–Karp, w=4
     * window minima): per-doc selected-hash count, min/max, and sum —
@@ -2621,6 +2660,7 @@ object EntryQueries {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_clusters_incremental" -> qDedupClustersIncremental _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_budget_select" -> qBudgetSelect _,
     "q_sample_domain_mix" -> qSampleDomainMix _,
     "q_sample_temperature" -> qSampleTemperature _,
     "q_tfidf_topk" -> qTfidfTopk _,
@@ -2709,6 +2749,7 @@ object EntryQueries {
     "q_token_stats" -> qTokenStatsSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_learn" -> qBpeLearnSql,
+    "q_budget_select" -> qBudgetSelectSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_dedup_ngram" -> qDedupNgramSql,

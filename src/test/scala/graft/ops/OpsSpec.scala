@@ -33,6 +33,26 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == expected)
   }
 
+  test("budgetSelect: exact prefix semantics vs brute-force global sort") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { id =>
+      (id, math.round(rnd.nextInt(5) * 0.25 * 10000) / 10000.0, // 5 distinct scores
+        (5 + rnd.nextInt(50)).toLong)
+    }
+    for (budget <- Seq(0L, 137L, 1500L, 100000L)) {
+      // reference: global (score desc, id asc) prefix under the budget
+      var cum = 0L
+      val want = rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, s, w) =>
+        cum += w
+        if (cum <= budget) Some((id, cum)) else None
+      }.toMap
+      val got = Sampling.budgetSelect(
+          rows.toDF("doc_id", "score", "w"), "score", "w", "doc_id", budget)
+        .select($"doc_id", $"cum_weight").as[(Long, Long)].collect().toMap
+      assert(got == want, s"budget=$budget")
+    }
+  }
+
   test("adjacent pair counts: BPE candidate scoring") {
     val df = Seq(
       (1L, "a b a b c"),   // pairs: a b, b a, a b, b c
