@@ -121,4 +121,27 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
     assert(rocks == Set(1L, 2L, 4L),
       "doc 3 (full-signature dup of 1) must drop; flush row stays unflushed")
   }
+
+  test("streamingSegmentDedup (2 stateful ops) is provider-invariant on RocksDB") {
+    val rows = Seq(
+      (1L, "a b c d", ts(0)), (2L, "c d e f", ts(1)),
+      (3L, "a b c d", ts(2)), (4L, "e f g h", ts(3)),
+      // flush sentinel: far-future ts closes every per-doc group;
+      // negative id keeps it out of the projection
+      (-1L, "flushsentinel unique tokens", ts(3600)))
+    def dedup(df: DataFrame): DataFrame =
+      Dedup.streamingSegmentDedup(
+        df.withColumnRenamed("payload", "text")
+          .withColumnRenamed("media_id", "doc_id"),
+        "text", "doc_id", "ts", w = 2, sep = "\n")
+    // kept segment SET is the order-invariant contract
+    def segs(t: DataFrame): Set[Long] =
+      t.filter(col("doc_id") >= 0)
+        .select(explode(split(col("text_dedup"), "\n")).as("seg"))
+        .select(xxhash64(col("seg"))).as[Long].collect().toSet
+    val default = run(rows, None, "rocks_seg_default", dedup, segs)
+    val rocks = run(rows, Some(RocksProvider), "rocks_seg_rocksdb", dedup, segs)
+    assert(rocks == default)
+    assert(rocks.size == 4, "distinct segments: a b, c d, e f, g h")
+  }
 }
