@@ -176,14 +176,23 @@ object Sampling {
     */
   def budgetSelect(
       df: DataFrame, scoreCol: String, weightCol: String, idCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, maxDistinctScores: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df
+    // NULL score/weight rows are unrankable and are excluded up front
+    // (they would otherwise NPE the histogram decode or poison the
+    // cumsum with NULL); callers wanting them must impute first.
+    val ranked = df.where(col(scoreCol).isNotNull && col(weightCol).isNotNull)
+    val hist = ranked
       .groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .limit(maxDistinctScores + 1)
       .as[(Double, Long)].collect()
+    require(hist.length <= maxDistinctScores,
+      s"budgetSelect: > $maxDistinctScores distinct values in '$scoreCol' — " +
+        "the histogram two-phase needs a DISCRETIZED score (round it " +
+        "first), or raise maxDistinctScores")
     var cum = 0L
     val priors = hist.sortBy(-_._1).map { case (s, w) =>
       val p = cum; cum += w; (s, p)
@@ -191,7 +200,7 @@ object Sampling {
     val priorDf = priors.toDF("__s", "__prior")
     val w = Window.partitionBy(col("__s")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__s", col(scoreCol).cast("double"))
+    ranked.withColumn("__s", col(scoreCol).cast("double"))
       .join(broadcast(priorDf), Seq("__s"))
       .withColumn("cum_weight",
         col("__prior") + sum(col(weightCol).cast("long")).over(w))

@@ -53,6 +53,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelect: null score/weight rows are excluded; continuous scores fail loudly") {
+    val withNulls = Seq(
+      (1L, Option(1.0), Option(10L)), (2L, None, Option(10L)),
+      (3L, Option(0.5), None), (4L, Option(0.5), Option(5L)))
+      .toDF("doc_id", "score", "w")
+    val got = Sampling.budgetSelect(withNulls, "score", "w", "doc_id", 100L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L)) // null rows unrankable, never selected
+    val continuous = (1L to 50L).map(i => (i, i * 0.001, 1L))
+      .toDF("doc_id", "score", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(continuous, "score", "w", "doc_id", 100L,
+        maxDistinctScores = 10)
+    }
+    assert(ex.getMessage.contains("DISCRETIZED"))
+  }
+
   test("adjacent pair counts: BPE candidate scoring") {
     val df = Seq(
       (1L, "a b a b c"),   // pairs: a b, b a, a b, b c
