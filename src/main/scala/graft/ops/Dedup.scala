@@ -228,7 +228,8 @@ object Dedup {
       segments: Column,
       sep: String = " ",
       packed: Boolean = true,
-      segmentHashes: Option[Column] = None): DataFrame = {
+      segmentHashes: Option[Column] = None,
+      reassemblyHint: Option[String] = None): DataFrame = {
     val base = df.select(col(idCol), segments.as("__segs"))
     // `segmentHashes` (positionally aligned content hashes of
     // `segments`, e.g. [[windowSegmentHashes]]) lets the occurrence
@@ -278,8 +279,17 @@ object Dedup {
     })
     // reassembly walks the SORTED kept-position list and indexes the
     // segment array — O(n_kept), vs the filter+array_contains form's
-    // O(n_segs · n_kept) rescan per document
-    base.join(kept, Seq(idCol))
+    // O(n_segs · n_kept) rescan per document. The join defaults to
+    // Spark's pick (sort-merge once the kept side outgrows broadcast:
+    // safe, spillable — its cost is sorting the document text side).
+    // `reassemblyHint = Some("shuffle_hash")` builds a hash on the
+    // narrow kept side instead, skipping that sort — but SHJ cannot
+    // spill its build, so only use it where per-partition build size
+    // is bounded (the 50 M-doc single-JVM probe: SMJ 126 s stable;
+    // forced SHJ failed outright at 8 g heap/32 partitions and ran
+    // unstably at 32 g — evidence/tokenizer_linededup/).
+    val keptSide = reassemblyHint.fold(kept)(kept.hint(_))
+    base.join(keptSide, Seq(idCol))
       .select(
         col(idCol),
         concat_ws(sep, transform(col("__keep"),

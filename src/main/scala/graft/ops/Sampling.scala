@@ -158,54 +158,93 @@ object Sampling {
     * ≤ budget — deterministic, ties inside a score break on id.
     *
     * EXACT result with no global sort (the naive form is a
-    * single-partition window over the whole corpus):
-    *  1. one hash aggregation builds the per-score weight histogram —
-    *     distinct-score sized, so REQUIRE a discretized score (the
-    *     quality scores here round to 4 places; a raw continuous
-    *     score should be rounded first);
-    *  2. the driver sorts the tiny histogram and computes each
-    *     score's PRIOR cumulative weight (total weight of all
-    *     strictly-better scores), shipped back as a broadcast join;
-    *  3. a window cumsum partitioned BY SCORE — hash-partitioned
-    *     across the cluster, never one global partition — orders each
-    *     score group by id; survive iff prior + within-group cumsum
-    *     ≤ budget.
+    * single-partition window over the whole corpus), and no skewed
+    * per-score window either — a corpus scored on a coarse grid (the
+    * quality gate emits ~6 distinct values) would otherwise funnel
+    * millions of rows through one window partition per score
+    * (measured 207 s at the 50 M-doc probe; 40 s bucketized):
+    *  1. one hash aggregation builds the per-score weight histogram
+    *     (plus the global id range) — distinct-score sized, so
+    *     REQUIRE a discretized score (the quality scores here round
+    *     to 4 places; round a raw continuous score first); the driver
+    *     derives each score's PRIOR cumulative weight;
+    *  2. a second aggregation splits each score group into id-RANGE
+    *     buckets (bucket index monotone in id, so bucket order IS id
+    *     order); the driver extends the priors to (score, bucket) —
+    *     the two-level bucketized prefix scan, same shape as
+    *     `ProgressLedger.contiguousAck`;
+    *  3. a window cumsum partitioned by (score, bucket) — parallelism
+    *     scores × buckets, bounded partition size — finishes the
+    *     prefix; survive iff prior + within-bucket cumsum ≤ budget.
     *
-    * Returns the surviving rows of `df` plus `cum_weight` (the
-    * global prefix cumsum that admitted the row).
+    * Needs an integral id column (the range bucketing; the ordering
+    * contract is numeric id ASC). Returns the surviving rows of `df`
+    * plus `cum_weight` (the global prefix cumsum that admitted the
+    * row).
     */
   def budgetSelect(
       df: DataFrame, scoreCol: String, weightCol: String, idCol: String,
-      budget: Long, maxDistinctScores: Int = 100000): DataFrame = {
+      budget: Long, maxDistinctScores: Int = 100000,
+      idBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = df.sparkSession
     import spark.implicits._
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType),
+      s"budgetSelect needs an integral id column; $idCol is " +
+        s"${df.schema(idCol).dataType}")
     // NULL score/weight rows are unrankable and are excluded up front
     // (they would otherwise NPE the histogram decode or poison the
     // cumsum with NULL); callers wanting them must impute first.
     val ranked = df.where(col(scoreCol).isNotNull && col(weightCol).isNotNull)
     val hist = ranked
       .groupBy(col(scoreCol).cast("double").as("__s"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"),
+        min(col(idCol).cast("long")).as("__min"),
+        max(col(idCol).cast("long")).as("__max"))
       .limit(maxDistinctScores + 1)
-      .as[(Double, Long)].collect()
+      .as[(Double, Long, Long, Long)].collect()
     require(hist.length <= maxDistinctScores,
       s"budgetSelect: > $maxDistinctScores distinct values in '$scoreCol' — " +
         "the histogram two-phase needs a DISCRETIZED score (round it " +
         "first), or raise maxDistinctScores")
+    if (hist.isEmpty) {
+      return ranked.withColumn("cum_weight", lit(0L)).where(lit(false))
+    }
     var cum = 0L
-    val priors = hist.sortBy(-_._1).map { case (s, w) =>
+    val scorePrior = hist.sortBy(-_._1).map { case (s, w, _, _) =>
       val p = cum; cum += w; (s, p)
-    }.toSeq
-    val priorDf = priors.toDF("__s", "__prior")
-    val w = Window.partitionBy(col("__s")).orderBy(col(idCol))
+    }.toMap
+    // id-range buckets: monotone in id, so (score, bucket, id) order
+    // equals (score, id) order; bucket count adapts so the driver's
+    // (score, bucket) table stays bounded
+    val minId = hist.map(_._3).min
+    val maxId = hist.map(_._4).max
+    val nb = math.max(1, math.min(idBuckets, 2000000 / hist.length))
+    val width = math.max(1L, (maxId - minId) / nb + 1)
+    val bCol = ((col(idCol).cast("long") - lit(minId)) / lit(width))
+      .cast("long").as("__b")
+    val bHist = ranked
+      .groupBy(col(scoreCol).cast("double").as("__s"), bCol)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .as[(Double, Long, Long)].collect()
+    val bucketPrior = bHist.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var c = scorePrior(s)
+      rows.sortBy(_._2).map { case (_, b, w) =>
+        val p = c; c += w; (s, b, p)
+      }
+    }
+    val priorDf = bucketPrior.toDF("__s", "__b", "__prior")
+    val w = Window.partitionBy(col("__s"), col("__b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.withColumn("__s", col(scoreCol).cast("double"))
-      .join(broadcast(priorDf), Seq("__s"))
+      .withColumn("__b", bCol)
+      .join(broadcast(priorDf), Seq("__s", "__b"))
       .withColumn("cum_weight",
         col("__prior") + sum(col(weightCol).cast("long")).over(w))
       .where(col("cum_weight") <= budget)
-      .drop("__s", "__prior")
+      .drop("__s", "__b", "__prior")
   }
 
   /** Leakage-safe train/val/test split: the split key is the doc's
