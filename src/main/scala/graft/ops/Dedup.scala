@@ -219,6 +219,19 @@ object Dedup {
     * positions < 2^30; out-of-range FAILS LOUDLY — full-range ids must
     * pass `packed = false` for the struct layout.
     *
+    * CONTRACT: `segments` (and `segmentHashes`, which must be the
+    * positionally aligned content hashes of `segments`) must be
+    * DETERMINISTIC expressions. The plan evaluates `segments` in two
+    * independent subtrees — the occurrence stream that elects first
+    * winners and the reassembly side that re-derives the segment
+    * array per document — so a nondeterministic expression (random
+    * salt, unstable UDF, non-deterministic source ordering feeding a
+    * positional segmenter) would silently desync the kept positions
+    * from the array they index, corrupting `text_dedup` rather than
+    * failing. Both shipped segmenters ([[windowSegments]]/
+    * [[lineSegments]] and their hash twins) are pure functions of the
+    * text value and satisfy this by construction.
+    *
     * Returns (id, text_dedup, n_kept, n_dropped).
     */
   def dropDuplicateSegments(

@@ -178,9 +178,14 @@ object Sampling {
     *     prefix; survive iff prior + within-bucket cumsum ≤ budget.
     *
     * Needs an integral id column (the range bucketing; the ordering
-    * contract is numeric id ASC). Returns the surviving rows of `df`
-    * plus `cum_weight` (the global prefix cumsum that admitted the
-    * row).
+    * contract is numeric id ASC) and an integral weight column (the
+    * prefix total is an exact Long cumsum — scale fractional weights
+    * to an integer grid first; a non-integral type fails loudly
+    * rather than truncating). Rows with a NULL score, weight, or id
+    * are excluded up front — they are unrankable under the
+    * (score DESC, id ASC) total order. Returns the surviving rows of
+    * `df` plus `cum_weight` (the global prefix cumsum that admitted
+    * the row).
     */
   def budgetSelect(
       df: DataFrame, scoreCol: String, weightCol: String, idCol: String,
@@ -194,10 +199,22 @@ object Sampling {
         .contains(df.schema(idCol).dataType),
       s"budgetSelect needs an integral id column; $idCol is " +
         s"${df.schema(idCol).dataType}")
-    // NULL score/weight rows are unrankable and are excluded up front
-    // (they would otherwise NPE the histogram decode or poison the
-    // cumsum with NULL); callers wanting them must impute first.
-    val ranked = df.where(col(scoreCol).isNotNull && col(weightCol).isNotNull)
+    // the running total is an exact Long cumsum (budget is a Long), so
+    // a fractional weight column must fail loudly, not truncate per
+    // row toward zero — callers with real-valued weights scale to an
+    // integer grid first (e.g. milli-tokens)
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(weightCol).dataType),
+      s"budgetSelect needs an integral weight column (the budget prefix " +
+        s"is an exact Long cumsum); $weightCol is " +
+        s"${df.schema(weightCol).dataType} — scale fractional weights to " +
+        "an integer grid first")
+    // NULL score/weight/id rows are unrankable and are excluded up
+    // front (null score/weight would otherwise NPE the histogram
+    // decode or poison the cumsum; a null id has no place in the
+    // (score, id) total order); callers wanting them must impute first.
+    val ranked = df.where(col(scoreCol).isNotNull && col(weightCol).isNotNull
+      && col(idCol).isNotNull)
     val hist = ranked
       .groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(sum(col(weightCol).cast("long")).as("__w"),

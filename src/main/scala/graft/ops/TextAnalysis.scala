@@ -182,24 +182,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Character-level BPE merge learning (Sennrich et al. 2016) as an
-    * iterative Spark job — the step after [[adjacentPairCounts]] in
-    * training a tokenizer on a corpus. One distributed pass aggregates
-    * word counts (the corpus-sized job); every BPE iteration then runs
-    * on the VOCABULARY-sized (word, count) table: a weighted
+  /** Conf key (default 2 M, 0 forces the distributed loop): largest
+    * distinct-word vocabulary [[bpeLearnMerges]] finishes driver-side.
+    * The corpus-sized word-count pass is always distributed; the merge
+    * loop itself only ever touches the VOCABULARY-sized (word, count)
+    * table, and for any realistic tokenizer run that table fits driver
+    * memory (2 M words ≈ tens of MB of symbol arrays) — where the
+    * standard incremental pair-heap trainer does a 30–50 k-merge run
+    * in seconds, vs one distributed aggregation + 1-row collect +
+    * localCheckpoint of fixed overhead PER MERGE on the distributed
+    * path (hours at real merge counts). Above the cap the loop stays
+    * distributed — same merge table either way (spec-pinned).
+    */
+  val BpeDriverMaxVocabKey = "spark.graft.bpe.driverMaxVocab"
+  val BpeDriverMaxVocabDefault: Long = 2000000L
+
+  /** Character-level BPE merge learning (Sennrich et al. 2016) — the
+    * step after [[adjacentPairCounts]] in training a tokenizer on a
+    * corpus. One distributed pass aggregates word counts (the ONLY
+    * corpus-sized job); the merge loop then runs on the
+    * vocabulary-sized (word, count) table, driver-side whenever the
+    * vocabulary fits [[BpeDriverMaxVocabKey]] (the standard trainer
+    * shape: a lazily-invalidated pair max-heap with incremental count
+    * updates touching only the words that contain the merged pair),
+    * and as an iterative Spark job otherwise: per iteration a weighted
     * symbol-pair count (hash aggregation with map-side combine), a
-    * 1-row argmax brought to the driver (the loop-carried dependency —
-    * `numMerges` single-row collects total, the k-means-style bound),
-    * and a codegen'd merge application.
+    * 1-row argmax brought to the driver, and a codegen'd merge
+    * application over a localCheckpoint-truncated lineage.
     *
-    * Merge application is leftmost-nonoverlapping greedy via LITERAL
-    * replace on a double-space-expanded symbol string (`" x  y "` →
-    * `" xy "`): expanding separators to two spaces makes adjacent
-    * match sites share no characters, so one consuming left-to-right
-    * `replace` pass merges a whole run pairwise — the exact greedy
-    * semantics — with no lookaround regex, which keeps the operation
-    * reproducible on RE2-based engines (the DuckDB oracle unrolls the
-    * same iterations with the same `replace`).
+    * Merge application is leftmost-nonoverlapping greedy — on the
+    * distributed path via LITERAL replace on a double-space-expanded
+    * symbol string (`" x  y "` → `" xy "`): expanding separators to
+    * two spaces makes adjacent match sites share no characters, so one
+    * consuming left-to-right `replace` pass merges a whole run
+    * pairwise — the exact greedy semantics — with no lookaround regex,
+    * which keeps the operation reproducible on RE2-based engines (the
+    * DuckDB oracle unrolls the same iterations with the same
+    * `replace`). The driver path applies the same greedy rule with an
+    * explicit left-to-right scan, and breaks count ties by comparing
+    * pair strings as UTF-8 bytes — exactly Spark's `asc` on strings —
+    * so both paths emit the identical merge sequence (spec-pinned).
     *
     * Ties argmax by (count desc, pair asc) so the merge sequence is
     * deterministic. Returns (step, pair, cnt) — the ordered merge
@@ -215,49 +237,174 @@ object TextAnalysis {
     val words = df
       .select(explode(tokens(normalize(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      // symbolize: one char per symbol, single-space separated
+      // symbolize: one char per symbol, single-space separated.
+      // java.util.regex matches `.` per CODE POINT (surrogate pairs
+      // stay one symbol — spec-pinned), same as the oracle's RE2.
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("wc"))
       .cache()
     try {
-      var syms = words
-      val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= numMerges && !exhausted) {
-        val toks = split(col("s"), " ")
-        val n = size(toks)
-        val pairs = when(n < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(toks, lit(1), n - lit(1)),
-            slice(toks, lit(2), n - lit(1)),
-            (a, b) => concat(a, lit(" "), b)))
-        val best = syms.select(col("wc"), explode(pairs).as("p"))
-          .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
-          .orderBy(desc("cnt"), asc("p"))
-          .limit(1).as[(String, Long)].collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (pair, cnt) = best.head
-          merges += ((step, pair, cnt))
-          val from = " " + pair.replace(" ", "  ") + " "
-          val to = " " + pair.replace(" ", "") + " "
-          // localCheckpoint truncates the loop-carried lineage: without
-          // it, iteration i re-applies all i-1 prior merges from the
-          // cached base and Catalyst re-analyzes an O(i)-deep plan —
-          // quadratic over a realistic 30k-merge run. The checkpointed
-          // vocab table is executor-resident and vocabulary-sized.
-          syms = syms.select(
-            trim(regexp_replace(
-              replace(
-                concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
-                lit(from), lit(to)),
-              "  +", " ")).as("s"),
-            col("wc")).localCheckpoint()
-          step += 1
+      val driverMax = spark.conf
+        .get(BpeDriverMaxVocabKey, BpeDriverMaxVocabDefault.toString).toLong
+      val nVocab = words.count()
+      val merges =
+        if (driverMax > 0 && nVocab <= driverMax)
+          learnMergesDriver(words.as[(String, Long)].collect(), numMerges)
+        else learnMergesDistributed(words, numMerges)
+      merges.toDF("step", "pair", "cnt")
+    } finally words.unpersist()
+  }
+
+  /** Spark's `asc` on strings is unsigned UTF-8 byte order; the driver
+    * trainer's tie-break must match it exactly (Java's `compareTo` is
+    * UTF-16 code-unit order, which disagrees above the BMP).
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Driver-side merge loop over the collected vocabulary: the
+    * standard incremental trainer. `stats` holds exact weighted
+    * adjacent-pair counts (overlapping occurrences counted, as the
+    * distributed pair explode does); `where` indexes which words can
+    * contain a pair (never pruned — stale entries are skipped by the
+    * containment check); the max-heap is lazily invalidated (an entry
+    * is valid iff its count still equals `stats`). Each merge touches
+    * only the indexed words, subtracting their old pair contributions
+    * and adding the post-merge ones — O(sum of touched word lengths),
+    * not O(vocabulary), per merge.
+    */
+  private[graft] def learnMergesDriver(
+      vocab: Array[(String, Long)], numMerges: Int): Seq[(Int, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = vocab.map(_._1.split(' '))
+    val wc: Array[Long] = vocab.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def updatePairs(i: Int, sign: Long, dirty: mutable.Set[(String, String)]): Unit = {
+      val s = syms(i)
+      val c = wc(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = stats.getOrElse(p, 0L) + c
+        if (nv == 0L) stats.remove(p) else stats.update(p, nv)
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        dirty += p
+        j += 1
+      }
+    }
+    val init = mutable.HashSet.empty[(String, String)]
+    syms.indices.foreach(updatePairs(_, 1L, init))
+    // max by count, ties broken toward the UTF-8-smallest "x y" string
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else utf8Compare(b._2 + " " + b._3, a._2 + " " + a._3)
         }
       }
-      merges.toSeq.toDF("step", "pair", "cnt")
-    } finally words.unpersist()
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    stats.foreach { case ((x, y), c) => heap.enqueue((c, x, y)) }
+    val out = mutable.ListBuffer.empty[(Int, String, Long)]
+    var step = 1
+    while (step <= numMerges && heap.nonEmpty) {
+      var chosen: Option[(String, String, Long)] = None
+      while (chosen.isEmpty && heap.nonEmpty) {
+        val (c, x, y) = heap.dequeue()
+        if (stats.get((x, y)).contains(c)) chosen = Some((x, y, c))
+      }
+      chosen.foreach { case (x, y, cnt) =>
+        out += ((step, x + " " + y, cnt))
+        val dirty = mutable.HashSet.empty[(String, String)]
+        where.getOrElse((x, y), mutable.HashSet.empty).foreach { i =>
+          val s = syms(i)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == x && s(j + 1) == y
+            j += 1
+          }
+          if (has) {
+            updatePairs(i, -1L, dirty)
+            val merged = new mutable.ArrayBuffer[String](s.length)
+            var k = 0
+            while (k < s.length) {
+              if (k < s.length - 1 && s(k) == x && s(k + 1) == y) {
+                merged += x + y
+                k += 2
+              } else {
+                merged += s(k)
+                k += 1
+              }
+            }
+            syms(i) = merged.toArray
+            updatePairs(i, 1L, dirty)
+          }
+        }
+        dirty.foreach { p =>
+          stats.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed merge loop — the over-cap fallback; see
+    * [[bpeLearnMerges]] for the shared semantics.
+    */
+  private[graft] def learnMergesDistributed(
+      words: DataFrame, numMerges: Int): Seq[(Int, String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var syms = words
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val toks = split(col("s"), " ")
+      val n = size(toks)
+      val pairs = when(n < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), n - lit(1)),
+          slice(toks, lit(2), n - lit(1)),
+          (a, b) => concat(a, lit(" "), b)))
+      val best = syms.select(col("wc"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), asc("p"))
+        .limit(1).as[(String, Long)].collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = best.head
+        merges += ((step, pair, cnt))
+        val from = " " + pair.replace(" ", "  ") + " "
+        val to = " " + pair.replace(" ", "") + " "
+        // localCheckpoint truncates the loop-carried lineage: without
+        // it, iteration i re-applies all i-1 prior merges from the
+        // cached base and Catalyst re-analyzes an O(i)-deep plan —
+        // quadratic over a realistic 30k-merge run. The checkpointed
+        // vocab table is executor-resident and vocabulary-sized.
+        syms = syms.select(
+          trim(regexp_replace(
+            replace(
+              concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+              lit(from), lit(to)),
+            "  +", " ")).as("s"),
+          col("wc")).localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** Convenience transform attaching the full analysis column set. */

@@ -350,8 +350,22 @@ object EntryQueries {
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(T(spark, dir, "documents"), "text", "doc_id")
 
+  /** DuckDB expression mirroring the native normalizers
+    * ([[graft.ops.TextAnalysis.normalize]] and the byte-level
+    * `SegmentExprs.normalizeBuf`): runs of ASCII whitespace INCLUDING
+    * VT (0x0B — which RE2's `\s` excludes but Java's `\s`, Java
+    * `trim`, and `normalizeBuf` all treat as whitespace) collapse to
+    * single spaces; `trim` then strips the boundary space a
+    * leading/trailing run leaves. DuckDB `trim` strips only 0x20, so
+    * it must run AFTER the collapse — the previous trim-first form
+    * left a phantom empty token (and kept VT as content) on text with
+    * non-space boundary whitespace.
+    */
+  private val normTextSql: String =
+    """trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))"""
+
   val qDedupExactSql: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+    s"""SELECT md5($normTextSql) AS fingerprint,
       | min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin
 
@@ -369,10 +383,11 @@ object EntryQueries {
       segmentHashes = Some(Dedup.windowSegmentHashes(col("text"), w = 20)))
 
   val qDedupLinesSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
-      |  FROM documents),
+    s"""WITH nrm AS (
+      |  SELECT doc_id, $normTextSql AS nt FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END AS t
+      |  FROM nrm),
       |sa AS (
       |  SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
       |    ELSE list_transform(generate_series(1, (len(t) - 1) // 20 + 1),
@@ -426,10 +441,9 @@ object EntryQueries {
       .orderBy(desc("cnt"), asc("pair")).limit(100)
 
   val qBpePairsSql: String =
-    """WITH toks AS (
-      |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
-      |  FROM documents),
+    s"""WITH toks AS (
+      |  SELECT CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END AS t
+      |  FROM (SELECT $normTextSql AS nt FROM documents) nrm),
       |p AS (
       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
       |           i -> t[i] || ' ' || t[i+1])) AS pair
@@ -471,8 +485,9 @@ object EntryQueries {
       .mkString("\nUNION ALL ")
     s"""WITH wcnt AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
-       |    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-       |    FROM documents WHERE length(trim(text)) > 0) z GROUP BY w),
+       |    SELECT unnest(string_split(nt, ' ')) AS w
+       |    FROM (SELECT $normTextSql AS nt FROM documents) nrm
+       |    WHERE nt <> '') z GROUP BY w),
        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM wcnt),
        |$steps
        |$sel""".stripMargin
@@ -1558,10 +1573,11 @@ object EntryQueries {
     * distinct-segment set and grouped by token count.
     */
   val qDedupStreamingLinesSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') END AS t
-      |  FROM documents),
+    s"""WITH nrm AS (
+      |  SELECT doc_id, $normTextSql AS nt FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END AS t
+      |  FROM nrm),
       |sa AS (
       |  SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
       |    ELSE list_transform(generate_series(1, (len(t) - 1) // 20 + 1),

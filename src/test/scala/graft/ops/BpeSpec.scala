@@ -73,4 +73,50 @@ class BpeSpec extends AnyFunSuite {
       .as[(Int, String, Long)].collect()
     assert(got.toSeq == Seq((1, "x y", 2L)))
   }
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("driver-path merge sequence ≡ distributed-path merge sequence") {
+    // run-heavy + tie-heavy corpus so both the greedy-overlap rule and
+    // the (count desc, pair asc) tie-break are loop-carried through
+    // enough steps to catch any divergence
+    val df = Seq(
+      (1L, "low lower lowest newest newest widest aaaa aaaa abab"),
+      (2L, "banana bandana low newest xy xy zw zw aaaa"),
+      (3L, "mississippi riverbank banana abab abab")).toDF("doc_id", "text")
+    val driver = TextAnalysis.bpeLearnMerges(df, "text", numMerges = 25)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    val dist = withConf(TextAnalysis.BpeDriverMaxVocabKey, "0") {
+      TextAnalysis.bpeLearnMerges(df, "text", numMerges = 25)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(driver == dist)
+    assert(driver.nonEmpty)
+    // and both still match the independent list-based reference
+    val words = Map("low" -> 2L, "lower" -> 1L, "lowest" -> 1L,
+      "newest" -> 3L, "widest" -> 1L, "aaaa" -> 3L, "abab" -> 3L,
+      "banana" -> 2L, "bandana" -> 1L, "xy" -> 2L, "zw" -> 2L,
+      "mississippi" -> 1L, "riverbank" -> 1L)
+    assert(driver == refBpe(words, 25))
+  }
+
+  test("symbolization is code-point aware: astral chars stay one symbol") {
+    // java.util.regex `.` matches per code point (verified behavior the
+    // implementation relies on): U+1D11E must symbolize as ONE symbol,
+    // never a lone-surrogate pair — its first merge joins it to a BMP
+    // neighbor as a whole character
+    val clef = new String(Character.toChars(0x1D11E))
+    val df = Seq((1L, s"a$clef a$clef")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(df, "text", numMerges = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, s"a $clef", 2L)))
+  }
 }

@@ -53,10 +53,11 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("budgetSelect: null score/weight rows are excluded; continuous scores fail loudly") {
+  test("budgetSelect: null score/weight/id rows are excluded; continuous scores fail loudly") {
     val withNulls = Seq(
-      (1L, Option(1.0), Option(10L)), (2L, None, Option(10L)),
-      (3L, Option(0.5), None), (4L, Option(0.5), Option(5L)))
+      (Option(1L), Option(1.0), Option(10L)), (Option(2L), None, Option(10L)),
+      (Option(3L), Option(0.5), None), (Option(4L), Option(0.5), Option(5L)),
+      (None, Option(2.0), Option(1L)))
       .toDF("doc_id", "score", "w")
     val got = Sampling.budgetSelect(withNulls, "score", "w", "doc_id", 100L)
       .select($"doc_id").as[Long].collect().toSet
@@ -68,6 +69,14 @@ class OpsSpec extends AnyFunSuite {
         maxDistinctScores = 10)
     }
     assert(ex.getMessage.contains("DISCRETIZED"))
+  }
+
+  test("budgetSelect: fractional weight column fails loudly, never truncates") {
+    val frac = Seq((1L, 1.0, 1.9), (2L, 1.0, 1.9)).toDF("doc_id", "score", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(frac, "score", "w", "doc_id", 3L)
+    }
+    assert(ex.getMessage.contains("integral weight"))
   }
 
   test("adjacent pair counts: BPE candidate scoring") {
