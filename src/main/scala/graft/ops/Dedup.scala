@@ -7,6 +7,8 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
 import graft.functions.{JaccardLong, MinHashFromHashes, MinHashSignature, ShingleHashes, SimHash64}
 
+import org.slf4j.LoggerFactory
+
 /** Deduplication operators for training-data pipelines.
   *
   * Scale notes (the 100 TB story):
@@ -22,6 +24,8 @@ import graft.functions.{JaccardLong, MinHashFromHashes, MinHashSignature, Shingl
   *    cross product.
   */
 object Dedup {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   def wordShingles(text: Column, k: Int): Column = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
@@ -1146,6 +1150,27 @@ object Dedup {
   val SpanWinnowMaxCandidateFracKey = "spark.graft.span.winnowMaxCandidateFrac"
   val SpanWinnowMaxCandidateFracDefault = 0.5
 
+  /** Conf key (default 0.01, 0 disables): document fraction for the
+    * density PRE-PROBE that bails out of the prefilter BEFORE the
+    * full anchor pass on duplicate-saturated corpora. The full guard
+    * ([[SpanWinnowMaxCandidateFracKey]]) is exact but pays a complete
+    * winnow+count pass just to discover the corpus is dense; the
+    * pre-probe runs the same candidate test WITHIN a sampled slice
+    * first. Within-sample candidacy implies full-corpus candidacy
+    * (a shared anchor inside the sample is shared in the corpus;
+    * self-repeats are sample-invariant), so the sampled fraction
+    * UNDERESTIMATES the true one — the pre-probe only ever bails on
+    * corpora at least as dense as it measured, and a corpus it lets
+    * through still faces the exact full guard. Either way the emitted
+    * spans are unchanged (the prefilter is result-identical,
+    * spec-pinned); only which passes run differs. Samples smaller
+    * than [[SpanWinnowDensitySampleMinDocs]] docs skip the probe
+    * (too noisy to act on).
+    */
+  val SpanWinnowDensitySampleFracKey = "spark.graft.span.winnowDensitySampleFrac"
+  val SpanWinnowDensitySampleFracDefault = 0.01
+  val SpanWinnowDensitySampleMinDocs = 500L
+
   /** Conf key (default 4 M): largest candidate id set the winnow
     * prefilter collects to the driver (8 B/id → ≤ 32 MB) and ships
     * back as a broadcast semi-join — which makes the whole phase-0
@@ -1156,26 +1181,56 @@ object Dedup {
   val SpanWinnowDriverMaxIdsKey = "spark.graft.span.winnowDriverMaxIds"
   val SpanWinnowDriverMaxIdsDefault: Long = 4000000L
 
-  /** Conf key (default 32 M, 0 disables): largest candidate gram
-    * volume (upper-bounded by the candidates' total text chars) for
-    * which the winnow prefilter's full-corpus over-cap count pass is
-    * Bloom-gated on the CANDIDATE gram-hash set (~9.6 bits/item at 1%
-    * fpp → ≤ ~38 MB task-shipped filter). Counting stays corpus-wide
-    * — the map side still scans every document — but only hashes the
-    * candidates can actually hold shuffle into the count aggregate,
-    * so on sparse corpora the correction pass's exchange collapses
-    * with the posting pass's. Bloom false positives only ADD counted
-    * hashes (harmless: `blockedH` is consumed by an anti-join);
-    * false negatives are impossible for inserted values, so cap
-    * semantics stay exact. SIZE THE CAP WITH THE CORPUS: past it the
-    * count pass falls back to the full un-Bloomed shuffle (measured
-    * ~2.35× slower at 500 k docs), so a corpus whose candidate char
-    * volume exceeds 32 M should raise the cap — the filter costs
-    * ~9.6 bits/char, e.g. 512 M ≈ a 600 MB broadcast, which a real
-    * executor fleet absorbs once per executor.
+  /** Conf key (UNSET by default — the item cap is then derived from
+    * [[SpanWinnowBloomMaxBytesKey]]; 0 disables the Bloom): explicit
+    * override for the largest candidate gram volume (upper-bounded by
+    * the candidates' total text chars) for which the winnow
+    * prefilter's full-corpus over-cap count pass is Bloom-gated on
+    * the CANDIDATE gram-hash set (~9.6 bits/item at 1% fpp).
+    * Counting stays corpus-wide — the map side still scans every
+    * document — but only hashes the candidates can actually hold
+    * shuffle into the count aggregate, so on sparse corpora the
+    * correction pass's exchange collapses with the posting pass's.
+    * Bloom false positives only ADD counted hashes (harmless:
+    * `blockedH` is consumed by an anti-join); false negatives are
+    * impossible for inserted values, so cap semantics stay exact.
     */
   val SpanWinnowBlockedBloomMaxItemsKey = "spark.graft.span.winnowBlockedBloomMaxItems"
-  val SpanWinnowBlockedBloomMaxItemsDefault: Long = 32000000L
+
+  /** Conf key (default 512 MB): memory ceiling for the winnow
+    * prefilter's over-cap Bloom filter. The filter is always SIZED to
+    * the measured candidate char volume (its true item upper bound)
+    * at 1% fpp ≈ 1.2 B/item; this ceiling only bounds how large that
+    * sizing may grow — candidate volumes up to ~bytes/1.2 items
+    * (default ≈ 447 M chars) stay gated. The static 32 M-item default
+    * this replaces cliff-ed the round-19 5 M-doc sparse probe into
+    * the un-Bloomed count pass (measured ~2.35× slower at 500 k docs)
+    * the moment candidate volume outgrew a number chosen at 500 k.
+    * Past the ceiling the count pass degrades to the full un-Bloomed
+    * shuffle LOUDLY (a warning names the volume, the ceiling, and
+    * this key). A real executor fleet broadcasts the filter once per
+    * executor, so the ceiling can be raised aggressively there.
+    */
+  val SpanWinnowBloomMaxBytesKey = "spark.graft.span.winnowBloomMaxBytes"
+  val SpanWinnowBloomMaxBytesDefault: Long = 512L << 20
+
+  /** ~9.6 bits/item at the 1% fpp the gate builds with. */
+  private val BloomBytesPerItem = 1.2
+
+  /** Effective item cap for the over-cap Bloom: an explicitly set
+    * [[SpanWinnowBlockedBloomMaxItemsKey]] wins (0 disables);
+    * otherwise derived from the [[SpanWinnowBloomMaxBytesKey]] memory
+    * ceiling.
+    */
+  private[graft] def resolveBloomItemCap(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(SpanWinnowBlockedBloomMaxItemsKey)
+      .map(_.toLong)
+      .getOrElse {
+        val bytes = spark.conf.get(SpanWinnowBloomMaxBytesKey,
+          SpanWinnowBloomMaxBytesDefault.toString).toLong
+        (bytes / BloomBytesPerItem).toLong
+      }
 
   /** The repeated-span k-gram stream of `src`: one (id, pos, h) per
     * k-gram of the normalized text, ids cast to long.
@@ -1204,6 +1259,32 @@ object Dedup {
       SpanWinnowMaxCandidateFracDefault.toString).toDouble
     val driverMax = spark.conf.get(SpanWinnowDriverMaxIdsKey,
       SpanWinnowDriverMaxIdsDefault.toString).toLong
+    // density pre-probe: run the candidate test on a sampled slice
+    // first — on a duplicate-saturated corpus it reaches the bail
+    // decision at ~the sample's cost instead of a full anchor pass
+    // (see [[SpanWinnowDensitySampleFracKey]] for why bailing on the
+    // sample is conservative)
+    val probeFrac = spark.conf.get(SpanWinnowDensitySampleFracKey,
+      SpanWinnowDensitySampleFracDefault.toString).toDouble
+    if (probeFrac > 0 && probeFrac < 1.0) {
+      val sample = base.sample(withReplacement = false, probeFrac, seed = 42L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nS = sample.count()
+        if (nS >= SpanWinnowDensitySampleMinDocs) {
+          val nCandS = winnowCandidateIds(
+            winnowPerDocAnchors(sample, textCol, idCol, k, w), includeSelf)
+            .count()
+          if (nCandS >= frac * nS) {
+            log.info(s"winnow prefilter: density pre-probe measured " +
+              s"$nCandS/$nS sampled candidates (>= $frac) — corpus is " +
+              "duplicate-saturated, bailing to the ungated path before " +
+              "the full anchor pass")
+            return None
+          }
+        }
+      } finally sample.unpersist()
+    }
     val perDocH = winnowPerDocAnchors(base, textCol, idCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1225,12 +1306,12 @@ object Dedup {
       val fullH = spanGramStream(base, textCol, idCol, k)
         .select(col("g.h").as("h"))
       // Bloom-gate the over-cap count's SHUFFLE on the candidate gram
-      // set (see [[SpanWinnowBlockedBloomMaxItemsKey]] — exactness
+      // set (see [[SpanWinnowBloomMaxBytesKey]] — exactness
       // preserved: no false negatives, false positives only add
       // counted hashes the anti-join never matches). Candidate gram
-      // volume is upper-bounded by candidate text chars.
-      val bloomMax = spark.conf.get(SpanWinnowBlockedBloomMaxItemsKey,
-        SpanWinnowBlockedBloomMaxItemsDefault.toString).toLong
+      // volume is upper-bounded by candidate text chars; the filter is
+      // SIZED to that measured volume under the byte ceiling.
+      val bloomMax = resolveBloomItemCap(spark)
       // the candChars probe EXECUTES candCorpus; in lazy semi-join mode
       // (nCand > driverMax) that re-runs the whole anchor pass just to
       // decide a Bloom gate that a corpus too big to driver-collect
@@ -1242,8 +1323,16 @@ object Dedup {
           .select(sum(length(col(textCol).cast("string"))).cast("long"))
           .first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       val gatedH =
-        if (candChars > bloomMax) fullH
-        else {
+        if (candChars > bloomMax) {
+          if (bloomMax > 0 && candChars != Long.MaxValue)
+            log.warn(s"winnow prefilter: candidate gram volume $candChars " +
+              s"chars exceeds the Bloom ceiling $bloomMax items " +
+              s"(~${(bloomMax * BloomBytesPerItem).toLong} B) — the over-cap " +
+              "count pass degrades to the full un-Bloomed shuffle (~2.35x " +
+              s"slower measured at 500k docs); raise $SpanWinnowBloomMaxBytesKey " +
+              "to keep it gated")
+          fullH
+        } else {
           val bf = spanGramStream(candCorpus, textCol, idCol, k)
             .select(col("g.h").as("h"))
             .stat.bloomFilter("h", math.max(1L, candChars), 0.01)

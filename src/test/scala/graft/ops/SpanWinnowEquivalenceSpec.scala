@@ -34,7 +34,7 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
 
   private def withWinnow[A](on: Boolean, frac: Double = 1.1,
                             driverMax: Long = 4000000L,
-                            bloomMax: Long = Dedup.SpanWinnowBlockedBloomMaxItemsDefault)(f: => A): A = {
+                            bloomMax: Long = 32000000L)(f: => A): A = {
     spark.conf.set(Dedup.SpanWinnowPrefilterKey, on.toString)
     spark.conf.set(Dedup.SpanWinnowMaxCandidateFracKey, frac.toString)
     spark.conf.set(Dedup.SpanWinnowDriverMaxIdsKey, driverMax.toString)
@@ -206,7 +206,7 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
       includeSelf <- Seq(false, true)
       strategy <- Seq(Dedup.SpanIndexWindow, Dedup.SpanIndexBounded)
       driverMax <- Seq(4000000L, 0L) // broadcast mode and lazy semi-join mode
-      bloomMax <- Seq(Dedup.SpanWinnowBlockedBloomMaxItemsDefault, 0L) // Bloom-gated and full count pass
+      bloomMax <- Seq(32000000L, 0L) // Bloom-gated and full count pass
     } {
       val docs = corpus(seed, 10, 6, allowSelf = includeSelf)
         .toDF("doc_id", "text").repartition(5)
@@ -249,7 +249,7 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
       // the Bloom-gated count must still see the loner docs' over-cap
       // occurrences (it gates on hash VALUES, never on documents), and
       // the ungated pass is the reference
-      bloomMax <- Seq(Dedup.SpanWinnowBlockedBloomMaxItemsDefault, 0L)
+      bloomMax <- Seq(32000000L, 0L)
     } {
       val want = withWinnow(on = false) {
         spans(docs, k, minLen, maxFreq, includeSelf = false, strategy = strategy)
@@ -283,5 +283,54 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
       spans(docs, k, minLen = k, maxFreq, includeSelf = false, Dedup.SpanIndexBounded)
     }
     assert(gotTight == wantTight)
+  }
+
+  test("density pre-probe: result-identical on corpora large enough to trip it") {
+    val k = 4; val minLen = 9; val maxFreq = 2000
+    val rnd = new scala.util.Random(7)
+    def rand(n: Int) =
+      Seq.fill(n)("abcdefghijklmnopqrstuvwxyz0123456789"(rnd.nextInt(36))).mkString
+    val shared = rand(40)
+    // saturated: every doc embeds one shared 40-char span -> the
+    // sampled slice measures ~100% candidates and the pre-probe bails
+    // BEFORE the full anchor pass; sparse: random texts, the probe
+    // measures a low fraction and lets the full (exact) guard decide
+    val saturated = (0 until 600).map(i => (i.toLong, shared + rand(6)))
+      .toDF("doc_id", "text").repartition(5)
+    val sparse = (0 until 600).map(i => (i.toLong, rand(40)))
+      .toDF("doc_id", "text").repartition(5)
+    for (docs <- Seq(saturated, sparse)) {
+      val want = withWinnow(on = false) {
+        spans(docs, k, minLen, maxFreq, includeSelf = false, Dedup.SpanIndexBounded)
+      }
+      // probeFrac 0.9 so the 600-doc sample clears the 500-doc noise floor
+      spark.conf.set(Dedup.SpanWinnowDensitySampleFracKey, "0.9")
+      val got = try withWinnow(on = true) {
+        spans(docs, k, minLen, maxFreq, includeSelf = false, Dedup.SpanIndexBounded)
+      } finally spark.conf.unset(Dedup.SpanWinnowDensitySampleFracKey)
+      assert(got == want)
+    }
+  }
+
+  test("bloom item cap: derived from the byte ceiling unless the items key is set") {
+    spark.conf.unset(Dedup.SpanWinnowBlockedBloomMaxItemsKey)
+    spark.conf.unset(Dedup.SpanWinnowBloomMaxBytesKey)
+    try {
+      // default: no items key -> bytes ceiling / 1.2 B per item
+      assert(Dedup.resolveBloomItemCap(spark) ==
+        (Dedup.SpanWinnowBloomMaxBytesDefault / 1.2).toLong)
+      // a lowered byte ceiling lowers the derived cap proportionally
+      spark.conf.set(Dedup.SpanWinnowBloomMaxBytesKey, (120L << 20).toString)
+      assert(Dedup.resolveBloomItemCap(spark) == ((120L << 20) / 1.2).toLong)
+      // an explicit items key overrides the derivation entirely
+      spark.conf.set(Dedup.SpanWinnowBlockedBloomMaxItemsKey, "12345")
+      assert(Dedup.resolveBloomItemCap(spark) == 12345L)
+      // and 0 still disables the Bloom outright
+      spark.conf.set(Dedup.SpanWinnowBlockedBloomMaxItemsKey, "0")
+      assert(Dedup.resolveBloomItemCap(spark) == 0L)
+    } finally {
+      spark.conf.unset(Dedup.SpanWinnowBlockedBloomMaxItemsKey)
+      spark.conf.unset(Dedup.SpanWinnowBloomMaxBytesKey)
+    }
   }
 }
