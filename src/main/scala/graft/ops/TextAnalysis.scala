@@ -254,6 +254,45 @@ object TextAnalysis {
     } finally words.unpersist()
   }
 
+  /** BPE subword tokens of `text` under a learned merge table — the
+    * apply half of the tokenizer story ([[bpeLearnMerges]] is the
+    * learn half). Sequential-in-order greedy application, identical
+    * to the trainer's own merge loop, so encoding a training word
+    * reproduces the trainer's final symbolization exactly
+    * (spec-pinned). `merges` is vocabulary-sized driver metadata; the
+    * expression ships it once per executor and caches per-word
+    * encodings, so corpus-scale encoding costs one pass with a
+    * vocab-sized working set — a pure scalar expression, usable in
+    * batch and streaming plans alike.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeEncodeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), merges))
+
+  /** Exact token-budget accounting under a learned tokenizer: the
+    * subword count [[Sampling.budgetSelect]] wants where
+    * [[subwordCountEstimate]] only guesses.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
+  /** Collect a [[bpeLearnMerges]] result (step, pair, cnt) into the
+    * ordered (x, y) table [[bpeEncode]] consumes — vocabulary-sized
+    * by the trainer's construction.
+    */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] = {
+    val spark = mergesDf.sparkSession
+    import spark.implicits._
+    mergesDf.orderBy(col("step"))
+      .select(col("pair")).as[String].collect().toSeq
+      .map { p =>
+        val i = p.indexOf(' ')
+        require(i > 0 && i < p.length - 1, s"malformed merge pair '$p'")
+        (p.substring(0, i), p.substring(i + 1))
+      }
+  }
+
   /** Spark's `asc` on strings is unsigned UTF-8 byte order; the driver
     * trainer's tie-break must match it exactly (Java's `compareTo` is
     * UTF-16 code-unit order, which disagrees above the BMP).

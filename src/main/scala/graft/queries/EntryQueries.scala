@@ -461,8 +461,13 @@ object EntryQueries {
   def qBpeLearn(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeLearnMerges(T(spark, dir, "documents"), "text", numMerges = 8)
 
-  val qBpeLearnSql: String = {
-    val n = 8
+  /** Unrolled BPE training CTE chain shared by [[qBpeLearnSql]] and
+    * [[qBpeEncodeSql]]: word counts → symbolized w0 → per step i a
+    * weighted pair count p_i, the (cnt desc, pair asc) argmax b_i,
+    * and the merged vocabulary w_i (same double-space literal-replace
+    * greedy application as the engine).
+    */
+  private def bpeUnrolledCtes(n: Int): String = {
     val steps = (1 to n).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -480,18 +485,45 @@ object EntryQueries {
          |      '  +', ' ', 'g')) AS s, x.wc
          |  FROM w${i - 1} x CROSS JOIN b$i b)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to n)
-      .map(i => s"SELECT $i AS step, pair, cnt FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""WITH wcnt AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(nt, ' ')) AS w
        |    FROM (SELECT $normTextSql AS nt FROM documents) nrm
        |    WHERE nt <> '') z GROUP BY w),
        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM wcnt),
-       |$steps
-       |$sel""".stripMargin
+       |$steps""".stripMargin
   }
+
+  val qBpeLearnSql: String = {
+    val n = 8
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS step, pair, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    bpeUnrolledCtes(n) + "\n" + sel
+  }
+
+  /** Corpus-wide subword-token counts under the 8-merge learned
+    * tokenizer: [[TextAnalysis.bpeEncode]] applied with the
+    * [[qBpeLearn]] merge table. Encoding a word reproduces the
+    * trainer's final symbolization (sequential-in-order application,
+    * spec-pinned), so the oracle reads the same counts straight off
+    * the unrolled w8 vocabulary table — no second encoder
+    * implementation to drift. Ties at the limit boundary break on the
+    * symbol string (binary order in both engines).
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val merges = TextAnalysis.collectMerges(
+      TextAnalysis.bpeLearnMerges(docs, "text", numMerges = 8))
+    docs.select(explode(TextAnalysis.bpeEncode(col("text"), merges)).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("sym")).limit(50)
+  }
+
+  val qBpeEncodeSql: String =
+    bpeUnrolledCtes(8) + "\n" + """SELECT sym, CAST(sum(wc) AS BIGINT) AS cnt
+      |FROM (SELECT wc, unnest(string_split(s, ' ')) AS sym FROM w8) z
+      |GROUP BY sym ORDER BY cnt DESC, sym LIMIT 50""".stripMargin
 
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").select(
@@ -2677,6 +2709,7 @@ object EntryQueries {
     "q_token_stats" -> qTokenStats _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_bpe_learn" -> qBpeLearn _,
+    "q_bpe_encode" -> qBpeEncode _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -2772,6 +2805,7 @@ object EntryQueries {
     "q_token_stats" -> qTokenStatsSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_learn" -> qBpeLearnSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_budget_select" -> qBudgetSelectSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -106,6 +107,74 @@ class BpeSpec extends AnyFunSuite {
       "banana" -> 2L, "bandana" -> 1L, "xy" -> 2L, "zw" -> 2L,
       "mississippi" -> 1L, "riverbank" -> 1L)
     assert(driver == refBpe(words, 25))
+  }
+
+  /** Naive sequential-in-order merge application — the encoder's
+    * semantic reference (and exactly what the trainer does to its
+    * vocabulary, word by word).
+    */
+  private def refEncode(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: List[String] = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toList
+    for ((x, y) <- merges) {
+      def app(l: List[String]): List[String] = l match {
+        case a :: b :: rest if a == x && b == y => (a + b) :: app(rest)
+        case a :: rest                          => a :: app(rest)
+        case Nil                                => Nil
+      }
+      syms = app(syms)
+    }
+    syms
+  }
+
+  test("bpeEncode: parity with the trainer's merge order on seen and unseen words") {
+    val df = Seq(
+      (1L, "low lower lowest newest newest widest aaaa aaaa abab banana"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.collectMerges(
+      TextAnalysis.bpeLearnMerges(df, "text", numMerges = 15))
+    assert(merges.nonEmpty)
+    val words = Seq("low", "lower", "lowest", "newest", "widest", "aaaa",
+      "abab", "banana", "unseen", "lowly", "aaaaaaa", "bananana")
+    val got = words.toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), merges).as("e"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == words.map(w => refEncode(w, merges)))
+    // document-level: tokenize like the trainer, concat per-word syms
+    val gotDoc = Seq("Lowest  Banana\tunseen").toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), merges))
+      .as[Seq[String]].collect().head
+    assert(gotDoc ==
+      Seq("lowest", "banana", "unseen").flatMap(w => refEncode(w, merges)))
+    // blank text encodes to zero tokens
+    val blank = Seq("", "   \t").toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), merges))
+      .as[Seq[String]].collect()
+    assert(blank.forall(_.isEmpty))
+    // astral chars are one symbol even with no merges
+    val clef = new String(Character.toChars(0x1D11E))
+    val ast = Seq(s"a$clef").toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), Nil))
+      .as[Seq[String]].collect().head
+    assert(ast == Seq("a", clef))
+  }
+
+  test("bpeEncode: sequential order is honored, never the rank-heap shortcut") {
+    // rank 2 recreates rank 0's pair (x, abc): sequential application
+    // must NOT revisit the rank-0 merge - the result stays two symbols
+    val tricky = Seq(("x", "abc"), ("b", "c"), ("a", "bc"))
+    val got = Seq("xabc").toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), tricky))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("x", "abc"))
+    assert(refEncode("xabc", tricky) == Seq("x", "abc"))
+    // duplicate pair entries (rank lists) stay consistent with the
+    // sequential reference
+    val dup = Seq(("b", "c"), ("a", "bc"), ("b", "c"))
+    val got2 = Seq("bcabc").toDF("w")
+      .select(TextAnalysis.bpeEncode(col("w"), dup))
+      .as[Seq[String]].collect().head
+    assert(got2 == refEncode("bcabc", dup) && got2 == Seq("bc", "abc"))
   }
 
   test("symbolization is code-point aware: astral chars stay one symbol") {
