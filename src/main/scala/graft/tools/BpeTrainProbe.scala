@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.ops.TextAnalysis
 
@@ -51,6 +52,23 @@ object BpeTrainProbe {
     val same = drvSmall == dist && drv.take(dist.length) == dist
     println(s"[bpeprobe] merge tables identical over first ${dist.length} steps: $same")
     require(same, "driver and distributed merge sequences diverged")
+
+    // encode the whole corpus under the learned table: the apply-side
+    // floor (expression ships the merge table once per executor; the
+    // per-word cache makes repeated words free)
+    val merges = drv.map { m =>
+      val i = m._2.indexOf(' '); (m._2.substring(0, i), m._2.substring(i + 1))
+    }
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      val nTok = docs.select(
+          sum(size(TextAnalysis.bpeEncode(col("text"), merges)))
+            .cast("long"))
+        .first().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[bpeprobe] encode-${merges.length}-merges       rep$rep ${sec}%.2f s " +
+        f"($nTok%,d subword tokens, ${nTok / sec / 1e6}%.1f M tok/s)")
+    }
     spark.stop()
   }
 }
