@@ -1266,7 +1266,9 @@ object Dedup {
     // sample is conservative)
     val probeFrac = spark.conf.get(SpanWinnowDensitySampleFracKey,
       SpanWinnowDensitySampleFracDefault.toString).toDouble
-    if (probeFrac > 0 && probeFrac < 1.0) {
+    // frac >= 1 disables the density guard entirely (the equivalence
+    // specs' setting) — a probe that can never bail is pure overhead
+    if (probeFrac > 0 && probeFrac < 1.0 && frac < 1.0) {
       val sample = base.sample(withReplacement = false, probeFrac, seed = 42L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

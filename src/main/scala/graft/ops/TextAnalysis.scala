@@ -294,21 +294,13 @@ object TextAnalysis {
   }
 
   /** Spark's `asc` on strings is unsigned UTF-8 byte order; the driver
-    * trainer's tie-break must match it exactly (Java's `compareTo` is
-    * UTF-16 code-unit order, which disagrees above the BMP).
+    * trainer's tie-break must match it exactly (Java String.compareTo
+    * is UTF-16 code-unit order, which disagrees above the BMP), so
+    * compare through the engine's own comparator.
     */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Driver-side merge loop over the collected vocabulary: the
     * standard incremental trainer. `stats` holds exact weighted

@@ -364,8 +364,21 @@ object EntryQueries {
   private val normTextSql: String =
     """trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))"""
 
+  /** DuckDB expression: the EXACT string
+    * [[graft.ops.TextAnalysis.normalize]] produces — trim spaces FIRST
+    * (both engines' `trim` strips only 0x20), then collapse Java-`\s`
+    * runs (VT included). Fingerprint oracles md5 THIS string: a
+    * leading/trailing non-space whitespace run leaves one surviving
+    * boundary space in it, which [[normTextSql]] (the tokenizers'
+    * form, matching `tokens(normalize(…))` and the byte-level
+    * `normalizeBuf`) strips. The two forms differ only on such
+    * boundary runs — use the one whose native twin you are oracling.
+    */
+  private val normRawSql: String =
+    """regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g')"""
+
   val qDedupExactSql: String =
-    s"""SELECT md5($normTextSql) AS fingerprint,
+    s"""SELECT md5($normRawSql) AS fingerprint,
       | min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin
 
@@ -420,7 +433,7 @@ object EntryQueries {
     """WITH toks AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |         ELSE string_split_regex(trim(text), '[ \t\n\v\f\r]+') END AS t
       |  FROM documents)
       |SELECT doc_id,
       | CAST(len(t) AS BIGINT) AS n_tokens,
@@ -478,12 +491,12 @@ object EntryQueries {
          |  GROUP BY pair),
          |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |w$i AS (
-         |  SELECT trim(regexp_replace(
+         |  SELECT CASE WHEN b.pair IS NULL THEN x.s ELSE trim(regexp_replace(
          |      replace(' ' || replace(x.s, ' ', '  ') || ' ',
          |              ' ' || replace(b.pair, ' ', '  ') || ' ',
          |              ' ' || replace(b.pair, ' ', '') || ' '),
-         |      '  +', ' ', 'g')) AS s, x.wc
-         |  FROM w${i - 1} x CROSS JOIN b$i b)""".stripMargin
+         |      '  +', ' ', 'g')) END AS s, x.wc
+         |  FROM w${i - 1} x LEFT JOIN b$i b ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH wcnt AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
@@ -533,12 +546,12 @@ object EntryQueries {
     """WITH x AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |         ELSE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS n_tok,
       |    CASE WHEN length(text) = 0 THEN 0.0
       |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
       |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
-      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS mtl
       |  FROM documents)
       |SELECT doc_id, CAST(round(
       |  CAST((CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) * 0.4
@@ -571,12 +584,12 @@ object EntryQueries {
     """WITH x AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |         ELSE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS n_tok,
       |    CASE WHEN length(text) = 0 THEN 0.0
       |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
       |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
-      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS mtl
       |  FROM documents),
       |q AS (
       |  SELECT doc_id, CAST(round(
@@ -610,7 +623,7 @@ object EntryQueries {
 
   val qFingerprintWinnowSql: String =
     """WITH nrm AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g') AS t FROM documents),
       |kgl AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 4),
       |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, 4),
@@ -647,7 +660,7 @@ object EntryQueries {
     val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
       .mkString("[", ",", "]")
     s"""WITH nrm AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\v\\f\\r]+', ' ', 'g') AS t FROM documents),
        |kgl AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
        |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
@@ -687,7 +700,7 @@ object EntryQueries {
     val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
       .mkString("[", ",", "]")
     s"""WITH nrm AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\v\\f\\r]+', ' ', 'g') AS t FROM documents),
        |kgl AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
        |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
@@ -749,7 +762,7 @@ object EntryQueries {
     val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
       .mkString("[", ",", "]")
     s"""WITH pre AS (
-       |  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS raw FROM documents),
+       |  SELECT doc_id, trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS raw FROM documents),
        |nrm AS (SELECT doc_id, raw, lower(raw) AS t FROM pre),
        |kgl AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
@@ -805,7 +818,7 @@ object EntryQueries {
     val pows = (0 until k).map(j => graft.functions.GramPositionHashes.powMod(k - 1 - j))
       .mkString("[", ",", "]")
     s"""WITH nrm AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\v\\f\\r]+', ' ', 'g') AS t FROM documents),
        |kgl AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
        |    i -> {'i': i, 'h': CAST(list_sum(list_transform(generate_series(0, ${k - 1}),
@@ -1019,7 +1032,7 @@ object EntryQueries {
 
   val qTextTypicalitySql: String =
     """WITH nrm AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g') AS t
       |  FROM documents),
       |docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
@@ -1060,7 +1073,7 @@ object EntryQueries {
 
   val qTypicalityXcorpusSql: String =
     """WITH nrm AS (
-      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g') AS t
       |  FROM documents),
       |docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
       |ref AS (SELECT t FROM nrm WHERE source = 'src0' AND length(t) >= 3),
@@ -1094,7 +1107,7 @@ object EntryQueries {
     }.mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t FROM documents),
+       |    ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+') END AS t FROM documents),
        |b AS (SELECT doc_id, list_aggregate([$structs], 'max') AS best FROM toks)
        |SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM b""".stripMargin
   }
@@ -1107,7 +1120,7 @@ object EntryQueries {
   /** CTE body shared by the ngram oracle and the cluster oracle. */
   private val dedupNgramCtes: String =
     """toks AS (
-      |  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g'), ' ') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
@@ -1224,14 +1237,14 @@ object EntryQueries {
        |         ELSE list_transform(generate_series(1, len(t) - 3),
        |                i -> array_to_string(t[i:i+3], ' ')) END) AS g
        |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-       |          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |          ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+') END AS t
        |        FROM deduped) dt),
        |evg AS MATERIALIZED (SELECT DISTINCT unnest(
        |    CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
        |         ELSE list_transform(generate_series(1, len(t) - 3),
        |                i -> array_to_string(t[i:i+3], ' ')) END) AS g
        |  FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN []
-       |          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |          ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+') END AS t
        |        FROM evalset) et),
        |contaminated AS MATERIALIZED (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
        |cleaned AS MATERIALIZED (SELECT d.* FROM deduped d
@@ -1240,7 +1253,7 @@ object EntryQueries {
        |    CAST(ntile(3) OVER (PARTITION BY d.source
        |      ORDER BY sc.typicality_r, sc.doc_id) AS BIGINT) AS bucket
        |  FROM (
-       |    WITH nrm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM cleaned),
+       |    WITH nrm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\v\\f\\r]+', ' ', 'g') AS t FROM cleaned),
        |    docs AS (SELECT doc_id, t FROM nrm WHERE length(t) >= 3),
        |    g AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
        |            i -> substring(t, CAST(i AS INTEGER), 3))) AS g3 FROM docs),
@@ -2167,7 +2180,7 @@ object EntryQueries {
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, doc_id // 1000 AS shard,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |         ELSE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS n
       |  FROM documents),
       |ordered AS (SELECT doc_id, shard, n,
       |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks),
@@ -2333,7 +2346,7 @@ object EntryQueries {
     """WITH toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') END AS t
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(
@@ -2357,13 +2370,13 @@ object EntryQueries {
     """WITH x AS (
       |  SELECT doc_id, source,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |         ELSE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS n_tok,
+      |    md5(regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g')) AS fp,
       |    CASE WHEN length(text) = 0 THEN 0.0
       |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
       |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
-      |              / len(string_split_regex(trim(text), '\s+')) END AS mtl
+      |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), t -> length(t))) AS DOUBLE)
+      |              / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS mtl
       |  FROM documents),
       |q AS (
       |  SELECT doc_id, source, n_tok, fp, CAST(round(
@@ -2412,7 +2425,7 @@ object EntryQueries {
     """WITH toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') END AS t
       |  FROM documents),
       |shd AS (
       |  SELECT doc_id, list_distinct(
@@ -2447,7 +2460,7 @@ object EntryQueries {
 
   val qDedupIncrementalSql: String =
     """WITH fp AS (
-      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g')) AS f
       |  FROM documents),
       |known AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0),
       |fresh AS (SELECT * FROM fp WHERE doc_id % 10 != 0
@@ -2489,7 +2502,7 @@ object EntryQueries {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN []
-       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+') END AS t
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, t, ${gramsFor(2)} AS g2, ${gramsFor(3)} AS g3 FROM toks),
@@ -2625,7 +2638,7 @@ object EntryQueries {
     """WITH toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') END AS t
       |  FROM documents),
       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -2653,7 +2666,7 @@ object EntryQueries {
     """WITH toks AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |         ELSE string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') END AS t
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, text, t,
@@ -2670,7 +2683,7 @@ object EntryQueries {
       |            list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))),
       |            c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE) / len(g2), 6) AS dup2_frac,
       |    CASE WHEN len(t) = 0 THEN 0.0
-      |         ELSE round(CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) - len(t) + 1 AS DOUBLE) / len(t), 6) END AS mean_token_len,
+      |         ELSE round(CAST(length(regexp_replace(trim(text), '[ \t\n\v\f\r]+', ' ', 'g')) - len(t) + 1 AS DOUBLE) / len(t), 6) END AS mean_token_len,
       |    CASE WHEN length(text) = 0 THEN 0.0
       |         ELSE round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6) END AS punct_ratio
       |  FROM g),

@@ -95,7 +95,7 @@ private[queries] object HashOracleSql {
     s"""WITH d AS (
        |  SELECT doc_id AS id,
        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') END AS toks
+       |         ELSE string_split_regex(trim(regexp_replace(lower(trim(text)), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')), ' ') END AS toks
        |  FROM documents),
        |tok AS (SELECT id, unnest(toks) AS t FROM d),
        |${murmurCtes("tok", distinct = false)},
@@ -147,7 +147,7 @@ private[queries] object HashOracleSql {
     s"""WITH d AS (
        |  SELECT doc_id AS id,
        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+       |         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+') END AS toks
        |  FROM documents),
        |sng AS (
        |  SELECT id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]

@@ -303,9 +303,11 @@ class SpanWinnowEquivalenceSpec extends AnyFunSuite {
       val want = withWinnow(on = false) {
         spans(docs, k, minLen, maxFreq, includeSelf = false, Dedup.SpanIndexBounded)
       }
-      // probeFrac 0.9 so the 600-doc sample clears the 500-doc noise floor
+      // probeFrac 0.9 so the 600-doc sample clears the 500-doc noise
+      // floor; frac 0.5 (not withWinnow's guard-disabling 1.1 default)
+      // so the probe can actually bail on the saturated corpus
       spark.conf.set(Dedup.SpanWinnowDensitySampleFracKey, "0.9")
-      val got = try withWinnow(on = true) {
+      val got = try withWinnow(on = true, frac = 0.5) {
         spans(docs, k, minLen, maxFreq, includeSelf = false, Dedup.SpanIndexBounded)
       } finally spark.conf.unset(Dedup.SpanWinnowDensitySampleFracKey)
       assert(got == want)

@@ -6,7 +6,7 @@
 # winnow ON with the pre-probe disabled (full anchor pass before the
 # bail - the r19 guard cost). Guard cost = arm minus base.
 set -u
-CLASSES=${GRAFT_CLASSES:-/tmp/graft_r20_classes}
+CLASSES=${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}
 OUT=/tmp/r20_density
 OFFHEAP="spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=4g"
 ADD_OPENS=""
