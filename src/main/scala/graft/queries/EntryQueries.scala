@@ -491,7 +491,7 @@ object EntryQueries {
          |  GROUP BY pair),
          |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |w$i AS (
-         |  SELECT CASE WHEN b.pair IS NULL THEN x.s ELSE trim(regexp_replace(
+         |  SELECT x.w, CASE WHEN b.pair IS NULL THEN x.s ELSE trim(regexp_replace(
          |      replace(' ' || replace(x.s, ' ', '  ') || ' ',
          |              ' ' || replace(b.pair, ' ', '  ') || ' ',
          |              ' ' || replace(b.pair, ' ', '') || ' '),
@@ -503,7 +503,7 @@ object EntryQueries {
        |    SELECT unnest(string_split(nt, ' ')) AS w
        |    FROM (SELECT $normTextSql AS nt FROM documents) nrm
        |    WHERE nt <> '') z GROUP BY w),
-       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM wcnt),
+       |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wc FROM wcnt),
        |$steps""".stripMargin
   }
 
@@ -537,6 +537,52 @@ object EntryQueries {
     bpeUnrolledCtes(8) + "\n" + """SELECT sym, CAST(sum(wc) AS BIGINT) AS cnt
       |FROM (SELECT wc, unnest(string_split(s, ' ')) AS sym FROM w8) z
       |GROUP BY sym ORDER BY cnt DESC, sym LIMIT 50""".stripMargin
+
+  /** Exact token-budget corpus selection under the LEARNED tokenizer:
+    * [[qBudgetSelect]]'s pipeline with [[TextAnalysis.bpeTokenCount]]
+    * (8-merge table from [[qBpeLearn]]) as the weight — the budget
+    * now counts the same subword tokens a downstream trainer would,
+    * not a whitespace proxy. Composes the round's three pieces:
+    * driver-trained merges → native encode → histogram-two-phase
+    * budget prefix. The oracle derives per-document subword counts by
+    * joining each document's words to the unrolled w8 vocabulary's
+    * per-word symbol counts, then runs the naive global-window budget
+    * prefix.
+    */
+  def qBudgetSelectBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val merges = TextAnalysis.collectMerges(
+      TextAnalysis.bpeLearnMerges(docs, "text", numMerges = 8))
+    val scored = docs.select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("n_bpe"))
+      .cache()
+    Sampling.budgetSelect(scored, "quality", "n_bpe", "doc_id", budget = 40000L)
+  }
+
+  // lazy: interpolates qTextQualitySql, which is declared later in
+  // this object (a plain val here would capture null at init)
+  lazy val qBudgetSelectBpeSql: String =
+    bpeUnrolledCtes(8) + ",\n" + s"""doctok AS (
+      |  SELECT doc_id, unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS w
+      |  FROM (SELECT doc_id, $normTextSql AS nt FROM documents) nrm),
+      |wsym AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS ns FROM w8),
+      |ndoc AS (
+      |  SELECT d.doc_id, CAST(coalesce(sum(ws.ns), 0) AS BIGINT) AS n_bpe
+      |  FROM documents d
+      |  LEFT JOIN doctok dt ON d.doc_id = dt.doc_id
+      |  LEFT JOIN wsym ws ON dt.w = ws.w
+      |  GROUP BY d.doc_id),
+      |scored AS (
+      |  SELECT q.doc_id, q.quality, n.n_bpe
+      |  FROM ($qTextQualitySql) q JOIN ndoc n ON q.doc_id = n.doc_id),
+      |pfx AS (
+      |  SELECT *, CAST(sum(n_bpe) OVER (ORDER BY quality DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+      |  FROM scored)
+      |SELECT doc_id, quality, n_bpe, cum_weight FROM pfx
+      |WHERE cum_weight <= 40000""".stripMargin
 
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").select(
@@ -2723,6 +2769,7 @@ object EntryQueries {
     "q_bpe_pairs" -> qBpePairs _,
     "q_bpe_learn" -> qBpeLearn _,
     "q_bpe_encode" -> qBpeEncode _,
+    "q_budget_select_bpe" -> qBudgetSelectBpe _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -2819,6 +2866,7 @@ object EntryQueries {
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_learn" -> qBpeLearnSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_budget_select_bpe" -> qBudgetSelectBpeSql,
     "q_budget_select" -> qBudgetSelectSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
