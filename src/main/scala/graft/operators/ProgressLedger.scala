@@ -40,8 +40,15 @@ object ProgressLedger {
     * @param written zero+ rows per txn: (timeBasedKey, count)
     */
   def contiguousAck(seen: DataFrame, written: DataFrame,
-                    bucketWidth: Long = 1L << 20,
+                    bucketWidth: Long = 1L << 16,
                     superFanout: Long = 1L << 12): DataFrame = {
+    // bucketWidth 64k (was 1M): the result is bucketWidth-invariant,
+    // but the per-bucket prefix window's parallelism is ordRange /
+    // bucketWidth — a corpus whose ord span fits ONE 1M-wide bucket
+    // funnelled every txn row through a single window partition (the
+    // exact straggler the bucketing exists to avoid), while at scale
+    // 64k-wide buckets just mean 16× more per-bucket summaries, which
+    // level 2's superFanout grouping absorbs unchanged.
     import org.apache.spark.sql.expressions.Window
 
     val writtenAgg = written.groupBy("timeBasedKey")

@@ -787,8 +787,20 @@ object Dedup {
     // builds the distinct hash set, the inverted index shuffles longs
     // instead of ~20-char strings, and the verification intersects long
     // arrays (identical jaccard modulo ~2^-64 hash collisions).
+    //
+    // localCheckpoint: the plan below reads `sh` FOUR times (the
+    // inverted index feeds both the frequency cut and the blocked
+    // stream, and each verification join-back leg re-evaluates it), so
+    // without materialization the corpus is scanned and shingled 4× —
+    // the dominant cost at every scale. One eager pass + 3 block reads
+    // instead; blocks are ContextCleaner-released once the result frame
+    // drops (no CacheManager entry — a .cache() here would pin the
+    // shingle table for the session). Same eager-materialization
+    // contract as duplicateClusters; the recompute-on-executor-loss
+    // trade is 3 saved corpus passes.
     val sh = df.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleSize).as("hs"))
+      .localCheckpoint()
     val inv = sh.select(col("id"), explode(col("hs")).as("shingle"))
     val rare = inv.groupBy("shingle").count().where(col("count") <= maxShingleFreq)
     val blocked = inv.join(rare.select("shingle"), Seq("shingle"))
@@ -1158,10 +1170,13 @@ object Dedup {
     * pre-probe runs the same candidate test WITHIN a sampled slice
     * first. Within-sample candidacy implies full-corpus candidacy
     * (a shared anchor inside the sample is shared in the corpus;
-    * self-repeats are sample-invariant), so the sampled fraction
-    * UNDERESTIMATES the true one — the pre-probe only ever bails on
-    * corpora at least as dense as it measured, and a corpus it lets
-    * through still faces the exact full guard. Either way the emitted
+    * self-repeats are sample-invariant) — PER SAMPLED DOC the test is
+    * conservative, i.e. conservative in expectation; sampling variance
+    * can still land a sampled fraction above the true corpus fraction
+    * on borderline densities, in which case the probe bails where the
+    * exact guard would not (result-identical either way — only the
+    * prefilter speedup is forfeited on that corpus). A corpus the
+    * probe lets through still faces the exact full guard. Either way the emitted
     * spans are unchanged (the prefilter is result-identical,
     * spec-pinned); only which passes run differs. Samples smaller
     * than [[SpanWinnowDensitySampleMinDocs]] docs skip the probe

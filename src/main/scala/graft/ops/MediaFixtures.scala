@@ -60,11 +60,17 @@ object MediaFixtures {
     * use), or synthesized in-plan when materialization is disabled.
     */
   def table(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // fan both paths out to the session parallelism: the source
+    // documents table AND the materialized cache are single-row-group
+    // parquet, whose one-task scans would otherwise serialize the
+    // encode (synthesis path) or the decode+hash (every consumer) on
+    // one core — see ScanFanout; no-op on production-sized inputs
+    val docs = ScanFanout.fanOutSmallScan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
     if (!spark.conf.getOption("spark.graft.media.materialize").forall(_.toBoolean))
       return synthesize(docs, kind)
     val dest = ensure(spark, sfDir, kind, docs)
-    spark.read.parquet(dest.toString)
+    ScanFanout.fanOutSmallScan(spark.read.parquet(dest.toString))
   }
 
   def pngs(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "png")

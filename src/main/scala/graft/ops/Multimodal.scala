@@ -644,12 +644,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          readFrames(if (bytes == null) Array.emptyByteArray else bytes) match {
-            case Some(fs) if fs.nonEmpty =>
-              val k = math.min(n, fs.length)
-              (0 until k).iterator.flatMap { i =>
-                val src = i * fs.length / k
-                val h = dHash63Of(fs(src))
+          readSampledFrames(
+            if (bytes == null) Array.emptyByteArray else bytes, n) match {
+            case Some(fs) =>
+              fs.iterator.flatMap { case (src, img) =>
+                val h = dHash63Of(img)
                 if (h == Long.MinValue) Iterator.empty
                 else Iterator((id, src, h))
               }
@@ -675,6 +674,52 @@ object Multimodal {
       contentCol: String = "content", maxHamming: Int = 10): DataFrame =
     hammingBandPairs(videoFrameHashes(media, n, idCol, contentCol),
       idCol, maxHamming, extraKeys = Seq("frame_idx"))
+
+  /** Decode only the k = min(n, nFrames) evenly-sampled frames of a
+    * multi-frame container — frame(i) = i·nFrames/k, the exact sampling
+    * [[videoFrameHashes]] documents — or None when no registered reader
+    * parses the payload or it holds no frames. The frame COUNT comes
+    * from the reader's stream scan (`getNumImages(true)`: structure
+    * parse only, no pixel decode), so an N-frame payload sampled at n
+    * pays n LZW decodes instead of N — the sampled-frame hashers were
+    * paying a 2× decode tax at n=4 over 8-frame fixtures, and the tax
+    * grows with container length. A sampled frame that fails to decode
+    * is dropped (not task-poisoning), matching the hashers' dropped-
+    * frame contract; payloads whose frame STRUCTURE is unscannable
+    * degrade to None like any undecodable payload.
+    */
+  private[ops] def readSampledFrames(
+      bytes: Array[Byte], n: Int): Option[Vector[(Int, java.awt.image.BufferedImage)]] =
+    try {
+      if (bytes.length == 0 || n <= 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          // default setInput: seekForwardOnly=false, which
+          // getNumImages(true) and the index-addressed reads need
+          reader.setInput(iis)
+          val total =
+            try reader.getNumImages(true)
+            catch { case scala.util.control.NonFatal(_) => -1 }
+          if (total <= 0) return None
+          val k = math.min(n, total)
+          val out = Vector.newBuilder[(Int, java.awt.image.BufferedImage)]
+          var i = 0
+          while (i < k) {
+            val src = i * total / k
+            try out += ((src, reader.read(src)))
+            catch { case scala.util.control.NonFatal(_) => () }
+            i += 1
+          }
+          val v = out.result()
+          if (v.isEmpty) None else Some(v)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode every frame of a multi-frame image container, or None when
     * no registered reader parses it. Frames that fail mid-sequence
@@ -836,12 +881,10 @@ object Multimodal {
       it.flatMap { r =>
         val bytes0 = r.getAs[Array[Byte]](idx)
         val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-        readFrames(bytes) match {
-          case Some(fs) if fs.nonEmpty =>
-            val k = math.min(n, fs.length)
-            (0 until k).iterator.map { i =>
-              val src = i * fs.length / k
-              val h = dHash63Of(fs(src))
+        readSampledFrames(bytes, n) match {
+          case Some(fs) =>
+            fs.iterator.map { case (src, img) =>
+              val h = dHash63Of(img)
               org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(src,
                 if (h == Long.MinValue) null else java.lang.Long.valueOf(h)))
             }

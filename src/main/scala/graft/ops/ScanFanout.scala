@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Adaptive fan-out for under-parallel scans.
+  *
+  * Parquet parallelizes at ROW-GROUP granularity: a table written as
+  * one file with one row group scans as ONE task no matter how many
+  * byte-range splits the scheduler makes, so every per-row expression
+  * downstream (wire-line render + parse, media decode + perceptual
+  * hash, shingling) runs on a single core while the rest of the
+  * machine idles — the guide's "one huge unsplittable file" input-skew
+  * case (spark_optimization_guide §2.5), which is exactly the shape of
+  * the driver's testdata (1 file / 1 row group per table).
+  *
+  * `fanOutSmallScan` inserts a round-robin repartition to the session's
+  * default parallelism ONLY when the scan plans fewer partitions than
+  * that — scale-adaptive by construction: a production-sized input
+  * (many files / row groups) already plans ≥ cores partitions and is
+  * returned UNCHANGED, so no payload shuffle is ever added at scale,
+  * while a small single-row-group input pays one trivially small
+  * exchange to engage every core. Filter pushdown and column pruning
+  * both traverse Repartition nodes, so PushedFilters/ReadSchema at the
+  * scan are unaffected. Results are row-set identical (round-robin
+  * repartition reorders rows only; Spark's sort-before-repartition
+  * keeps the assignment deterministic under retries).
+  */
+object ScanFanout {
+
+  private[graft] def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // physical scan partitions (internal-row RDD: no decode, no job)
+    val planned = df.queryExecution.toRdd.getNumPartitions
+    if (planned < target) df.repartition(target) else df
+  }
+}

@@ -36,13 +36,28 @@ object EntryQueries {
     else df
   }
 
+  /** [[graft.ops.ScanFanout.fanOutSmallScan]] applied SELECTIVELY: the
+    * testdata tables are 1 file / 1 row group each, so a scan is ONE
+    * task and every per-row expression downstream runs on one core.
+    * Fanning out pays one exchange of the scanned rows, so it is only
+    * applied where the per-row compute dwarfs that exchange (wire-line
+    * render+parse, media decode+hash, text scoring: measured 1.7-5×)
+    * — a blanket fan-out in T() was measured REGRESSING the cheap
+    * aggregation queries 1.5-16× (the exchange shuffles full payloads
+    * into a groupBy that map-side-combines anyway, and re-evaluated
+    * multi-consumer plans like ngramJaccardDuplicates pay it per leg).
+    * No-op on production-sized inputs (scan partitions ≥ parallelism).
+    */
+  private def fan(df: DataFrame): DataFrame =
+    graft.ops.ScanFanout.fanOutSmallScan(df)
+
   private def esc(c: Column): Column = regexp_replace(c.cast("string"), "'", "''")
 
   // ---------------------------------------------------------------- CDC
 
   /** events rendered as INSERT wire lines; relation = public.<event_type>. */
   private def eventLines(spark: SparkSession, dir: String): DataFrame = {
-    val ev = T(spark, dir, "events")
+    val ev = fan(T(spark, dir, "events"))
     val line = CdcFixture.insertLine(
       concat(lit("public."), col("event_type")),
       Seq(
@@ -169,7 +184,7 @@ object EntryQueries {
     * fifth row.
     */
   def qMarshalUpdate(spark: SparkSession, dir: String): DataFrame = {
-    val c = T(spark, dir, "customer")
+    val c = fan(T(spark, dir, "customer")) // render+parse+merge per row
     val oldBal = format_string("%.2f", col("c_acctbal"))
     val newBal = format_string("%.2f", col("c_acctbal") + 100.0d)
     val oldPart = concat(
@@ -215,7 +230,7 @@ object EntryQueries {
       |  FROM customer WHERE c_custkey % 5 = 0""".stripMargin
 
   def qMarshalDelete(spark: SparkSession, dir: String): DataFrame = {
-    val s = T(spark, dir, "supplier")
+    val s = fan(T(spark, dir, "supplier")) // render+parse+merge per row
     val line = CdcFixture.deleteLine(lit("public.supplier"), Seq(
       Col("s_suppkey", "bigint", col("s_suppkey"), quoted = false),
       Col("s_name", "text", col("s_name"))))
@@ -422,7 +437,7 @@ object EntryQueries {
 
   def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    T(spark, dir, "documents").select(
+    fan(T(spark, dir, "documents")).select(
       col("doc_id"),
       TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
       round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
@@ -553,11 +568,18 @@ object EntryQueries {
     val docs = T(spark, dir, "documents")
     val merges = TextAnalysis.collectMerges(
       TextAnalysis.bpeLearnMerges(docs, "text", numMerges = 8))
-    val scored = docs.select(
+    // localCheckpoint, NOT cache: budgetSelect scans `scored` three
+    // times (two collect jobs + the selection pass), so materializing
+    // once matters — but a .cache() here pinned a corpus-sized frame in
+    // the CacheManager for the SESSION lifetime per invocation (nothing
+    // could unpersist it after the lazy result left this scope; ×5
+    // under the bench harness). Checkpoint blocks are instead released
+    // by the ContextCleaner as soon as the result frame is dropped.
+    val scored = fan(docs).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("n_bpe"))
-      .cache()
+      .localCheckpoint()
     Sampling.budgetSelect(scored, "quality", "n_bpe", "doc_id", budget = 40000L)
   }
 
@@ -585,7 +607,7 @@ object EntryQueries {
       |WHERE cum_weight <= 40000""".stripMargin
 
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
-    T(spark, dir, "documents").select(
+    fan(T(spark, dir, "documents")).select(
       col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
 
   val qTextQualitySql: String =
@@ -612,17 +634,19 @@ object EntryQueries {
     * (no global sort; the oracle IS the naive single-window form).
     */
   def qBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
-    // Score ONCE into a cached narrow frame: budgetSelect scans its
-    // input twice (histogram pass + selection pass), and the quality
-    // expression is several regex passes per document — the real
-    // pipeline shape is score-into-a-table, then select against it.
-    // Cache is caller-owned (the qDedupClustersIncremental convention);
-    // Verify/Bench clear caches between queries/reps.
-    val scored = T(spark, dir, "documents").select(
+    // Score ONCE into a materialized narrow frame: budgetSelect scans
+    // its input three times (two collect jobs + the selection pass),
+    // and the quality expression is several regex passes per document —
+    // the real pipeline shape is score-into-a-table, then select
+    // against it. localCheckpoint, NOT cache: a .cache() pinned the
+    // frame in the CacheManager for the session lifetime per
+    // invocation; checkpoint blocks are released by the ContextCleaner
+    // once the result frame is dropped.
+    val scored = fan(T(spark, dir, "documents")).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .cache()
+      .localCheckpoint()
     Sampling.budgetSelect(scored, "quality", "n_tokens", "doc_id", budget = 15000L)
   }
 
@@ -657,7 +681,7 @@ object EntryQueries {
     * polynomial hash and window-min selection.
     */
   def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
-    T(spark, dir, "documents")
+    fan(T(spark, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4).as("fp"))
       .select(
@@ -1144,7 +1168,7 @@ object EntryQueries {
     * the scoring from the same profile lists.
     */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
-    T(spark, dir, "documents").select(
+    fan(T(spark, dir, "documents")).select(
       col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
 
   val qLangIdSql: String = {
@@ -1192,8 +1216,15 @@ object EntryQueries {
     * A~B and B~C collapse to one canonical even without an A~C pair.
     * Oracle: recursive label-reachability closure over the same pairs.
     */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(qDedupNgram(spark, dir))
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // duplicateClusters returns its labels CACHED (caller-owned); copy
+    // the cluster-count-sized label set out and release the cache so
+    // repeated invocations (the 5-rep bench) don't pin one per call
+    val labels = Dedup.duplicateClusters(qDedupNgram(spark, dir))
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
+  }
 
   /** Incremental cluster maintenance, value-oracled by EQUIVALENCE:
     * the ngram pair graph is split deterministically into an "old
@@ -1207,26 +1238,34 @@ object EntryQueries {
     * one oracle, two physical forms (the q_dedup_incremental_bloom
     * convention).
     *
-    * CACHE OWNERSHIP: the pair frame below is cached and CALLER-OWNED
-    * (the [[graft.ops.Pipeline.CurateResult.unpersist]] convention) —
-    * a long-running session invoking this repeatedly should
-    * `spark.catalog.clearCache()` (or unpersist) between invocations,
-    * as Verify does per-query and Bench's heap-probe mode does
-    * between reps; the profile gate's RDD-retention ceiling assumes
-    * these known per-call entries are released.
+    * CACHE HYGIENE: the pair frame and the result are localCheckpoints
+    * (ContextCleaner-released once dropped, no CacheManager entry) and
+    * the old-batch labels cache is unpersisted before return; the only
+    * retained entries are mergeDuplicateClusters' two batch-bounded
+    * internal caches, which its lazy pass-through leg still reads —
+    * tiny (≤ 2× the new-ingest batch's label rows), released by
+    * `spark.catalog.clearCache()` in a long-running session.
     */
   def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    // Cache the pair list ONCE before splitting: both batches filter
-    // the same expensive ngram pair detection, and without this the
-    // "new ingest" branch recomputes the whole detection from the
+    // Materialize the pair list ONCE before splitting: both batches
+    // filter the same expensive ngram pair detection, and without this
+    // the "new ingest" branch recomputes the whole detection from the
     // scan (measured at sf10: 70-88 s isolated vs ~45 s cached; the
     // historical 27-51 s sweep numbers were the same cache arriving
     // accidentally, from q_dedup_clusters running earlier in the JVM).
-    // Cache is caller-owned, like duplicateClusters' own internal one.
-    val pairs = qDedupNgram(spark, dir).cache()
+    // localCheckpoint, NOT cache: the old .cache() stayed pinned in the
+    // CacheManager per invocation; checkpoint blocks are released by
+    // the ContextCleaner when the result frame is dropped.
+    val pairs = qDedupNgram(spark, dir).localCheckpoint()
     val isNew = (col("id_a") + col("id_b")) % 5 === 0
     val existing = Dedup.duplicateClusters(pairs.where(!isNew))
-    Dedup.mergeDuplicateClusters(existing, pairs.where(isNew))
+    val out = Dedup.mergeDuplicateClusters(existing, pairs.where(isNew))
+      // label sets are cluster-count-sized; copy out of the ops' caches
+      // so the entry can release them (mergeDuplicateClusters keeps two
+      // batch-bounded internal caches alive for its lazy result)
+      .localCheckpoint()
+    existing.unpersist()
+    out
   }
 
   val qDedupClustersSql: String =
@@ -1355,7 +1394,7 @@ object EntryQueries {
     * band buckets.
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
+    Dedup.minhashDuplicates(fan(T(spark, dir, "documents")), "text", "doc_id",
       threshold = 0.2)
 
   /** Incremental near-dedup over an ingest split: documents above the
@@ -1375,7 +1414,7 @@ object EntryQueries {
 
   /** SimHash near-dup pairs — full value oracle, same machinery. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDuplicates(T(spark, dir, "documents"), "text", "doc_id",
+    Dedup.simhashDuplicates(fan(T(spark, dir, "documents")), "text", "doc_id",
       maxHamming = 8)
 
   /** Perceptual-hash image near-dedup over REAL decoded PNGs: the
@@ -2067,7 +2106,7 @@ object EntryQueries {
     * PqEncode's strict `<`) → ADC scoring → top-k from first principles.
     */
   def qSimilarityPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = T(spark, dir, "embeddings")
+    val emb = fan(T(spark, dir, "embeddings")) // PQ train/encode per row
     val codebooks = Similarity.pqTrain(emb, m = 8, ksub = 16)
     pqTrainedCodebooks = Some(codebooks)
     val encoded = Similarity.pqEncode(emb, codebooks)
@@ -2535,7 +2574,7 @@ object EntryQueries {
     * frequencies with quadratic list ops — fine at oracle scale.
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
-    Curation.repetitionReport(T(spark, dir, "documents"), "text", "doc_id", Seq(2, 3))
+    Curation.repetitionReport(fan(T(spark, dir, "documents")), "text", "doc_id", Seq(2, 3))
 
   val qRepetitionSql: String = {
     def gramsFor(n: Int) =
@@ -2582,7 +2621,7 @@ object EntryQueries {
         concat(lit(" tel +1-555-"),
           lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
     Curation.redactPii(
-      T(spark, dir, "customer").select(col("c_custkey"), note.as("note")), "note")
+      fan(T(spark, dir, "customer")).select(col("c_custkey"), note.as("note")), "note")
       .select(col("c_custkey"), col("redacted"),
         col("n_email"), col("n_ipv4"), col("n_phone"))
   }
@@ -2704,7 +2743,7 @@ object EntryQueries {
     * 0.28–1.0, dup2 0–0.27 at sf0.01) into a keep/drop mix.
     */
   def qQualityGate(spark: SparkSession, dir: String): DataFrame =
-    Curation.qualityGate(T(spark, dir, "documents"), "text", "doc_id",
+    Curation.qualityGate(fan(T(spark, dir, "documents")), "text", "doc_id",
       minTokens = 20, maxTokens = 5000,
       minDistinctRatio = 0.45, maxDup2Frac = 0.12)
 

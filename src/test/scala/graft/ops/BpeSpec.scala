@@ -188,4 +188,20 @@ class BpeSpec extends AnyFunSuite {
       .as[(Int, String, Long)].collect().toSeq
     assert(got == Seq((1, s"a $clef", 2L)))
   }
+
+  test("pair keys with NUL inside symbols never collide (space-joined keys)") {
+    // NUL is NOT whitespace, so it can legally sit inside a symbol; a
+    // NUL-joined pair key collided ("a\u0000","b") with ("a","\u0000b")
+    // (both rendered "a\u0000\u0000b"). Sequence: rank 0 merges
+    // \u0000+b, making pair ("a","\u0000b") present; its true rank is
+    // 2, but under the colliding key the encoder saw [1, 2], burned
+    // rank 1 on the not-present ("a\u0000","b") merge, and — because a
+    // failed merge never re-pushes — stranded the word as two symbols.
+    // Space-joined keys are collision-free (symbols can never contain
+    // whitespace: the tokenizer splits on \s+ runs).
+    val nul = "\u0000"
+    val merges = Seq((nul, "b"), (s"a$nul", "b"), ("a", s"${nul}b"))
+    val codec = new graft.functions.BpeCodec(merges)
+    assert(codec.encodeWord(s"a${nul}b").toSeq == Seq(s"a${nul}b"))
+  }
 }

@@ -147,11 +147,24 @@ def main():
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.5)
     ap.add_argument("--no-isolate", action="store_true")
+    ap.add_argument("--suite-threshold", type=float, default=1.10, help=(
+        "max allowed CAL-NORMALIZED common-subset total ratio (new/old). "
+        "The per-query threshold is structurally blind to a broad uniform "
+        "slowdown: r20 drifted 8%% on 81 common queries (78.3s -> 84.6s at "
+        "flat calibration) with ZERO per-query suspects. The suite check "
+        "normalizes the new total by cal_old/cal_new before comparing, so "
+        "honest host-speed drift the calibration probe CAN see is divided "
+        "out and only residual drift (plan/code/regime) trips it"))
+    ap.add_argument("--suite-warn-only", default=None, metavar="REASON", help=(
+        "downgrade a suite-drift FAIL to a warning, recording REASON in "
+        "the report — for drift already attributed out-of-band (e.g. an "
+        "identical-tree re-measure proving a host regime change)"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    olds = [load_queries(p)[0] for p in args.old]
+    old_loaded = [load_queries(p) for p in args.old]
+    olds = [q for q, _, _ in old_loaded]
     # the same phantom-PASS blind spot the new_q refusal closes: an OLD
     # file whose detail resolves but carries no query map contributes
     # nothing, and if every old is empty there is no baseline at all —
@@ -223,17 +236,62 @@ def main():
         # but nothing is adjudicated, so nothing fails the gate
         report["dismissed"] = dict(suspects)
 
-    verdict = "FAIL" if report["reproduced"] else "PASS"
+    # Suite-level drift check: cal-normalized common-subset total vs
+    # each OLD round, gated on the MEDIAN ratio. Catches the broad
+    # uniform regression the per-query threshold is blind to by
+    # construction (r20: 81 queries at a flat 1.08x, zero suspects).
+    new_cal = (new_doc or {}).get("cal_sec")
+    suite_rows = []
+    for p, (oq, _, odoc) in zip(args.old, old_loaded):
+        common = sorted(set(oq) & set(new_q))
+        if not common:
+            continue
+        old_total = sum(oq[n] for n in common)
+        new_total = sum(new_q[n] for n in common)
+        old_cal = (odoc or {}).get("cal_sec")
+        raw = new_total / old_total if old_total > 0 else None
+        if raw is None:
+            continue
+        norm = (raw * old_cal / new_cal
+                if old_cal and new_cal and new_cal > 0 else None)
+        suite_rows.append({
+            "old_file": p, "n_common": len(common),
+            "old_total": round(old_total, 3), "new_total": round(new_total, 3),
+            "raw_ratio": round(raw, 3),
+            "cal_old": old_cal, "cal_new": new_cal,
+            "normalized_ratio": round(norm, 3) if norm is not None else None})
+    suite_drift = None
+    if suite_rows:
+        ratios = [r["normalized_ratio"] if r["normalized_ratio"] is not None
+                  else r["raw_ratio"] for r in suite_rows]
+        suite_drift = median(ratios)
+    report["suite"] = {"threshold": args.suite_threshold,
+                       "rows": suite_rows,
+                       "median_normalized_ratio":
+                           round(suite_drift, 3) if suite_drift else None}
+    suite_fail = (suite_drift is not None
+                  and suite_drift > args.suite_threshold)
+    if suite_fail and args.suite_warn_only:
+        report["suite"]["drift_exceeded"] = True
+        report["suite"]["warn_only_reason"] = args.suite_warn_only
+        suite_fail = False
+    elif suite_fail:
+        report["suite"]["drift_exceeded"] = True
+
+    verdict = "FAIL" if (report["reproduced"] or suite_fail) else "PASS"
     report["verdict"] = verdict
     out = json.dumps(report, indent=2, sort_keys=True)
     if args.out:
         with open(args.out, "w") as f:
             f.write(out + "\n")
     print(out)
+    drift_str = (f", suite drift {report['suite']['median_normalized_ratio']}"
+                 f" (cal-normalized, threshold {args.suite_threshold})"
+                 if suite_rows else "")
     print(f"[gate] {verdict}: {len(suspects)} suspect(s), "
           f"{len(report['reproduced'])} reproduced, "
-          f"{len(report['dismissed'])} dismissed")
-    return 1 if report["reproduced"] else 0
+          f"{len(report['dismissed'])} dismissed{drift_str}")
+    return 1 if verdict == "FAIL" else 0
 
 
 if __name__ == "__main__":
