@@ -60,17 +60,24 @@ object MediaFixtures {
     * use), or synthesized in-plan when materialization is disabled.
     */
   def table(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
-    // fan both paths out to the session parallelism: the source
-    // documents table AND the materialized cache are single-row-group
-    // parquet, whose one-task scans would otherwise serialize the
-    // encode (synthesis path) or the decode+hash (every consumer) on
-    // one core — see ScanFanout; no-op on production-sized inputs
-    val docs = ScanFanout.fanOutSmallScan(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
+    // Fan the image-family kinds out to the session parallelism: the
+    // source documents table AND the materialized cache are
+    // single-row-group parquet, whose one-task scans would otherwise
+    // serialize the PNG/GIF codec work (encode on the synthesis path,
+    // LZW decode + hash in every consumer) on one core — see
+    // ScanFanout; no-op on production-sized inputs. Audio kinds are
+    // deliberately NOT fanned: PCM decode is a near-memcpy, and the
+    // measured A/B (evidence/r21/media_fan_ON.json vs _OFF.json) showed
+    // the payload exchange costing ~1.3-1.4× more than the parallel
+    // decode saved, while the image kinds won ~1.3×.
+    val heavyCodec = kind == "png" || kind == "gif"
+    def fan(df: DataFrame): DataFrame =
+      if (heavyCodec) ScanFanout.fanOutSmallScan(df) else df
+    val docs = fan(spark.read.parquet(s"$sfDir/documents.parquet"))
     if (!spark.conf.getOption("spark.graft.media.materialize").forall(_.toBoolean))
       return synthesize(docs, kind)
     val dest = ensure(spark, sfDir, kind, docs)
-    ScanFanout.fanOutSmallScan(spark.read.parquet(dest.toString))
+    fan(spark.read.parquet(dest.toString))
   }
 
   def pngs(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "png")

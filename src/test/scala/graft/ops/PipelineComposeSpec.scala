@@ -94,9 +94,25 @@ class PipelineComposeSpec extends AnyFunSuite {
     // release them the way a job would
     res.report.count(); res.split.count(); res.packedTrain.count()
     res.split.unpersist(); res.packedTrain.unpersist()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // retention contract since r21: caches are released synchronously,
+    // and localCheckpoint blocks (ngramJaccardDuplicates' shingle
+    // table) are GC-BOUNDED — the ContextCleaner unpersists them once
+    // the result frames drop their references. Poll through a GC cycle
+    // rather than asserting instantaneous emptiness; what this still
+    // catches is any UNBOUNDED retention (a strongly-referenced cache
+    // no GC can release — the r13-r20 leak shape).
+    def leakedNow(): Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var leaked = leakedNow()
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+      leaked = leakedNow()
+    }
     assert(leaked.isEmpty,
-      s"curate leaked ${leaked.size} cached RDD(s): $leaked")
+      s"curate leaked ${leaked.size} cached RDD(s): $leaked " +
+        "(still pinned after GC + ContextCleaner)")
   }
 
   test("curate with spanDedup=true runs the surgery stage: boilerplate cut, report row present, default chain untouched") {
