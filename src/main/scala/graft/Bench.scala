@@ -317,7 +317,25 @@ object Bench {
     }
     System.err.println(s"""[bench-samples] {"reps":$reps,"stat":"trimmed_mean","samples":$all,"medians":$meds}""")
     val sfShort = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},"n_queries":${names.size},"detail":"$detailPath"$failedJson,"sf":"$sfShort"}""")
+    // COMPLETE per-query data inside the recorder's 2000-char tail
+    // window (round-21 PERF ask): the sum of the 83 query NAMES alone
+    // is ~1.4 kB, so a named JSON map can never fit next to the total
+    // line — emit the trimmed means POSITIONALLY instead, in ascending
+    // name order (the same sorted order `names` iterates everywhere;
+    // cross-reference against CORRECTNESS_rN.json's sorted keys or the
+    // "queries" map in BENCH_DETAIL.json). ~600 chars for 83 queries,
+    // so this line + the total line + sbt's [success] line all fit the
+    // window uncut. Additions-only: timing and the final total-line
+    // contract are unchanged.
+    val posVals = results.map { case (_, v) => f3(v) }.mkString("[", ",", "]")
+    println(s"""{"metric":"per_query","unit":"sec","order":"name_asc","n":${names.size},"values":$posVals}""")
+    // cal_normalized_total = suite total expressed in calibration-probe
+    // units (value / cal_sec): host-speed drift multiplies both the
+    // numerator and the probe, so cross-round comparisons of this ratio
+    // self-adjudicate the drift the r21 verdict had to reconstruct
+    // manually (identical tree measured 1.24x slower on a slower host).
+    val calNorm = if (calSec > 0) f3(total / calSec) else "-1.0"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cal_sec":${f3(calSec)},"cal_normalized_total":$calNorm,"n_queries":${names.size},"detail":"$detailPath"$failedJson,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -432,7 +432,18 @@ object Dedup {
       shingleSize: Int = 3, seed: Int = 42,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val newIdx = nearDedupIndex(newBatch, textCol, idCol, numHashes, shingleSize, seed)
+    // Materialize the BATCH signature table once ([[Materialize]],
+    // eager): the plan reads it three times — banding (sig), the
+    // verification sets union (hs), and the id_b join-back (hs) — so
+    // left lazy the batch text is scanned, shingled and minhashed 3×
+    // per run (the r21 plan dump showed exactly this). Batch-sized
+    // rows (the daily-ingest batch, not the corpus), so the
+    // materialization is bounded at any scale; the corpus-sized
+    // `index` is deliberately NOT materialized — its two reads are
+    // column-pruned scans (sig-only and hs-only) of the persisted
+    // index table, which a materialization would un-prune.
+    val newIdx = Materialize.frame(
+      nearDedupIndex(newBatch, textCol, idCol, numHashes, shingleSize, seed))
     val newBands = bandRows(newIdx.select(col("id"), col("sig")), numHashes, bands)
       .withColumn("src", lit(1))
     val touched = newBands.select(col("band"), col("bandKey")).distinct()
@@ -452,17 +463,17 @@ object Dedup {
     val aSide = capped.select(col("band"), col("bandKey"), col("id").as("id_a"))
     val bSide = capped.where(col("src") === 1)
       .select(col("band"), col("bandKey"), col("id").as("id_b"))
-    // localCheckpoint (eager): the candidate pairs feed BOTH the
+    // Materialize (eager): the candidate pairs feed BOTH the
     // min/max probe below and the verification join — left lazy, the
     // whole banding/window/self-join subplan would execute twice
     // (measured at 100×: the double discovery alone made incremental
     // ingest slower than full recompute). Batch-bounded rows; blocks
     // are reclaimed by the ContextCleaner once the result is dropped.
-    val pairs = aSide.join(bSide, Seq("band", "bandKey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-      .localCheckpoint()
+    val pairs = Materialize.frame(
+      aSide.join(bSide, Seq("band", "bandKey"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct())
 
     // Fetch history `hs` only for CANDIDATE ids: the fat shingle-hash
     // column is the index's dominant bytes, and a plain join reads it
@@ -788,19 +799,24 @@ object Dedup {
     // instead of ~20-char strings, and the verification intersects long
     // arrays (identical jaccard modulo ~2^-64 hash collisions).
     //
-    // localCheckpoint: the plan below reads `sh` FOUR times (the
-    // inverted index feeds both the frequency cut and the blocked
-    // stream, and each verification join-back leg re-evaluates it), so
-    // without materialization the corpus is scanned and shingled 4× —
-    // the dominant cost at every scale. One eager pass + 3 block reads
-    // instead; blocks are ContextCleaner-released once the result frame
-    // drops (no CacheManager entry — a .cache() here would pin the
-    // shingle table for the session). Same eager-materialization
-    // contract as duplicateClusters; the recompute-on-executor-loss
-    // trade is 3 saved corpus passes.
-    val sh = df.select(col(idCol).as("id"),
-      shingle_hashes(col(textCol), shingleSize).as("hs"))
-      .localCheckpoint()
+    // Materialize ([[Materialize]], eager): the plan below reads `sh`
+    // FOUR times (the inverted index feeds both the frequency cut and
+    // the blocked stream, and each verification join-back leg
+    // re-evaluates it), so without materialization the corpus is
+    // scanned and shingled 4× — the dominant cost at every scale. One
+    // eager pass + 3 block reads instead; blocks are
+    // ContextCleaner-released once the result frame drops (no
+    // CacheManager entry — a .cache() here would pin the shingle table
+    // for the session). Same eager-materialization contract as
+    // duplicateClusters. NOTE the failure semantics of the default
+    // localCheckpoint mode: lineage is CUT, so a lost executor makes
+    // the blocks unrecoverable and FAILS the query (it does NOT
+    // recompute) — safe in local mode, a reliability trade on clusters
+    // with decommissioning; set spark.graft.materialize=persist (or
+    // checkpoint) there.
+    val sh = Materialize.frame(
+      df.select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), shingleSize).as("hs")))
     val inv = sh.select(col("id"), explode(col("hs")).as("shingle"))
     val rare = inv.groupBy("shingle").count().where(col("count") <= maxShingleFreq)
     val blocked = inv.join(rare.select("shingle"), Seq("shingle"))
@@ -1678,15 +1694,15 @@ object Dedup {
     var converged = prev._1 == 0L // no edges: trivially a (empty) star forest
     var iter = 0
     while (!converged && iter < maxIters) {
-      // localCheckpoint (not cache): each round's plan references the
+      // Materialize (not cache): each round's plan references the
       // previous round ~9 times, so an uncut lineage grows 9^rounds and
-      // OOMs the driver just STRINGIFYING the plan. Checkpointing makes
+      // OOMs the driver just STRINGIFYING the plan. Materializing makes
       // every round a constant-size plan over a materialized leaf;
       // dropped rounds are reclaimed by the ContextCleaner. Lazy, so
       // the checksum action right below both materializes the
-      // checkpoint and folds the convergence probe in ONE job per
+      // round and folds the convergence probe in ONE job per
       // round instead of two.
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = Materialize.frameLazy(smallStar(largeStar(edges)))
       val cur = checksum(next)
       edges.unpersist()
       // rounds > 1: the retired frame is a localCheckpoint whose blocks

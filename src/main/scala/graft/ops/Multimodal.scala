@@ -454,6 +454,25 @@ object Multimodal {
     }.toDF("media_id", "content")
   }
 
+  /** Audio container readers, resolved ONCE per JVM. Every
+    * `AudioSystem.getAudioInputStream` call re-runs a ServiceLoader
+    * provider scan for `AudioFileReader`s (`JDK13Services.getProviders`
+    * does not cache), so per-payload container parsing paid a
+    * classpath-scan dispatch tax per ROW. The provider list is
+    * resolved through the same ServiceLoader source AudioSystem uses
+    * (same readers, same order — first successful parse wins either
+    * way), the JDK reader instances are stateless, and the lazy val
+    * is per-JVM, so sharing it across tasks is safe.
+    */
+  @transient private lazy val audioReaders
+      : List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   /** Decode an audio payload to 16-bit signed samples, or None when it
     * is not a parseable 16-bit mono PCM stream (wrong container, wrong
     * encoding, compressed formats this environment has no codec for).
@@ -461,14 +480,22 @@ object Multimodal {
     */
   private[ops] def decodePcm16(bytes: Array[Byte]): Option[Array[Int]] = {
     if (bytes.length == 0) return None
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch {
-        // malformed containers can also throw RuntimeExceptions from
-        // format parsers; degrade to None per the decode contract
-        case scala.util.control.NonFatal(_) => null
-      }
+    // first reader that parses the container wins — AudioSystem's own
+    // resolution semantics, minus its per-call provider re-scan; a
+    // fresh ByteArrayInputStream per probe replaces its mark/reset
+    var ais: javax.sound.sampled.AudioInputStream = null
+    val rs = audioReaders.iterator
+    while (ais == null && rs.hasNext) {
+      val r = rs.next()
+      ais =
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          // unsupported container for this reader, or a malformed one
+          // throwing RuntimeExceptions from the format parser: try the
+          // next reader, degrade to None per the decode contract
+          case scala.util.control.NonFatal(_) => null
+        }
+    }
     if (ais == null) return None
     try {
       val fmt = ais.getFormat
@@ -705,7 +732,19 @@ object Multimodal {
           val total =
             try reader.getNumImages(true)
             catch { case scala.util.control.NonFatal(_) => -1 }
-          if (total <= 0) return None
+          if (total <= 0)
+            // structure scan failed (truncated/corrupt container whose
+            // frame count is unscannable): fall back to the sequential
+            // prefix decode the pre-sampling path used, sampling over
+            // the decodable prefix — damaged media keep their partial
+            // frame hashes instead of degrading to None (r21 advisor).
+            // Well-formed containers never take this branch, so the
+            // fast path's decode count is unchanged.
+            return readFrames(bytes).filter(_.nonEmpty).map { fs =>
+              val nf = fs.length
+              val k = math.min(n, nf)
+              Vector.tabulate(k) { i => val src = i * nf / k; (src, fs(src)) }
+            }
           val k = math.min(n, total)
           val out = Vector.newBuilder[(Int, java.awt.image.BufferedImage)]
           var i = 0

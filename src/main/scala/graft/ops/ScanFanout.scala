@@ -38,6 +38,13 @@ object ScanFanout {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // physical scan partitions (internal-row RDD: no decode, no job)
     val planned = df.queryExecution.toRdd.getNumPartitions
-    if (planned < target) df.repartition(target) else df
+    // Ratio gate (r21 advisor): only fan when the scan is badly
+    // under-parallel (≤ half the cores). A large input that happens to
+    // plan slightly fewer partitions than cores — 24 row groups on a
+    // 32-core host — is already near-parallel, and a full-payload
+    // round-robin shuffle costs more than the idle tail it removes;
+    // the single-row-group bench inputs (planned = 1) and any genuinely
+    // skewed small input still fan to every core.
+    if (planned <= target / 2) df.repartition(target) else df
   }
 }

@@ -8,7 +8,7 @@ import graft.fixtures.CdcFixture
 import graft.fixtures.CdcFixture.Col
 import graft.functions.GraftFunctions
 import graft.operators._
-import graft.ops.{Asof, Curation, Dedup, MediaFixtures, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{Asof, Curation, Dedup, Materialize, MediaFixtures, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY §2.1 Q1–Q10 plus the
   * training-data operators), each expressed through the engine's
@@ -568,18 +568,17 @@ object EntryQueries {
     val docs = T(spark, dir, "documents")
     val merges = TextAnalysis.collectMerges(
       TextAnalysis.bpeLearnMerges(docs, "text", numMerges = 8))
-    // localCheckpoint, NOT cache: budgetSelect scans `scored` three
+    // Materialize, NOT cache: budgetSelect scans `scored` three
     // times (two collect jobs + the selection pass), so materializing
     // once matters — but a .cache() here pinned a corpus-sized frame in
     // the CacheManager for the SESSION lifetime per invocation (nothing
     // could unpersist it after the lazy result left this scope; ×5
-    // under the bench harness). Checkpoint blocks are instead released
-    // by the ContextCleaner as soon as the result frame is dropped.
-    val scored = fan(docs).select(
+    // under the bench harness). Materialized blocks are instead
+    // released by the ContextCleaner as soon as the result frame drops.
+    val scored = Materialize.frame(fan(docs).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("n_bpe"))
-      .localCheckpoint()
+        TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("n_bpe")))
     Sampling.budgetSelect(scored, "quality", "n_bpe", "doc_id", budget = 40000L)
   }
 
@@ -638,15 +637,14 @@ object EntryQueries {
     // its input three times (two collect jobs + the selection pass),
     // and the quality expression is several regex passes per document —
     // the real pipeline shape is score-into-a-table, then select
-    // against it. localCheckpoint, NOT cache: a .cache() pinned the
+    // against it. Materialize, NOT cache: a .cache() pinned the
     // frame in the CacheManager for the session lifetime per
-    // invocation; checkpoint blocks are released by the ContextCleaner
-    // once the result frame is dropped.
-    val scored = fan(T(spark, dir, "documents")).select(
+    // invocation; materialized blocks are released by the
+    // ContextCleaner once the result frame is dropped.
+    val scored = Materialize.frame(fan(T(spark, dir, "documents")).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .localCheckpoint()
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")))
     Sampling.budgetSelect(scored, "quality", "n_tokens", "doc_id", budget = 15000L)
   }
 
@@ -1221,7 +1219,7 @@ object EntryQueries {
     // the cluster-count-sized label set out and release the cache so
     // repeated invocations (the 5-rep bench) don't pin one per call
     val labels = Dedup.duplicateClusters(qDedupNgram(spark, dir))
-    val out = labels.localCheckpoint()
+    val out = Materialize.frame(labels)
     labels.unpersist()
     out
   }
@@ -1253,17 +1251,17 @@ object EntryQueries {
     // scan (measured at sf10: 70-88 s isolated vs ~45 s cached; the
     // historical 27-51 s sweep numbers were the same cache arriving
     // accidentally, from q_dedup_clusters running earlier in the JVM).
-    // localCheckpoint, NOT cache: the old .cache() stayed pinned in the
-    // CacheManager per invocation; checkpoint blocks are released by
+    // Materialize, NOT cache: the old .cache() stayed pinned in the
+    // CacheManager per invocation; materialized blocks are released by
     // the ContextCleaner when the result frame is dropped.
-    val pairs = qDedupNgram(spark, dir).localCheckpoint()
+    val pairs = Materialize.frame(qDedupNgram(spark, dir))
     val isNew = (col("id_a") + col("id_b")) % 5 === 0
     val existing = Dedup.duplicateClusters(pairs.where(!isNew))
-    val out = Dedup.mergeDuplicateClusters(existing, pairs.where(isNew))
-      // label sets are cluster-count-sized; copy out of the ops' caches
-      // so the entry can release them (mergeDuplicateClusters keeps two
-      // batch-bounded internal caches alive for its lazy result)
-      .localCheckpoint()
+    // label sets are cluster-count-sized; copy out of the ops' caches
+    // so the entry can release them (mergeDuplicateClusters keeps two
+    // batch-bounded internal caches alive for its lazy result)
+    val out = Materialize.frame(
+      Dedup.mergeDuplicateClusters(existing, pairs.where(isNew)))
     existing.unpersist()
     out
   }
@@ -1407,7 +1405,15 @@ object EntryQueries {
     val docs = T(spark, dir, "documents")
     import spark.implicits._
     val split = docs.agg(max(col("doc_id"))).as[Long].head / 2
-    val idx = Dedup.nearDedupIndex(docs.where(col("doc_id") <= split), "text", "doc_id")
+    // Materialize the inline-built history index once: the op reads it
+    // twice (banding via sig, verification via hs), and this demo form
+    // derives it from the documents scan — left lazy, the history half
+    // is scanned+shingled+minhashed twice per run. The SCALE path
+    // instead reads a persisted [[Dedup.writeNearDedupIndex]] parquet
+    // index, whose two reads stay column-pruned scans — this entry-side
+    // materialization models "the index exists", not a new cost.
+    val idx = Materialize.frame(
+      Dedup.nearDedupIndex(docs.where(col("doc_id") <= split), "text", "doc_id"))
     Dedup.incrementalNearDedup(
       docs.where(col("doc_id") > split), "text", "doc_id", idx, threshold = 0.2)
   }
@@ -1625,6 +1631,64 @@ object EntryQueries {
     name
   }
 
+  /** Conf key naming a base directory for the streaming entry
+    * queries' checkpoint locations (offsets/commits WAL + state store
+    * deltas — a fresh UUID subdirectory per invocation, deleted when
+    * the query stops, so no state can leak between invocations or
+    * runs). Unset = Spark's managed temp checkpoint under
+    * java.io.tmpdir, which on this sandbox is a spinning-rust ext4 —
+    * the per-micro-batch WAL + 16 state-store commits are pure
+    * filesystem overhead for a demo checkpoint that is DELETED on
+    * stop (`forceDeleteTempCheckpointLocation` semantics), so the
+    * bench harness points it at RAM; a production stream sets a
+    * durable path (the checkpoint is its recovery story).
+    */
+  private val StreamCheckpointDirKey = "spark.graft.stream.checkpointDir"
+
+  /** Fresh single-use checkpoint dir under [[StreamCheckpointDirKey]],
+    * or None (Spark-managed temp) when the conf is unset.
+    */
+  private def freshStreamCheckpoint(
+      spark: SparkSession, sink: String): Option[java.io.File] =
+    spark.conf.getOption(StreamCheckpointDirKey).filter(_.nonEmpty).map { base =>
+      val d = new java.io.File(
+        base, s"$sink-${java.util.UUID.randomUUID().toString.take(8)}")
+      d.mkdirs()
+      d
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val fs = Option(f.listFiles()).getOrElse(Array.empty)
+    fs.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Conf key (default true): feed the streaming demo queries through
+    * [[org.apache.spark.sql.graft.BroadcastMemoryStream]] — each
+    * micro-batch ships as ONE broadcast deserialized once per executor
+    * instead of riding the task binary deserialized by EVERY scan task
+    * (a full-batch payload copy per task × 16 feed partitions × every
+    * micro-batch). `false` restores stock MemoryStream (the A/B
+    * toggle). Same rows, same slicing, same order — the broadcast
+    * variant re-packages the stock partitioning.
+    */
+  private val StreamBroadcastFeedKey = "spark.graft.stream.broadcastFeed"
+  // ids far above MemoryStream's own counter so debug strings of the
+  // two feed kinds can never alias within a session
+  private val broadcastFeedSeq =
+    new java.util.concurrent.atomic.AtomicInteger(1 << 20)
+
+  private def memFeed[A: org.apache.spark.sql.Encoder](
+      spark: SparkSession, parts: Int)
+      : org.apache.spark.sql.execution.streaming.runtime.MemoryStreamBase[A] =
+    if (spark.conf.get(StreamBroadcastFeedKey, "true").toBoolean)
+      new org.apache.spark.sql.graft.BroadcastMemoryStream[A](
+        broadcastFeedSeq.incrementAndGet(), spark, parts)
+    else
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[A](spark, numPartitions = parts)
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
     * restored after. Streaming state-store count binds to the shuffle
     * partitions in force when the query STARTS, and the MemoryStream
@@ -1665,17 +1729,18 @@ object EntryQueries {
     val rows = T(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, java.sql.Timestamp)](
-        spark, numPartitions = 16)
+    val mem = memFeed[(Long, String, java.sql.Timestamp)](spark, parts = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_lines")
     val base = 1700000000000L
+    val ckpt = freshStreamCheckpoint(spark, sink)
     withStatePartitions(spark, 8) {
-      val q = Dedup.streamingSegmentDedup(
+      val w0 = Dedup.streamingSegmentDedup(
           mem.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
           w = 20, sep = "\n")
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .outputMode("append")
+      val q = ckpt.fold(w0)(d =>
+        w0.option("checkpointLocation", d.getAbsolutePath)).start()
       try {
         val batchSize = math.max(1, (rows.length + 4) / 5)
         rows.grouped(batchSize).foreach { b =>
@@ -1687,7 +1752,10 @@ object EntryQueries {
         mem.addData((-1L, "flushsentinel unique tokens",
           new java.sql.Timestamp(base + 3600 * 1000L)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        ckpt.foreach(deleteRecursively)
+      }
     }
     spark.table(sink)
       .filter(col("doc_id") >= 0)
@@ -1744,15 +1812,16 @@ object EntryQueries {
       .as[(Long, Array[Byte])].collect().sortBy(_._1)
     // multi-partition feed: with the default single partition every
     // micro-batch's PNG decode would run on one core
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
-        spark, numPartitions = 16)
+    val mem = memFeed[(Long, Array[Byte], java.sql.Timestamp)](spark, parts = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_media")
+    val ckpt = freshStreamCheckpoint(spark, sink)
     withStatePartitions(spark, 8) {
-      val q = Multimodal.streamingMediaDedup(
+      val w0 = Multimodal.streamingMediaDedup(
           mem.toDF().toDF("media_id", "content", "ts"), "image", "ts")
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .outputMode("append")
+      val q = ckpt.fold(w0)(d =>
+        w0.option("checkpointLocation", d.getAbsolutePath)).start()
       try {
         val batchSize = math.max(1, (rows.length + 4) / 5)
         rows.grouped(batchSize).foreach { b =>
@@ -1761,7 +1830,10 @@ object EntryQueries {
           }.toSeq: _*)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        ckpt.foreach(deleteRecursively)
+      }
     }
     Multimodal.imageDHash(spark.table(sink))
       .groupBy("phash").agg(count(lit(1)).as("n_kept"))
@@ -1819,16 +1891,17 @@ object EntryQueries {
     // multi-partition feed: the 8-frame GIF decode dominates this
     // query, and the default single-partition MemoryStream would run
     // it on one core per micro-batch
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](
-        spark, numPartitions = 16)
+    val mem = memFeed[(Long, Array[Byte], java.sql.Timestamp)](spark, parts = 16)
     val sink = freshStreamSink(spark, "q_dedup_streaming_video")
     val base = 1700000000000L
+    val ckpt = freshStreamCheckpoint(spark, sink)
     withStatePartitions(spark, 8) {
-      val q = Multimodal.streamingVideoDedup(
+      val w0 = Multimodal.streamingVideoDedup(
           mem.toDF().toDF("media_id", "content", "ts"), n = 4, tsCol = "ts")
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .outputMode("append")
+      val q = ckpt.fold(w0)(d =>
+        w0.option("checkpointLocation", d.getAbsolutePath)).start()
       try {
         val batchSize = math.max(1, (rows.length + 4) / 5)
         rows.grouped(batchSize).foreach { b =>
@@ -1841,7 +1914,10 @@ object EntryQueries {
         mem.addData((-1L, "__flush__".getBytes("UTF-8"),
           new java.sql.Timestamp(base + 3600 * 1000L)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        ckpt.foreach(deleteRecursively)
+      }
     }
     Multimodal.videoFrameHashes(spark.table(sink), n = 4)
       .select(col("frame_idx"), col("phash")).distinct()

@@ -158,7 +158,15 @@ def main():
     ap.add_argument("--suite-warn-only", default=None, metavar="REASON", help=(
         "downgrade a suite-drift FAIL to a warning, recording REASON in "
         "the report — for drift already attributed out-of-band (e.g. an "
-        "identical-tree re-measure proving a host regime change)"))
+        "identical-tree re-measure proving a host regime change). "
+        "Requires --suite-warn-only-max so the waiver is bounded by the "
+        "attributed magnitude instead of masking arbitrary regressions"))
+    ap.add_argument("--suite-warn-only-max", type=float, default=None,
+                    metavar="RATIO", help=(
+        "upper bound for the --suite-warn-only waiver: a cal-normalized "
+        "suite ratio above this still FAILs even with a reason supplied "
+        "(set it to the drift magnitude the out-of-band attribution "
+        "actually measured)"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -268,13 +276,31 @@ def main():
     report["suite"] = {"threshold": args.suite_threshold,
                        "rows": suite_rows,
                        "median_normalized_ratio":
-                           round(suite_drift, 3) if suite_drift else None}
+                           round(suite_drift, 3)
+                           if suite_drift is not None else None}
     suite_fail = (suite_drift is not None
                   and suite_drift > args.suite_threshold)
     if suite_fail and args.suite_warn_only:
-        report["suite"]["drift_exceeded"] = True
-        report["suite"]["warn_only_reason"] = args.suite_warn_only
-        suite_fail = False
+        # bounded waiver (r21 advisor): an unconditional downgrade left
+        # stale in a wrapper would mask future genuine regressions of
+        # arbitrary size — the reason must come with the magnitude the
+        # attribution measured, and anything beyond it still FAILs
+        if args.suite_warn_only_max is None:
+            sys.stderr.write("[gate] --suite-warn-only requires "
+                             "--suite-warn-only-max RATIO (the attributed "
+                             "drift magnitude); FAIL stands\n")
+            report["suite"]["drift_exceeded"] = True
+        elif suite_drift <= args.suite_warn_only_max:
+            report["suite"]["drift_exceeded"] = True
+            report["suite"]["warn_only_reason"] = args.suite_warn_only
+            report["suite"]["warn_only_max"] = args.suite_warn_only_max
+            suite_fail = False
+        else:
+            sys.stderr.write(f"[gate] suite drift {suite_drift:.3f} exceeds "
+                             f"--suite-warn-only-max {args.suite_warn_only_max}"
+                             "; FAIL stands\n")
+            report["suite"]["drift_exceeded"] = True
+            report["suite"]["warn_only_max"] = args.suite_warn_only_max
     elif suite_fail:
         report["suite"]["drift_exceeded"] = True
 
